@@ -1,0 +1,141 @@
+"""Deconvolution passes fused with truncation / zero-padding between the
+oversampled and non-oversampled Fourier grids.
+
+Counterpart of the reference's copy_deconvolve_to_non_oversampled! /
+copy_deconvolve_to_oversampled! (src/NonuniformFFTs.jl:350-480) and of the
+index-map builder non_oversampled_indices! (src/NonuniformFFTs.jl:318-348).
+
+Design notes (TPU-first):
+- the per-dimension index maps are tiny static int32 vectors; truncation is a
+  per-axis ``take`` and padding a per-axis open-mesh scatter, both of which
+  XLA lowers to cheap dynamic-slice-like ops for the contiguous sub-ranges;
+- the deconvolution factor ``1/phi_hat`` is applied as D successive broadcast
+  multiplies (never materialising the dense D-dimensional factor), which XLA
+  fuses with the copy;
+- the optional user callback on uniform data is fused into the same pass via
+  ``vmap`` (reference fuses it at NonuniformFFTs.jl:376, 398, 441, 464).
+
+Wavenumber convention: identical to the reference (and FFTW): for output size
+``N`` the modes are ``k = 0, 1, ..., N/2-1, -N/2, ..., -1`` unless
+``fftshift=True`` (increasing order).  For real-data transforms the *last*
+axis (XLA's rfft convention; the reference uses the first axis, FFTW
+convention — documented divergence) holds modes ``k = 0 .. N/2``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def output_wavenumbers(n: int, *, r2c: bool, fftshift: bool) -> np.ndarray:
+    """Integer wavenumbers of the non-oversampled output grid along one dim
+    (reference: init_wavenumbers, src/plan.jl:558-566)."""
+    if r2c:
+        return np.arange(n // 2 + 1, dtype=np.float64)
+    k = np.fft.fftfreq(n, d=1.0 / n).astype(np.float64)  # 0..N/2-1, -N/2..-1
+    if fftshift:
+        k = np.fft.fftshift(k)
+    return k
+
+
+def non_oversampled_indices(
+    n_out: int, n_over: int, *, r2c: bool, fftshift: bool
+) -> np.ndarray:
+    """Map output index (along one dim) -> index into the oversampled FFT axis
+    (reference: non_oversampled_indices!, src/NonuniformFFTs.jl:318-348)."""
+    if r2c:
+        assert n_out <= n_over
+        return np.arange(n_out, dtype=np.int32)
+    ax = np.arange(n_over, dtype=np.int32)
+    out = np.empty(n_out, dtype=np.int32)
+    if n_out % 2 == 0:
+        h = n_out // 2
+        if fftshift:
+            out[:h] = ax[n_over - h :]  # k < 0
+            out[h:] = ax[:h]  # k >= 0
+        else:
+            out[:h] = ax[:h]
+            out[h:] = ax[n_over - h :]
+    else:
+        h = (n_out - 1) // 2
+        if fftshift:
+            out[:h] = ax[n_over - h :]
+            out[h:] = ax[: h + 1]
+        else:
+            out[: h + 1] = ax[: h + 1]
+            out[h + 1 :] = ax[n_over - h :]
+    return out
+
+
+def _apply_uniform_callback(w: jnp.ndarray, callback) -> jnp.ndarray:
+    """Apply the reference-semantics uniform callback ``(w_tuple, idx_tuple) ->
+    w_tuple`` at every grid point, vectorised with vmap.  ``w`` has shape
+    ``(C,) + grid_shape``."""
+    C = w.shape[0]
+    shape = w.shape[1:]
+    D = len(shape)
+    flat = w.reshape(C, -1).T  # (P, C)
+    idx = jnp.stack(
+        [g.reshape(-1) for g in jnp.meshgrid(*[jnp.arange(n) for n in shape], indexing="ij")],
+        axis=-1,
+    )  # (P, D)
+
+    def one(v, i):
+        out = callback(tuple(v[c] for c in range(C)), tuple(i[d] for d in range(D)))
+        return jnp.stack(list(out))
+
+    out = jax.vmap(one)(flat, idx)  # (P, C)
+    return out.T.reshape((C,) + shape)
+
+
+def deconvolve_truncate(
+    uhat_over: jnp.ndarray,  # (C,) + oversampled spectral shape
+    index_maps: Sequence[jnp.ndarray],
+    phihat_inv: Sequence[jnp.ndarray],  # per-dim 1/phi_hat at output modes
+    normfactor: float,
+    callback=None,
+) -> jnp.ndarray:
+    """Type-1 step (3): truncate the oversampled spectrum to the output modes
+    and multiply by ``normfactor / prod_d phi_hat_d`` (reference:
+    src/NonuniformFFTs.jl:179-185, 350-414)."""
+    out = uhat_over
+    for d, idx in enumerate(index_maps):
+        out = jnp.take(out, idx, axis=1 + d)
+    D = len(index_maps)
+    scale = jnp.asarray(normfactor, dtype=out.real.dtype)
+    out = out * scale
+    for d, ph_inv in enumerate(phihat_inv):
+        shape = [1] * (D + 1)
+        shape[1 + d] = ph_inv.shape[0]
+        out = out * ph_inv.reshape(shape)
+    if callback is not None:
+        out = _apply_uniform_callback(out, callback)
+    return out
+
+
+def deconvolve_pad(
+    uhat_k: jnp.ndarray,  # (C,) + output spectral shape
+    shape_over_spec: Tuple[int, ...],  # oversampled spectral shape
+    index_maps: Sequence[jnp.ndarray],
+    phihat_inv: Sequence[jnp.ndarray],
+    callback=None,
+) -> jnp.ndarray:
+    """Type-2 step (1): scale input modes by ``1 / prod_d phi_hat_d`` and
+    scatter them into the zero-padded oversampled spectrum (reference:
+    src/NonuniformFFTs.jl:268-272, 416-480)."""
+    C = uhat_k.shape[0]
+    D = len(index_maps)
+    w = uhat_k
+    for d, ph_inv in enumerate(phihat_inv):
+        shape = [1] * (D + 1)
+        shape[1 + d] = ph_inv.shape[0]
+        w = w * ph_inv.reshape(shape)
+    if callback is not None:
+        w = _apply_uniform_callback(w, callback)
+    out = jnp.zeros((C,) + tuple(shape_over_spec), dtype=uhat_k.dtype)
+    mesh = jnp.ix_(*[jnp.asarray(m) for m in index_maps])
+    return out.at[(slice(None),) + mesh].set(w)

@@ -1,0 +1,318 @@
+"""NUFFT plans: static transform configuration + precomputed device tensors.
+
+TPU-native counterpart of the reference's ``PlanNUFFT`` (src/plan.jl).  A plan
+is an immutable pytree dataclass: configuration (sizes, kernel choice,
+half-support, ...) is static metadata that becomes compile-time constants of
+the jitted transforms — the analogue of the reference's type-level parameters
+``HalfSupport{M}`` / ``Val(ntransforms)`` — while the precomputed tensors
+(piecewise-polynomial coefficients, deconvolution factors, index maps, sorted
+points) are array leaves living on device.
+
+``set_points`` is functional: it returns a *new* plan holding the folded
+(and, for the blocked method, bin-sorted) points, replacing the reference's
+mutating ``set_points!`` (src/set_points.jl).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import deconvolve, windows
+from .ops.windows import (
+    AbstractKernel,
+    BackwardsKaiserBesselKernel,
+    Direct,
+    EvaluationMode,
+    FastApproximation,
+    KernelData,
+)
+from .utils.misc import next_fast_len
+from .utils.pytree import data_field, register_pytree_dataclass, static_field
+
+TWO_PI = 2.0 * math.pi
+
+
+def _identity(x):
+    return x
+
+
+@register_pytree_dataclass
+class Plan:
+    """See :func:`PlanNUFFT` for the user-facing constructor."""
+
+    # --- static configuration -------------------------------------------
+    dtype: Any = static_field()  # np.dtype of non-uniform data (real or complex)
+    shape: Tuple[int, ...] = static_field()  # output (non-oversampled) dims
+    shape_over: Tuple[int, ...] = static_field()  # oversampled grid dims
+    m: int = static_field()  # kernel half-support M
+    sigma: float = static_field()  # actual oversampling factor (max over dims)
+    kernel: AbstractKernel = static_field()
+    evalmode: EvaluationMode = static_field()
+    ntransforms: int = static_field()
+    fftshift: bool = static_field()
+    spread_method: str = static_field()  # 'reference' | 'blocked'
+    block_dims: Optional[Tuple[int, ...]] = static_field(default=None)
+    sort_points: bool = static_field(default=False)
+    point_transform: Callable = static_field(default=_identity)
+    chunk_size: Optional[int] = static_field(default=None)
+
+    # --- precomputed tensors --------------------------------------------
+    kernel_data: Tuple[KernelData, ...] = data_field(default=())
+    phihat_inv: Tuple[jnp.ndarray, ...] = data_field(default=())  # 1/phi_hat per dim
+    index_maps: Tuple[jnp.ndarray, ...] = data_field(default=())
+    kvec: Tuple[jnp.ndarray, ...] = data_field(default=())  # output wavenumbers
+
+    # --- point state (set by set_points) --------------------------------
+    points: Optional[jnp.ndarray] = data_field(default=None)  # (D, Np) folded
+    point_perm: Optional[jnp.ndarray] = data_field(default=None)  # (Np,) sort
+    block_starts: Optional[jnp.ndarray] = data_field(default=None)  # (nblocks+1,)
+
+    # --------------------------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def is_real(self) -> bool:
+        return not np.issubdtype(np.dtype(self.dtype), np.complexfloating)
+
+    @property
+    def real_dtype(self):
+        return np.dtype(self.dtype).type(0).real.dtype
+
+    @property
+    def complex_dtype(self):
+        return np.result_type(np.dtype(self.dtype), np.complex64)
+
+    @property
+    def spectral_shape(self) -> Tuple[int, ...]:
+        """Dimensions of the uniform-data arrays (Fourier space), the
+        counterpart of ``size(::PlanNUFFT)`` (src/plan.jl:420-426).  For
+        real-data plans the *last* axis is halved (XLA rfft convention)."""
+        if self.is_real:
+            return self.shape[:-1] + (self.shape[-1] // 2 + 1,)
+        return self.shape
+
+    @property
+    def spectral_shape_over(self) -> Tuple[int, ...]:
+        if self.is_real:
+            return self.shape_over[:-1] + (self.shape_over[-1] // 2 + 1,)
+        return self.shape_over
+
+    @property
+    def num_points(self) -> Optional[int]:
+        return None if self.points is None else self.points.shape[1]
+
+    @property
+    def normfactor(self) -> float:
+        """FFT normalisation ``prod(2pi / N~)`` (NonuniformFFTs.jl:181)."""
+        out = 1.0
+        for n in self.shape_over:
+            out *= TWO_PI / n
+        return out
+
+    # Convenience (functional) methods mirroring the reference's API.
+    def set_points(self, points) -> "Plan":
+        return set_points(self, points)
+
+    def exec_type1(self, vp, callbacks=None):
+        from .execution import exec_type1
+
+        return exec_type1(self, vp, callbacks=callbacks)
+
+    def exec_type2(self, uhat, callbacks=None):
+        from .execution import exec_type2
+
+        return exec_type2(self, uhat, callbacks=callbacks)
+
+    def __repr__(self):  # mirrors the reference's Base.show (plan.jl:362-392)
+        lines = [
+            f"{self.ndim}-dimensional PlanNUFFT (TPU) with input type {np.dtype(self.dtype).name}:",
+            f"  - kernel: {self.kernel} with half-support M = {self.m}",
+            f"  - evaluation mode: {type(self.evalmode).__name__}",
+            f"  - oversampling factor: sigma = {self.sigma:.6g}",
+            f"  - uniform dimensions: {self.spectral_shape} (oversampled grid {self.shape_over})",
+            f"  - simultaneous transforms: {self.ntransforms}",
+            f"  - frequency order: {'increasing' if self.fftshift else 'FFTW'} (fftshift = {self.fftshift})",
+            f"  - spreading method: {self.spread_method}"
+            + (f", block dims {self.block_dims}" if self.block_dims else ""),
+            f"  - points set: {self.num_points if self.points is not None else 'no'}",
+        ]
+        return "\n".join(lines)
+
+
+def _check_nufft_size(n_over: int, m: int):
+    if n_over < 2 * m:
+        raise ValueError(
+            f"data size is too small: sigma*N = {n_over} < {2 * m} = 2M. Try "
+            "increasing N or sigma, or decreasing the kernel half-support M."
+        )
+
+
+def PlanNUFFT(
+    dtype,
+    shape,
+    *,
+    m: int = 4,
+    sigma: float = 2.0,
+    kernel: AbstractKernel = None,
+    kernel_evalmode: EvaluationMode = None,
+    ntransforms: int = 1,
+    fftshift: bool = False,
+    spread_method: str = "reference",
+    block_dims=None,
+    sort_points: bool = False,
+    point_transform: Callable = _identity,
+    chunk_size: Optional[int] = None,
+) -> Plan:
+    """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
+
+    Parameters mirror the reference: ``dtype`` is the non-uniform data type
+    (real dtypes select the r2c fast path), ``shape`` the uniform grid
+    dimensions, ``m`` the kernel half-support, ``sigma`` the oversampling
+    factor, ``kernel`` one of the four window kernels (default backwards
+    Kaiser-Bessel), ``ntransforms`` the number of simultaneous transforms over
+    shared points and ``fftshift`` the frequency ordering.
+
+    ``spread_method`` selects the execution path: ``'reference'`` is the
+    pure-jnp scatter/gather oracle; ``'blocked'`` is the TPU fast path
+    (bin-sorted points + block-owner Pallas kernels).
+    """
+    if isinstance(shape, int):
+        shape = (shape,)
+    shape = tuple(int(n) for n in shape)
+    D = len(shape)
+    if not 1 <= D <= 3:
+        raise ValueError(f"only 1-3 dimensions supported, got {D}")
+    dtype = np.dtype(dtype)
+    if dtype not in (
+        np.dtype(np.float32),
+        np.dtype(np.float64),
+        np.dtype(np.complex64),
+        np.dtype(np.complex128),
+    ):
+        raise TypeError(f"unsupported non-uniform data dtype {dtype}")
+    is_real = not np.issubdtype(dtype, np.complexfloating)
+    real_dtype = dtype.type(0).real.dtype
+
+    if kernel is None:
+        kernel = BackwardsKaiserBesselKernel()
+    if kernel_evalmode is None:
+        kernel_evalmode = FastApproximation()
+
+    # Oversampled grid dims: next 5-smooth integer >= sigma*N; for real-data
+    # plans the halved (last) axis is forced even (reference: plan.jl:485-498,
+    # which applies the rule to its halved *first* axis).
+    shape_over = []
+    for d, n in enumerate(shape):
+        if is_real and d == D - 1:
+            n_over = 2 * next_fast_len(int(math.floor(sigma * ((n + 1) // 2))))
+        else:
+            n_over = next_fast_len(int(math.floor(sigma * n)))
+        _check_nufft_size(n_over, m)
+        shape_over.append(n_over)
+    shape_over = tuple(shape_over)
+
+    sigma_actual = max(no / n for no, n in zip(shape_over, shape))
+
+    # Per-dimension kernel data with the per-dim actual oversampling factor
+    # (plan.jl:500-505).
+    kernel_data = tuple(
+        windows.make_kernel_data(kernel, m, n_over, n_over / n, real_dtype)
+        for n, n_over in zip(shape, shape_over)
+    )
+
+    # Output wavenumbers, deconvolution factors and index maps per dim.
+    kvec_np, phinv_np, imaps_np = [], [], []
+    for d, (n, n_over, kd) in enumerate(zip(shape, shape_over, kernel_data)):
+        r2c = is_real and d == D - 1
+        k = deconvolve.output_wavenumbers(n, r2c=r2c, fftshift=fftshift and not r2c)
+        ph = windows.fourier_coefficients_np(kd, k)
+        n_over_spec = (n_over // 2 + 1) if r2c else n_over
+        imap = deconvolve.non_oversampled_indices(
+            len(k), n_over_spec, r2c=r2c, fftshift=fftshift and not r2c
+        )
+        kvec_np.append(k)
+        phinv_np.append(1.0 / ph)
+        imaps_np.append(imap)
+
+    return Plan(
+        dtype=dtype,
+        shape=shape,
+        shape_over=shape_over,
+        m=int(m),
+        sigma=float(sigma_actual),
+        kernel=kernel,
+        evalmode=kernel_evalmode,
+        ntransforms=int(ntransforms),
+        fftshift=bool(fftshift),
+        spread_method=spread_method,
+        block_dims=tuple(block_dims) if block_dims is not None else None,
+        sort_points=bool(sort_points),
+        point_transform=point_transform,
+        chunk_size=chunk_size,
+        kernel_data=kernel_data,
+        phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
+        index_maps=tuple(jnp.asarray(i) for i in imaps_np),
+        kvec=tuple(jnp.asarray(k, dtype=real_dtype) for k in kvec_np),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set_points
+# ---------------------------------------------------------------------------
+
+
+def _canonicalise_points(points, D: int, real_dtype) -> jnp.ndarray:
+    """Accept the reference's input formats (src/set_points.jl): a tuple/list
+    of D vectors, a 1-D vector (D == 1), an (Np, D) array of point tuples, or
+    a (D, Np) matrix.  Returns a (D, Np) array."""
+    if isinstance(points, (tuple, list)):
+        if len(points) != D:
+            raise ValueError(f"expected {D} coordinate arrays, got {len(points)}")
+        cols = [jnp.asarray(p, dtype=real_dtype).reshape(-1) for p in points]
+        n0 = cols[0].shape[0]
+        if any(c.shape[0] != n0 for c in cols):
+            raise ValueError("coordinate arrays must have equal lengths")
+        return jnp.stack(cols, axis=0)
+    arr = jnp.asarray(points, dtype=real_dtype)
+    if arr.ndim == 1:
+        if D != 1:
+            raise ValueError(f"1-D point array given for a {D}-D plan")
+        return arr[None, :]
+    if arr.ndim == 2:
+        if arr.shape[0] == D:  # (D, Np) matrix, reference-style layout
+            return arr
+        if arr.shape[1] == D:
+            return arr.T
+        raise ValueError(f"point array shape {arr.shape} incompatible with D={D}")
+    raise ValueError(f"point array must be 1- or 2-dimensional, got {arr.ndim}")
+
+
+def fold_points(x: jnp.ndarray, point_transform: Callable = _identity) -> jnp.ndarray:
+    """Apply the optional convention transform, then fold onto [0, 2pi)
+    (reference: to_unit_cell, src/blocking/blocking.jl:26-33 — branchless)."""
+    if point_transform is not _identity:
+        x = point_transform(x)
+    L = x.dtype.type(TWO_PI)
+    return jnp.where(jnp.isfinite(x), jnp.mod(x, L), jnp.zeros_like(x))
+
+
+def set_points(plan: Plan, points) -> Plan:
+    """Return a new plan with the non-uniform points set (folded; bin-sorted
+    when the blocked method is active)."""
+    pts = _canonicalise_points(points, plan.ndim, plan.real_dtype)
+    pts = fold_points(pts, plan.point_transform)
+    if plan.spread_method == "blocked":
+        from .blocking import sort_points_into_blocks
+
+        pts, perm, starts = sort_points_into_blocks(plan, pts)
+        return dataclasses.replace(
+            plan, points=pts, point_perm=perm, block_starts=starts
+        )
+    return dataclasses.replace(plan, points=pts, point_perm=None, block_starts=None)

@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (for the multi-chip sharding tests)
+and float64 enabled (needed by the accuracy sweeps, which go down to ~1e-12
+relative error — the analogue of the reference's Float64 test budgets).
+
+The env vars must be set before JAX is first imported.
+"""
+
+import os
+
+# The harness environment may pin JAX_PLATFORMS to the TPU tunnel; tests must
+# run on the host CPU, so force it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

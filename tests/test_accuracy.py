@@ -1,0 +1,136 @@
+"""Accuracy sweep vs the exact DFT oracle.
+
+Port of the reference's test/accuracy.jl: kernel-specific empirical error
+budgets as a function of the half-support M and the oversampling factor sigma
+(accuracy.jl:7-78), swept over M for Float64/ComplexF64 and spot-checked for
+Float32/ComplexF32.  Points are deliberately shifted by +-2pi outside the
+domain to exercise folding (accuracy.jl:114-117).
+"""
+
+import numpy as np
+import pytest
+
+import nonuniformffts_tpu as nufft
+from nufft_test_utils import direct_type1, direct_type2, direct_type2_real, l2_error, random_values
+
+
+def error_budget(real_dtype, kernel, m, sigma):
+    """Reference: check_nufft_error methods, test/accuracy.jl:7-78."""
+    f64 = np.dtype(real_dtype) == np.dtype(np.float64)
+    if isinstance(kernel, nufft.KaiserBesselKernel):
+        if np.isclose(sigma, 1.25):
+            budget = 10.0 ** (-1.16 * m) * 1.05
+            return max(budget, 4e-12) if f64 else 2 * 10.0 ** (-1.16 * m)
+        budget = 6 * 10.0 ** (-1.9 * m)
+        return max(budget, 4e-14) if f64 else budget
+    if isinstance(kernel, nufft.BackwardsKaiserBesselKernel):
+        if np.isclose(sigma, 1.25):
+            budget = 10.0 ** (-1.20 * m)
+            return max(budget, 4e-12) if f64 else 2 * budget
+        budget = 6 * 10.0 ** (-1.9 * m)
+        return max(budget, 4e-14) if f64 else budget
+    if isinstance(kernel, nufft.GaussianKernel):
+        return 10.0 ** (-0.95 * m) * 0.8
+    if isinstance(kernel, nufft.BSplineKernel):
+        return 10.0 ** (-0.98 * m) * 0.4
+    raise TypeError(kernel)
+
+
+def run_1d(dtype, kernel, m, sigma, *, N=256, evalmode=None, rng=None, **plan_kw):
+    rng = rng or np.random.default_rng(42)
+    np_pts = 2 * N
+    real_dtype = np.dtype(dtype).type(0).real.dtype
+    x = rng.uniform(0, 2 * np.pi, np_pts)
+    # Shift some points outside [0, 2pi) to exercise folding.
+    x += rng.integers(-1, 2, np_pts) * 2 * np.pi
+    v = random_values(rng, dtype, np_pts)
+
+    plan = nufft.PlanNUFFT(
+        dtype, (N,), m=m, sigma=sigma, kernel=kernel,
+        kernel_evalmode=evalmode, **plan_kw,
+    )
+    plan = nufft.set_points(plan, x.astype(real_dtype))
+    uhat = np.asarray(nufft.exec_type1(plan, v))
+    kv = [np.asarray(plan.kvec[0], np.float64)]
+    exact = direct_type1(x[None, :], v.astype(np.complex128), kv)
+    err1 = l2_error(uhat, exact)
+
+    # Type 2 with the type-1 output as input (Hermitian for real plans).
+    u_in = uhat.astype(plan.complex_dtype)
+    if plan.is_real:
+        u_in = u_in.copy()
+        u_in[-1] = 0  # zero Nyquist (reference: test/uniform_points.jl:26)
+        exact2 = direct_type2_real(x[None, :], u_in.astype(np.complex128), kv, N)
+    else:
+        exact2 = direct_type2(x[None, :], u_in.astype(np.complex128), kv)
+    v2 = np.asarray(nufft.exec_type2(plan, u_in))
+    err2 = l2_error(v2, exact2)
+    return err1, err2
+
+
+KB = nufft.KaiserBesselKernel()
+BKB = nufft.BackwardsKaiserBesselKernel()
+GAUSS = nufft.GaussianKernel()
+BSPL = nufft.BSplineKernel()
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+@pytest.mark.parametrize("m", [4, 6, 8, 10])
+@pytest.mark.parametrize("sigma", [1.25, 2.0])
+@pytest.mark.parametrize("kernel", [KB, BKB], ids=["KB", "BKB"])
+def test_kb_family_f64(dtype, m, sigma, kernel):
+    budget = error_budget(np.float64, kernel, m, sigma)
+    err1, err2 = run_1d(dtype, kernel, m, sigma)
+    assert err1 < budget, (err1, budget)
+    assert err2 < budget, (err2, budget)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+@pytest.mark.parametrize("m", [4, 6, 8])
+@pytest.mark.parametrize("kernel", [GAUSS, BSPL], ids=["Gaussian", "BSpline"])
+def test_gauss_bspline_f64(dtype, m, kernel):
+    budget = error_budget(np.float64, kernel, m, 2.0)
+    err1, err2 = run_1d(dtype, kernel, m, 2.0)
+    assert err1 < budget, (err1, budget)
+    assert err2 < budget, (err2, budget)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.complex64])
+@pytest.mark.parametrize("kernel", [KB, BKB, GAUSS, BSPL], ids=["KB", "BKB", "Gaussian", "BSpline"])
+def test_f32(dtype, kernel):
+    m = 2
+    sigma = 2.0
+    budget = error_budget(np.float32, kernel, m, sigma)
+    err1, err2 = run_1d(dtype, kernel, m, sigma)
+    assert err1 < budget, (err1, budget)
+    assert err2 < budget, (err2, budget)
+
+
+@pytest.mark.parametrize("evalmode", [nufft.Direct(), nufft.FastApproximation()],
+                         ids=["Direct", "FastApprox"])
+def test_evalmodes_equivalent_accuracy(evalmode):
+    err1, err2 = run_1d(np.complex128, BKB, 6, 1.25, evalmode=evalmode)
+    budget = error_budget(np.float64, BKB, 6, 1.25)
+    assert err1 < budget and err2 < budget
+
+
+def test_explicit_kernel_parameters():
+    """Passing explicit beta / ell overrides the defaults (reference:
+    accuracy.jl:251-267) and still yields sane accuracy."""
+    m, sigma = 6, 1.5
+    a = m * (2 - 1 / sigma)
+    beta = np.pi * a  # gamma = 1
+    err1, _ = run_1d(np.complex128, nufft.KaiserBesselKernel(beta=beta), m, sigma)
+    assert err1 < 1e-6
+    err1, _ = run_1d(np.complex128, nufft.GaussianKernel(ell=1.2), 4, 2.0)
+    assert err1 < 1e-2  # non-optimal width: just sanity
+
+
+def test_chunked_spreading_matches_unchunked():
+    """The scan-chunked scatter path must be bit-equivalent in results."""
+    rng = np.random.default_rng(7)
+    e_full = run_1d(np.complex128, BKB, 4, 1.25, rng=np.random.default_rng(7))
+    e_chunk = run_1d(
+        np.complex128, BKB, 4, 1.25, rng=np.random.default_rng(7), chunk_size=100
+    )
+    np.testing.assert_allclose(e_full, e_chunk, rtol=1e-12)
