@@ -10,9 +10,22 @@ Counterpart of the reference's exec_type1! / exec_type2!
   backward DFT (pinned by tests/test_uniform_points.py, the port of
   test/uniform_points.jl).
 
-Everything here is functional and jit-compiled as one XLA program: the
-zero-fill, spreading, FFT and fused deconvolution stages of the reference map
-to a single compiled computation per (plan-static, Np) signature.
+Everything is functional and jit-compiled as one XLA program per
+(plan-static, Np) signature.
+
+Channel representation
+----------------------
+Complex data internally travels as real (re, im) *channel* pairs — shape
+``(C, 2, ...)`` — because the TPU backend used here implements neither
+complex dot products nor complex host<->device transfers.  Two public
+surfaces exist:
+
+- :func:`exec_type1` / :func:`exec_type2`: the reference-style complex API.
+  Host numpy inputs are split into channels on the host (never device_put as
+  complex); outputs are device complex arrays (assembled on device).
+- :func:`exec_type1_channels` / :func:`exec_type2_channels`: the channel API
+  — all-real inputs and outputs, safe to transfer on any backend.  This is
+  the recommended interface on TPU.
 """
 
 from __future__ import annotations
@@ -24,8 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .callbacks import NUFFTCallbacks, apply_nonuniform_callback
-from .ops import fft
-from .ops.deconvolve import deconvolve_pad, deconvolve_truncate
+from .ops import fft, matmul_fft
+from .ops.deconvolve import (
+    _apply_uniform_callback,
+    deconvolve_pad,
+    deconvolve_truncate,
+)
 from .ops.interpolation import interpolate_reference
 from .ops.spreading import spread_reference
 from .plan import Plan
@@ -33,9 +50,167 @@ from .plan import Plan
 _EMPTY_CALLBACKS = NUFFTCallbacks()
 
 
-def _as_components(x: jnp.ndarray, plan: Plan, expected_tail_ndim: int):
-    """Normalise input to a leading component axis of size ntransforms.
-    Returns (array_with_C_axis, had_C_axis)."""
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+def _check_points(plan: Plan):
+    if plan.points is None:
+        raise ValueError("points not set; call set_points first")
+
+
+def _to_channels(x: jnp.ndarray) -> jnp.ndarray:
+    """Complex (C, ...) -> real channels (C, 2, ...)."""
+    return jnp.stack([x.real, x.imag], axis=1)
+
+
+def _from_channels(ch: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.complex(ch[:, 0], ch[:, 1])
+
+
+def _host_to_channels(x, dtype) -> np.ndarray:
+    """Split complex host data into channels on the host, so complex arrays
+    never cross the host->device boundary."""
+    x = np.asarray(x)
+    return np.stack([x.real, x.imag], axis=1).astype(np.dtype(dtype).type(0).real.dtype)
+
+
+def _spread(plan: Plan, vp: jnp.ndarray) -> jnp.ndarray:
+    """Spreading with native (complex or real) values."""
+    if plan.spread_method == "blocked":
+        from .ops.pallas import spread_blocked
+
+        return spread_blocked(plan, vp)
+    return spread_reference(
+        plan.kernel_data, plan.evalmode, plan.shape_over, plan.points, vp,
+        chunk_size=plan.chunk_size,
+    )
+
+
+def _spread_ch(plan: Plan, vp_ch: jnp.ndarray) -> jnp.ndarray:
+    """Channel-form spreading for complex plans: (C, 2, Np) -> (C, 2, ...)."""
+    if plan.spread_method == "blocked":
+        from .ops.pallas import spread_blocked
+
+        return spread_blocked(plan, vp_ch, channel_input=True, channel_output=True)
+    g = _spread(plan, _from_channels(vp_ch).astype(plan.dtype))
+    return _to_channels(g)
+
+
+def _interpolate(plan: Plan, grid: jnp.ndarray) -> jnp.ndarray:
+    if plan.spread_method == "blocked":
+        from .ops.pallas import interpolate_blocked
+
+        return interpolate_blocked(plan, grid)
+    return interpolate_reference(
+        plan.kernel_data, plan.evalmode, grid, plan.points, plan.normfactor,
+        chunk_size=plan.chunk_size,
+    )
+
+
+def _interpolate_ch(plan: Plan, grid_ch: jnp.ndarray) -> jnp.ndarray:
+    """Channel-form interpolation for complex plans: (C, 2, ...) ->
+    (C, 2, Np)."""
+    if plan.spread_method == "blocked":
+        from .ops.pallas import interpolate_blocked
+
+        return interpolate_blocked(
+            plan, grid_ch, channel_input=True, channel_output=True
+        )
+    gc = _from_channels(grid_ch).astype(plan.complex_dtype)
+    return _to_channels(_interpolate(plan, gc))
+
+
+def _scale_phihat(u: jnp.ndarray, plan: Plan) -> jnp.ndarray:
+    D = plan.ndim
+    for d, ph_inv in enumerate(plan.phihat_inv):
+        shape = [1] * (u.ndim)
+        shape[u.ndim - D + d] = ph_inv.shape[0]
+        u = u * ph_inv.reshape(shape)
+    return u
+
+
+def _apply_nonuniform_ch(plan, vp_ch, callback):
+    """Nonuniform callback on channel data (complex plans: assemble complex
+    on device — elementwise complex ops only)."""
+    if callback is None:
+        return vp_ch
+    if plan.is_real:
+        return apply_nonuniform_callback(vp_ch, callback)
+    v = _from_channels(vp_ch).astype(plan.dtype)
+    return _to_channels(apply_nonuniform_callback(v, callback))
+
+
+# ---------------------------------------------------------------------------
+# Channel-core implementations (jitted)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("callbacks",))
+def _exec_type1_ch_impl(plan: Plan, vp_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
+    """vp_ch: (C, Np) real plans | (C, 2, Np) complex plans.
+    Returns the channel-form spectrum (C, 2) + spectral_shape."""
+    vp_ch = _apply_nonuniform_ch(plan, vp_ch, callbacks.nonuniform)
+    C = vp_ch.shape[0]
+    if plan.fft_method == "matmul":
+        g = _spread(plan, vp_ch) if plan.is_real else _spread_ch(plan, vp_ch)
+        spec_ch = matmul_fft.forward_fft_matmul(g, plan.fft_axes, real=plan.is_real)
+        flat = spec_ch.reshape((2 * C,) + spec_ch.shape[2:])
+        out = deconvolve_truncate(
+            flat, plan.index_maps, plan.phihat_inv, plan.normfactor, callback=None
+        )
+        out_ch = out.reshape((C, 2) + out.shape[1:])
+    else:
+        vp = vp_ch if plan.is_real else _from_channels(vp_ch).astype(plan.dtype)
+        grid = _spread(plan, vp)
+        uhat_over = fft.forward_fft(grid, real=plan.is_real)
+        uhat = deconvolve_truncate(
+            uhat_over, plan.index_maps, plan.phihat_inv, plan.normfactor, callback=None
+        )
+        out_ch = _to_channels(uhat)
+    if callbacks.uniform is not None:
+        u = _from_channels(out_ch).astype(plan.complex_dtype)
+        u = _apply_uniform_callback(u, callbacks.uniform)
+        out_ch = _to_channels(u)
+    return out_ch
+
+
+@partial(jax.jit, static_argnames=("callbacks",))
+def _exec_type2_ch_impl(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
+    """uhat_ch: channel-form spectrum (C, 2) + spectral_shape.
+    Returns (C, Np) real plans | (C, 2, Np) complex plans."""
+    C = uhat_ch.shape[0]
+    if callbacks.uniform is not None:
+        u = _from_channels(uhat_ch).astype(plan.complex_dtype)
+        u = _scale_phihat(u, plan)
+        u = _apply_uniform_callback(u, callbacks.uniform)
+        uhat_ch = _to_channels(u)
+        phinv = None
+    else:
+        phinv = plan.phihat_inv
+    flat = uhat_ch.reshape((2 * C,) + uhat_ch.shape[2:])
+    if plan.fft_method == "matmul":
+        flat = deconvolve_pad(flat, plan.spectral_shape_over, plan.index_maps, phinv)
+        spec_ch = flat.reshape((C, 2) + flat.shape[1:])
+        grid = matmul_fft.backward_fft_matmul(spec_ch, plan.fft_axes, real=plan.is_real)
+        vp_ch = _interpolate(plan, grid) if plan.is_real else _interpolate_ch(plan, grid)
+    else:
+        flat = deconvolve_pad(flat, plan.spectral_shape_over, plan.index_maps, phinv)
+        spec_ch = flat.reshape((C, 2) + flat.shape[1:])
+        uhat_over = _from_channels(spec_ch).astype(plan.complex_dtype)
+        grid = fft.backward_fft(uhat_over, plan.shape_over, real=plan.is_real)
+        vp = _interpolate(plan, grid)
+        vp_ch = vp if plan.is_real else _to_channels(vp)
+    return _apply_nonuniform_ch(plan, vp_ch, callbacks.nonuniform)
+
+
+# ---------------------------------------------------------------------------
+# Validation / component-axis handling
+# ---------------------------------------------------------------------------
+
+
+def _as_components(x, plan: Plan, expected_tail_ndim: int):
     if x.ndim == expected_tail_ndim:
         if plan.ntransforms != 1:
             raise ValueError(
@@ -52,74 +227,9 @@ def _as_components(x: jnp.ndarray, plan: Plan, expected_tail_ndim: int):
     raise ValueError(f"unexpected input rank {x.ndim}")
 
 
-def _check_points(plan: Plan):
-    if plan.points is None:
-        raise ValueError("points not set; call set_points first")
-
-
-def _spread(plan: Plan, vp: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch spreading according to the plan's method."""
-    if plan.spread_method == "blocked":
-        from .ops.pallas import spread_blocked
-
-        return spread_blocked(plan, vp)
-    return spread_reference(
-        plan.kernel_data,
-        plan.evalmode,
-        plan.shape_over,
-        plan.points,
-        vp,
-        chunk_size=plan.chunk_size,
-    )
-
-
-def _interpolate(plan: Plan, grid: jnp.ndarray) -> jnp.ndarray:
-    if plan.spread_method == "blocked":
-        from .ops.pallas import interpolate_blocked
-
-        return interpolate_blocked(plan, grid)
-    return interpolate_reference(
-        plan.kernel_data,
-        plan.evalmode,
-        grid,
-        plan.points,
-        plan.normfactor,
-        chunk_size=plan.chunk_size,
-    )
-
-
-@partial(jax.jit, static_argnames=("callbacks", "had_axis"))
-def _exec_type1_impl(plan: Plan, vp: jnp.ndarray, callbacks: NUFFTCallbacks, had_axis: bool):
-    vp = apply_nonuniform_callback(vp, callbacks.nonuniform)
-    grid = _spread(plan, vp)  # (C,) + shape_over, dtype Z
-    uhat_over = fft.forward_fft(grid, real=plan.is_real)
-    uhat = deconvolve_truncate(
-        uhat_over,
-        plan.index_maps,
-        plan.phihat_inv,
-        plan.normfactor,
-        callback=callbacks.uniform,
-    )
-    return uhat if had_axis else uhat[0]
-
-
-@partial(jax.jit, static_argnames=("callbacks", "had_axis"))
-def _exec_type2_impl(plan: Plan, uhat: jnp.ndarray, callbacks: NUFFTCallbacks, had_axis: bool):
-    uhat_over = deconvolve_pad(
-        uhat,
-        plan.spectral_shape_over,
-        plan.index_maps,
-        plan.phihat_inv,
-        callback=callbacks.uniform,
-    )
-    grid = fft.backward_fft(uhat_over, plan.shape_over, real=plan.is_real)
-    vp = _interpolate(plan, grid)
-    vp = apply_nonuniform_callback(vp, callbacks.nonuniform)
-    if plan.point_perm is not None:
-        # Blocked path works on sorted points; return original point order
-        # (reference: interpolation/gpu.jl:196-203).
-        vp = jnp.zeros_like(vp).at[:, plan.point_perm].set(vp)
-    return vp if had_axis else vp[0]
+# ---------------------------------------------------------------------------
+# Public API: reference-style complex interface
+# ---------------------------------------------------------------------------
 
 
 def exec_type1(plan: Plan, vp, callbacks: NUFFTCallbacks = None) -> jnp.ndarray:
@@ -127,40 +237,103 @@ def exec_type1(plan: Plan, vp, callbacks: NUFFTCallbacks = None) -> jnp.ndarray:
 
     ``vp`` has shape ``(Np,)`` or ``(ntransforms, Np)`` and the plan's dtype;
     the output has shape ``plan.spectral_shape`` (plus the leading component
-    axis if present in the input) and complex dtype.
+    axis if present) and complex dtype.  On TPU backends without complex
+    transfer support, prefer :func:`exec_type1_channels`.
     """
     _check_points(plan)
     callbacks = callbacks or _EMPTY_CALLBACKS
-    vp = jnp.asarray(vp)
+    is_host = not isinstance(vp, jnp.ndarray)
+    vp = np.asarray(vp) if is_host else vp
     if vp.dtype != plan.dtype:
-        raise TypeError(f"non-uniform data must have dtype {plan.dtype}, got {vp.dtype}")
+        raise TypeError(
+            f"non-uniform data must have dtype {plan.dtype}, got {vp.dtype}"
+        )
     vp, had_axis = _as_components(vp, plan, expected_tail_ndim=1)
     if vp.shape[1] != plan.num_points:
         raise ValueError(
             f"number of values {vp.shape[1]} != number of points {plan.num_points}"
         )
-    if plan.point_perm is not None:
-        vp = jnp.take(vp, plan.point_perm, axis=1)
-    return _exec_type1_impl(plan, vp, callbacks, had_axis)
+    if plan.is_real:
+        vp_ch = jnp.asarray(vp)
+    elif is_host:
+        vp_ch = jnp.asarray(_host_to_channels(vp, plan.dtype))
+    else:
+        vp_ch = _to_channels(vp)
+    out_ch = _exec_type1_ch_impl(plan, vp_ch, callbacks)
+    uhat = _from_channels(out_ch).astype(plan.complex_dtype)
+    return uhat if had_axis else uhat[0]
 
 
 def exec_type2(plan: Plan, uhat, callbacks: NUFFTCallbacks = None) -> jnp.ndarray:
     """Type-2 NUFFT: Fourier modes -> values at non-uniform points.
 
     ``uhat`` has shape ``plan.spectral_shape`` (optionally with a leading
-    component axis) and complex dtype; the output has shape ``(Np,)`` /
-    ``(ntransforms, Np)`` and the plan's dtype.
+    component axis) and complex dtype; output ``(Np,)`` / ``(ntransforms,
+    Np)`` in the plan's dtype.  On TPU backends without complex transfer
+    support, prefer :func:`exec_type2_channels`.
     """
     _check_points(plan)
     callbacks = callbacks or _EMPTY_CALLBACKS
-    uhat = jnp.asarray(uhat)
+    is_host = not isinstance(uhat, jnp.ndarray)
+    uhat = np.asarray(uhat) if is_host else uhat
     if uhat.dtype != plan.complex_dtype:
         raise TypeError(
-            f"uniform data must have dtype {np.dtype(plan.complex_dtype)}, got {uhat.dtype}"
+            f"uniform data must have dtype {np.dtype(plan.complex_dtype)}, "
+            f"got {uhat.dtype}"
         )
     uhat, had_axis = _as_components(uhat, plan, expected_tail_ndim=plan.ndim)
     if uhat.shape[1:] != plan.spectral_shape:
         raise ValueError(
             f"uniform data shape {uhat.shape[1:]} != expected {plan.spectral_shape}"
         )
-    return _exec_type2_impl(plan, uhat, callbacks, had_axis)
+    if is_host:
+        uhat_ch = jnp.asarray(
+            np.stack([uhat.real, uhat.imag], axis=1).astype(plan.real_dtype)
+        )
+    else:
+        uhat_ch = _to_channels(uhat)
+    vp_ch = _exec_type2_ch_impl(plan, uhat_ch, callbacks)
+    if plan.is_real:
+        vp = vp_ch.astype(plan.dtype)
+    else:
+        vp = _from_channels(vp_ch).astype(plan.dtype)
+    return vp if had_axis else vp[0]
+
+
+# ---------------------------------------------------------------------------
+# Public API: all-real channel interface (TPU-safe transfers)
+# ---------------------------------------------------------------------------
+
+
+def exec_type1_channels(plan: Plan, vp_ch, callbacks: NUFFTCallbacks = None):
+    """Channel-form type 1.
+
+    ``vp_ch``: real plans ``(Np,)``/``(C, Np)``; complex plans ``(2, Np)`` /
+    ``(C, 2, Np)`` with channel 0 = Re, 1 = Im.  Returns the channel-form
+    spectrum ``(2,) + spectral_shape`` / ``(C, 2) + spectral_shape`` — always
+    a real array, safe to transfer from any backend.
+    """
+    _check_points(plan)
+    callbacks = callbacks or _EMPTY_CALLBACKS
+    vp_ch = jnp.asarray(vp_ch)
+    tail = 1 if plan.is_real else 2
+    vp_ch, had_axis = _as_components(vp_ch, plan, expected_tail_ndim=tail)
+    out_ch = _exec_type1_ch_impl(plan, vp_ch, callbacks)
+    return out_ch if had_axis else out_ch[0]
+
+
+def exec_type2_channels(plan: Plan, uhat_ch, callbacks: NUFFTCallbacks = None):
+    """Channel-form type 2.
+
+    ``uhat_ch``: ``(2,) + spectral_shape`` / ``(C, 2) + spectral_shape``.
+    Returns real plans ``(Np,)``/``(C, Np)``; complex plans ``(2, Np)`` /
+    ``(C, 2, Np)``.
+    """
+    _check_points(plan)
+    callbacks = callbacks or _EMPTY_CALLBACKS
+    uhat_ch = jnp.asarray(uhat_ch)
+    uhat_ch, had_axis = _as_components(
+        uhat_ch, plan, expected_tail_ndim=plan.ndim + 1
+    )
+    vp_ch = _exec_type2_ch_impl(plan, uhat_ch, callbacks)
+    return vp_ch if had_axis else vp_ch[0]

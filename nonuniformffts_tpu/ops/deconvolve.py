@@ -130,10 +130,11 @@ def deconvolve_pad(
     C = uhat_k.shape[0]
     D = len(index_maps)
     w = uhat_k
-    for d, ph_inv in enumerate(phihat_inv):
-        shape = [1] * (D + 1)
-        shape[1 + d] = ph_inv.shape[0]
-        w = w * ph_inv.reshape(shape)
+    if phihat_inv is not None:  # None: caller already applied the scaling
+        for d, ph_inv in enumerate(phihat_inv):
+            shape = [1] * (D + 1)
+            shape[1 + d] = ph_inv.shape[0]
+            w = w * ph_inv.reshape(shape)
     if callback is not None:
         w = _apply_uniform_callback(w, callback)
     out = jnp.zeros((C,) + tuple(shape_over_spec), dtype=uhat_k.dtype)

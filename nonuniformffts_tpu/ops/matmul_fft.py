@@ -1,0 +1,239 @@
+"""MXU matmul-based DFT engine.
+
+The TPU backend available here (and TPUs in general, when XLA's FFT op is
+unavailable or slow) computes DFTs as dense matrix products on the MXU — the
+natural TPU formulation since our oversampled grid sizes are small
+(N~ <= ~1024) and 5-smooth.  All arithmetic is *real*: complex data travels
+as (re, im) channel pairs, so the engine only ever emits real f32 matmuls
+(the backend implements neither the FFT op nor complex dot).
+
+Counterpart of the reference's FFT layer (FFTW / cuFFT plans, src/plan.jl:
+37-60); conventions match ops/fft.py: forward = unnormalised DFT, backward =
+unnormalised inverse (bfft/brfft).
+
+Two evaluation strategies per axis, chosen at plan time:
+
+- ``direct``: one (N, N) cosine and sine matrix; O(N^2) per vector.  Used
+  for small axes.
+- ``split`` (four-step Cooley-Tukey): N = N1*N2; DFT = (twiddle o batched
+  DFT_N1) then batched DFT_N2 and a digit-reversal output permutation,
+  giving O(N*(N1+N2)) work as two small matmuls — still 100% MXU.  The
+  output permutation is materialised as a gather composed into the pass.
+
+The multi-axis driver contracts one axis at a time, rolling the target axis
+to the last position (XLA folds the transposes into the dot layouts).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import data_field, register_pytree_dataclass, static_field
+
+# TPU f32 matmuls default to bfloat16 passes; DFT factors need full f32.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def _best_split(n: int) -> Optional[Tuple[int, int]]:
+    """Pick N = N1*N2 with N1, N2 as balanced as possible; None if prime or
+    small."""
+    if n < 32:
+        return None
+    best = None
+    for n1 in range(2, int(math.isqrt(n)) + 1):
+        if n % n1 == 0:
+            best = (n1, n // n1)  # largest n1 <= sqrt(n) found last
+    return best
+
+
+@register_pytree_dataclass
+class AxisDFT:
+    """Plan-time factor matrices for one axis (all real, f32/f64).
+
+    kind: 'c2c' | 'r2c'.  For 'c2c' the same factors serve forward and
+    backward (sign flip); 'r2c' also carries the c2r backward factors.
+    Matrices are stored transposed where needed so runtime contractions are
+    plain ``x @ M``.
+    """
+
+    kind: str = static_field()
+    n: int = static_field()
+    split: Optional[Tuple[int, int]] = static_field(default=None)
+    # direct path: cos/sin matrices, layout (n_in, n_out) for x @ M.
+    cos_t: Optional[jnp.ndarray] = data_field(default=None)
+    sin_t: Optional[jnp.ndarray] = data_field(default=None)
+    # split path (c2c only): N = n1*n2 four-step factors.
+    c1_t: Optional[jnp.ndarray] = data_field(default=None)  # (n1, n1)
+    s1_t: Optional[jnp.ndarray] = data_field(default=None)
+    tw_cos: Optional[jnp.ndarray] = data_field(default=None)  # (n1, n2)
+    tw_sin: Optional[jnp.ndarray] = data_field(default=None)
+    c2_t: Optional[jnp.ndarray] = data_field(default=None)  # (n2, n2)
+    s2_t: Optional[jnp.ndarray] = data_field(default=None)
+    perm: Optional[jnp.ndarray] = data_field(default=None)  # (n,) gather
+    # c2r backward factors (n_half -> n).
+    bcos_t: Optional[jnp.ndarray] = data_field(default=None)  # (n_half, n)
+    bsin_t: Optional[jnp.ndarray] = data_field(default=None)
+
+
+def _dft_cos_sin(n: int):
+    k = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, k) / n
+    return np.cos(ang), np.sin(ang)
+
+
+def make_axis_dft(n: int, kind: str, dtype, *, use_split: bool = True) -> AxisDFT:
+    """Build plan-time DFT factors for one axis."""
+    rd = np.dtype(dtype)
+    if kind == "c2c":
+        split = _best_split(n) if use_split else None
+        if split is not None:
+            n1, n2 = split
+            c1, s1 = _dft_cos_sin(n1)
+            c2, s2 = _dft_cos_sin(n2)
+            k1 = np.arange(n1)[:, None]
+            j2 = np.arange(n2)[None, :]
+            ang = 2.0 * np.pi * (k1 * j2) / n
+            # Output of the two matmul stages is B[k1, k2] = X[k1 + n1*k2];
+            # natural order X[k] lives at flat position (k % n1)*n2 + k//n1.
+            k = np.arange(n)
+            perm = (k % n1) * n2 + k // n1
+            return AxisDFT(
+                kind="c2c", n=n, split=(n1, n2),
+                c1_t=jnp.asarray(c1.T, rd), s1_t=jnp.asarray(s1.T, rd),
+                tw_cos=jnp.asarray(np.cos(ang), rd),
+                tw_sin=jnp.asarray(np.sin(ang), rd),
+                c2_t=jnp.asarray(c2.T, rd), s2_t=jnp.asarray(s2.T, rd),
+                perm=jnp.asarray(perm, jnp.int32),
+            )
+        c, s = _dft_cos_sin(n)
+        return AxisDFT(kind="c2c", n=n, cos_t=jnp.asarray(c.T, rd), sin_t=jnp.asarray(s.T, rd))
+    if kind == "r2c":
+        nh = n // 2 + 1
+        k = np.arange(nh)
+        j = np.arange(n)
+        ang = 2.0 * np.pi * np.outer(j, k) / n  # (n, nh), transposed layout
+        # Backward (c2r, brfft) factors with Hermitian weights.
+        w = np.where((k > 0) & (k < n - k), 2.0, 1.0)
+        angb = 2.0 * np.pi * np.outer(k, j) / n  # (nh, n)
+        return AxisDFT(
+            kind="r2c", n=n,
+            cos_t=jnp.asarray(np.cos(ang), rd),
+            sin_t=jnp.asarray(np.sin(ang), rd),
+            bcos_t=jnp.asarray((w[:, None] * np.cos(angb)), rd),
+            bsin_t=jnp.asarray((w[:, None] * np.sin(angb)), rd),
+        )
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# Runtime single-axis contractions (channel form; last axis is the target)
+# ---------------------------------------------------------------------------
+
+
+def _c2c_last(xr, xi, ax: AxisDFT, sign: float):
+    """DFT along the last axis; sign=+1 forward (e^{-i}), -1 backward."""
+    if ax.split is None:
+        cr = _mm(xr, ax.cos_t)
+        ci = _mm(xi, ax.cos_t)
+        sr = _mm(xr, ax.sin_t)
+        si = _mm(xi, ax.sin_t)
+        return cr + sign * si, ci - sign * sr
+    n1, n2 = ax.split
+    shp = xr.shape[:-1]
+    # Stage 1: DFT_N1 over the n1 digit: view (..., n1, n2), contract n1.
+    ar = xr.reshape(shp + (n1, n2))
+    ai = xi.reshape(shp + (n1, n2))
+    ar, ai = jnp.swapaxes(ar, -1, -2), jnp.swapaxes(ai, -1, -2)  # (..., n2, n1)
+    br = _mm(ar, ax.c1_t) + sign * (_mm(ai, ax.s1_t))
+    bi = _mm(ai, ax.c1_t) - sign * (_mm(ar, ax.s1_t))
+    # Twiddle: multiply by e^{-sign*i*2pi*k1*j2/n}; current layout (..., n2, n1)
+    # with j2 on axis -2 and k1 on axis -1.
+    twc = ax.tw_cos.T  # (n2, n1)
+    tws = ax.tw_sin.T
+    tr = br * twc + sign * (bi * tws)
+    ti = bi * twc - sign * (br * tws)
+    # Stage 2: DFT_N2 over j2: move n2 last.
+    tr, ti = jnp.swapaxes(tr, -1, -2), jnp.swapaxes(ti, -1, -2)  # (..., n1, n2)
+    ur = _mm(tr, ax.c2_t) + sign * (_mm(ti, ax.s2_t))
+    ui = _mm(ti, ax.c2_t) - sign * (_mm(tr, ax.s2_t))
+    # Flatten (k1, k2) and un-scramble to natural order.
+    ur = ur.reshape(shp + (ax.n,))
+    ui = ui.reshape(shp + (ax.n,))
+    return jnp.take(ur, ax.perm, axis=-1), jnp.take(ui, ax.perm, axis=-1)
+
+
+def _r2c_last(x, ax: AxisDFT):
+    return _mm(x, ax.cos_t), -(_mm(x, ax.sin_t))
+
+
+def _c2r_last(xr, xi, ax: AxisDFT):
+    return _mm(xr, ax.bcos_t) - _mm(xi, ax.bsin_t)
+
+
+# ---------------------------------------------------------------------------
+# Multi-axis drivers (complex-in / complex-out adapters)
+# ---------------------------------------------------------------------------
+
+
+def _roll_last_forward(x):
+    """After contracting the last axis, cycle it to just after the component
+    axis so the next pending axis becomes last.  (C, a, b, K) -> (C, K, a, b)."""
+    return jnp.moveaxis(x, -1, 1)
+
+
+def forward_fft_matmul(grid: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool):
+    """Unnormalised forward DFT over all axes but the leading component axis.
+
+    ``grid``: real (C,) + shape_over for r2c plans, channel form
+    (C, 2) + shape_over for c2c.  Returns the channel-form spectrum
+    (C, 2) + spectral shape.  Contracts the last axis first (r2c), then the
+    remaining axes, restoring natural axis order.
+    """
+    D = len(axes_dft)
+    if real:
+        xr, xi = _r2c_last(grid, axes_dft[-1])
+    else:
+        xr, xi = grid[:, 0], grid[:, 1]
+        xr, xi = _c2c_last(xr, xi, axes_dft[-1], 1.0)
+    xr, xi = _roll_last_forward(xr), _roll_last_forward(xi)
+    # Remaining axes, from D-2 down to 0; each is last after the roll.
+    for d in range(D - 2, -1, -1):
+        xr, xi = _c2c_last(xr, xi, axes_dft[d], 1.0)
+        xr, xi = _roll_last_forward(xr), _roll_last_forward(xi)
+    # D rolls cycle the axes back to natural order.
+    return jnp.stack([xr, xi], axis=1)  # channel form (C, 2, ...)
+
+
+def backward_fft_matmul(spec_ch: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool):
+    """Unnormalised backward DFT (bfft/brfft semantics).
+
+    ``spec_ch``: channel-form spectrum (C, 2) + spectral shape.  Returns the
+    oversampled grid: real (C, ...) for r2c plans, channel (C, 2, ...) else.
+    Contracts axes 0..D-2 first, the (possibly halved) last axis last.
+    """
+    D = len(axes_dft)
+    xr, xi = spec_ch[:, 0], spec_ch[:, 1]
+    for d in range(D - 1):
+        # Bring axis 1+d to the back: (C, a, b, c) with target at 1.
+        xr = jnp.moveaxis(xr, 1, -1)
+        xi = jnp.moveaxis(xi, 1, -1)
+        xr, xi = _c2c_last(xr, xi, axes_dft[d], -1.0)
+    # Now layout is (C, last_axis_dim_pending_at_1? ...): after D-1 moves the
+    # original axis order (C, a1..aD) became (C, aD, a1..aD-1) contracted in
+    # order; bring the final (halved) axis to the back.
+    xr = jnp.moveaxis(xr, 1, -1)
+    xi = jnp.moveaxis(xi, 1, -1)
+    if real:
+        out = _c2r_last(xr, xi, axes_dft[-1])
+        return out  # (C,) + shape_over, natural order
+    yr, yi = _c2c_last(xr, xi, axes_dft[-1], -1.0)
+    return jnp.stack([yr, yi], axis=1)

@@ -1,0 +1,363 @@
+"""Blocked TPU fast path: Pallas spread (type-1) and interpolate (type-2).
+
+The hot kernels of the library — the counterpart of the reference's
+shared-memory GPU method (src/spreading/gpu.jl:237-434 and
+src/interpolation/gpu.jl:211-328), re-architected for the TPU:
+
+- grid = one Pallas program per spatial block; the program reads its
+  *contiguous* slice of bin-sorted points (scalar-prefetched segment
+  boundaries -> dynamic-sliced DMA of fixed-size point batches);
+- per batch, window weights become per-dimension dense matrices and the
+  (2M)^D tensor-product scatter/gather becomes an MXU contraction over the
+  point batch (spread: K = batch; interp: K = padded y*z plane);
+- spreading accumulates into a padded VMEM block; the periodic halo merge is
+  a separable roll-and-add in jnp after the kernel (common.overlap_add) —
+  no atomics anywhere, by ownership;
+- interpolation reads a halo-gathered padded block per program, computes the
+  transposed contraction, and DMA-writes each batch's results to its slot
+  range (programs run in ascending grid order on TPU, so batch-tail overlap
+  into the next block's slots is always overwritten by its owner).
+
+Partial batches are handled by masking the first-dimension window matrix
+(spread) or by the ownership-overwrite argument (interp); no dynamic shapes
+anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...blocking import num_blocks
+from . import common
+
+TWO_PI = 2.0 * math.pi
+
+
+# ---------------------------------------------------------------------------
+# Component packing: complex data <-> real channels (CR = C or 2C)
+# ---------------------------------------------------------------------------
+
+
+def pack_components(x: jnp.ndarray, is_complex: bool) -> jnp.ndarray:
+    """(C, ...) complex -> (2C, ...) real (re/im interleaved per component);
+    real data passes through."""
+    if not is_complex:
+        return x
+    C = x.shape[0]
+    return jnp.stack([x.real, x.imag], axis=1).reshape((2 * C,) + x.shape[1:])
+
+
+def unpack_components(x: jnp.ndarray, is_complex: bool) -> jnp.ndarray:
+    if not is_complex:
+        return x
+    C2 = x.shape[0]
+    y = x.reshape((C2 // 2, 2) + x.shape[1:])
+    return jax.lax.complex(y[:, 0], y[:, 1])
+
+
+def _geometry(plan):
+    D = plan.ndim
+    m = plan.m
+    bdims = plan.block_dims
+    nb = num_blocks(plan.shape_over, bdims)
+    pd = common.padded_block_dims(bdims, m)
+    yz = 1
+    for p in pd[1:]:
+        yz *= p
+    return D, m, bdims, nb, pd, yz
+
+
+def _decompose_block(b, nb):
+    """Row-major decomposition of the flat block id (matches
+    blocking.compute_block_ids)."""
+    D = len(nb)
+    out = []
+    rem = b
+    for d in range(D):
+        stride = 1
+        for q in range(d + 1, D):
+            stride *= nb[q]
+        out.append(rem // stride)
+        rem = rem % stride
+    return out
+
+
+def _blocks_buffer_shape(CR, nb, pd, yz):
+    """Kernel-side layout: (CR, nb0, .., nbD-1, p0, YZ) with the trailing
+    padded dims kept *flat* (Mosaic requires the last two block dims to span
+    the array, and cannot split the lane dim in an in-kernel reshape; the
+    split to (p1, p2, ...) happens for free on the HBM array in jnp)."""
+    return (CR,) + tuple(nb) + (pd[0], yz)
+
+
+def _block_shape(CR, nb, pd, yz):
+    return (CR,) + (1,) * len(nb) + (pd[0], yz)
+
+
+def _block_index_map(D, nb):
+    def index_map(b, starts):
+        bids = _decompose_block(b, nb)
+        return (0,) + tuple(bids) + (0, 0)
+
+    return index_map
+
+
+def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P):
+    """Per-dimension transposed window matrices for one point batch."""
+    wts = []
+    for d in range(plan.ndim):
+        x = pts_buf[d : d + 1, :]  # (1, P)
+        c, vlist = common.window_values_lanes(
+            plan.kernel_data[d], plan.evalmode, x, cs_ref[d]
+        )
+        if d == 0 and valid is not None:
+            vlist = [jnp.where(valid, v, 0.0) for v in vlist]
+        wts.append(common.build_wt_matrix(vlist, c, origins[d], plan.m, pd[d], P))
+    return wts
+
+
+def _qt_matrix(wts, yz, P):
+    """Combined trailing-dims window matrix QT (YZ, P): Khatri-Rao of the
+    per-dim transposed windows.  The (p1, p2, P) -> (YZ, P) reshape is
+    tile-aligned because trailing padded dims are rounded to the sublane
+    granule (common.padded_block_dims)."""
+    if len(wts) == 1:
+        return jnp.ones((1, P), dtype=wts[0].dtype)
+    if len(wts) == 2:
+        return wts[1]
+    return (wts[1][:, None, :] * wts[2][None, :, :]).reshape(yz, P)
+
+
+# ---------------------------------------------------------------------------
+# Spreading (type 1)
+# ---------------------------------------------------------------------------
+
+
+def _spread_kernel(
+    starts_ref, pts_hbm, vals_hbm, cs_ref, out_ref,
+    acc_ref, pts_buf, vals_buf, sem_p, sem_v,
+    *, plan, CR, nb, pd, yz, P,
+):
+    b = pl.program_id(0)
+    bids = _decompose_block(b, nb)
+    origins = [bids[d] * plan.block_dims[d] for d in range(plan.ndim)]
+    start_b = starts_ref[b]  # segment boundaries in units of P (slot layout)
+    nbatch = starts_ref[b + 1] - start_b
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(i, carry):
+        off = pl.multiple_of((start_b + i) * P, P)
+        cp_p = pltpu.make_async_copy(pts_hbm.at[:, pl.ds(off, P)], pts_buf, sem_p)
+        cp_v = pltpu.make_async_copy(vals_hbm.at[:, pl.ds(off, P)], vals_buf, sem_v)
+        cp_p.start()
+        cp_v.start()
+        cp_p.wait()
+        cp_v.wait()
+        # Padding slots carry zero values and zero coordinates: their columns
+        # of qc are identically zero, so no masking is needed.
+        wts = _build_batch_wts(plan, cs_ref, pts_buf, origins, None, pd, P)
+        qt = _qt_matrix(wts, yz, P)
+        for c in range(CR):
+            vrow = vals_buf[c : c + 1, :]  # (1, P)
+            qc = qt * vrow
+            # acc[c] (p0, YZ) += sum_p W0T[x, p] * qc[yz, p]: contraction over
+            # the point batch (K = P = lane dim of both operands).
+            prod = jax.lax.dot_general(
+                wts[0], qc, (((1,), (1,)), ((), ())),
+                preferred_element_type=acc_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc_ref[c, :, :] = acc_ref[c, :, :] + prod
+        return carry
+
+    jax.lax.fori_loop(0, nbatch, body, 0)
+    out_ref[...] = acc_ref[...].reshape(out_ref.shape)
+
+
+def spread_blocked(
+    plan, vp: jnp.ndarray, *, channel_input: bool = False, channel_output: bool = False
+) -> jnp.ndarray:
+    """Blocked type-1 spreading.  ``vp``: (C, Np) in *original* point order
+    (scattered into the slot-aligned layout here), or the real channel form
+    (C, 2, Np) with ``channel_input``.  Returns (C,) + shape_over, or the
+    channel form (C, 2) + shape_over when ``channel_output`` is set (complex
+    plans; the matmul-FFT path uses channels throughout so no complex
+    arithmetic ever materialises — required on backends without complex
+    support)."""
+    D, m, bdims, nb, pd, yz = _geometry(plan)
+    is_complex = not plan.is_real
+    if channel_input and is_complex:
+        C = vp.shape[0]
+        vals_in = vp.reshape(2 * C, vp.shape[-1])
+    else:
+        C = vp.shape[0]
+        vals_in = pack_components(vp, is_complex)
+    CR = 2 * C if is_complex else C
+    P = plan.batch_size
+    rdt = plan.real_dtype
+
+    nslots = plan.points.shape[1]
+    # Leading (sublane) dims of DMA-sliced arrays must be tile-aligned.
+    DP = common.round_up(D, 8)
+    CRP = common.round_up(CR, 8)
+    pts = jnp.pad(plan.points, ((0, DP - D), (0, 0)))
+    vals = jnp.zeros((CRP, nslots), rdt).at[:CR, plan.point_slots].set(
+        vals_in.astype(rdt)
+    )
+    cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
+
+    nblocks = int(np.prod(nb))
+    out_shape = _blocks_buffer_shape(CR, nb, pd, yz)
+    blk_shape = _block_shape(CR, nb, pd, yz)
+    out_index = _block_index_map(D, nb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # points (D, Np_pad)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # values (CR, Np_pad)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
+        ],
+        out_specs=pl.BlockSpec(blk_shape, out_index),
+        scratch_shapes=[
+            pltpu.VMEM((CR, pd[0], yz), rdt),
+            pltpu.VMEM((DP, P), rdt),
+            pltpu.VMEM((CRP, P), rdt),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = functools.partial(
+        _spread_kernel, plan=plan, CR=CR, nb=nb, pd=pd, yz=yz, P=P
+    )
+    blocks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
+        interpret=plan.interpret,
+    )(plan.block_starts, pts, vals, cs)
+
+    blocks = blocks.reshape((CR,) + tuple(nb) + tuple(pd))  # free lane split
+    grid = common.overlap_add(blocks, bdims, pd, m)
+    if channel_output and is_complex:
+        return grid.reshape((C, 2) + grid.shape[1:])
+    return unpack_components(grid, is_complex).astype(plan.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Interpolation (type 2)
+# ---------------------------------------------------------------------------
+
+
+def _interp_kernel(
+    starts_ref, blk_ref, pts_hbm, cs_ref, out_ref,
+    pts_buf, res_buf, sem_p, sem_r,
+    *, plan, CR, nb, pd, yz, P,
+):
+    b = pl.program_id(0)
+    bids = _decompose_block(b, nb)
+    origins = [bids[d] * plan.block_dims[d] for d in range(plan.ndim)]
+    start_b = starts_ref[b]  # in units of P (slot layout)
+    nbatch = starts_ref[b + 1] - start_b
+
+    gblk = blk_ref[...].reshape(CR, pd[0], yz)  # hoisted out of the batch loop
+
+    def body(i, carry):
+        off = pl.multiple_of((start_b + i) * P, P)
+        cp_p = pltpu.make_async_copy(pts_hbm.at[:, pl.ds(off, P)], pts_buf, sem_p)
+        cp_p.start()
+        cp_p.wait()
+        wts = _build_batch_wts(plan, cs_ref, pts_buf, origins, None, pd, P)
+        qt = _qt_matrix(wts, yz, P)
+        for c in range(CR):
+            # T (p0, P) = sum_yz G[c][x, yz] * QT[yz, p]: K = YZ (lane of lhs).
+            t = jax.lax.dot_general(
+                gblk[c], qt, (((1,), (0,)), ((), ())),
+                preferred_element_type=res_buf.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # v (1, P) = sum_x W0T[x, p] * T[x, p]: sublane reduction.
+            res_buf[c : c + 1, :] = jnp.sum(wts[0] * t, axis=0, keepdims=True)
+        cp_r = pltpu.make_async_copy(res_buf, out_ref.at[:, pl.ds(off, P)], sem_r)
+        cp_r.start()
+        cp_r.wait()
+        return carry
+
+    jax.lax.fori_loop(0, nbatch, body, 0)
+
+
+def interpolate_blocked(
+    plan, grid: jnp.ndarray, *, channel_input: bool = False, channel_output: bool = False
+) -> jnp.ndarray:
+    """Blocked type-2 interpolation.  ``grid``: (C,) + shape_over (or channel
+    form (C, 2) + shape_over with ``channel_input``).  Returns (C, Np) in
+    *original* point order with the cell-volume prefactor applied (channel
+    form (C, 2, Np) with ``channel_output``)."""
+    D, m, bdims, nb, pd, yz = _geometry(plan)
+    C = grid.shape[0]
+    is_complex = not plan.is_real
+    CR = 2 * C if is_complex else C
+    P = plan.batch_size
+    rdt = plan.real_dtype
+
+    nslots = plan.points.shape[1]
+    DP = common.round_up(D, 8)
+    CRP = common.round_up(CR, 8)
+    pts = jnp.pad(plan.points, ((0, DP - D), (0, 0)))
+    cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
+
+    if channel_input and is_complex:
+        gp = grid.reshape((2 * C,) + grid.shape[2:]).astype(rdt)
+    else:
+        gp = pack_components(grid, is_complex).astype(rdt)
+    halos = common.halo_gather(gp, bdims, pd, m)  # (CR, nb.., pd..)
+    halos = halos.reshape((CR,) + tuple(nb) + (pd[0], yz))  # free lane merge
+
+    nblocks = int(np.prod(nb))
+    blk_shape = _block_shape(CR, nb, pd, yz)
+    in_index = _block_index_map(D, nb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(blk_shape, in_index),  # halo-gathered padded block
+            pl.BlockSpec(memory_space=pltpu.HBM),  # points (D, Np_pad)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # (CR, Np_pad)
+        scratch_shapes=[
+            pltpu.VMEM((DP, P), rdt),
+            pltpu.VMEM((CRP, P), rdt),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = functools.partial(
+        _interp_kernel, plan=plan, CR=CR, nb=nb, pd=pd, yz=yz, P=P
+    )
+    slot_vals = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((CRP, nslots), rdt),
+        interpret=plan.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(plan.block_starts, halos, pts, cs)
+
+    vals = jnp.take(slot_vals[:CR], plan.point_slots, axis=1)
+    vals = vals * jnp.asarray(plan.normfactor, rdt)
+    if channel_output and is_complex:
+        return vals.reshape(C, 2, vals.shape[1])
+    return unpack_components(vals, is_complex).astype(plan.dtype)

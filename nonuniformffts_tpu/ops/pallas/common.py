@@ -1,0 +1,239 @@
+"""Shared pieces of the blocked (Pallas) fast path.
+
+Geometry, in-kernel window evaluation, block-local window-matrix
+construction, and the jnp-side periodic halo merge (overlap-add) and halo
+gather.
+
+TPU-native design notes (this is where the architecture deliberately departs
+from the reference's CUDA-style kernels):
+
+- No atomics and no scatter anywhere.  Points are bin-sorted by spatial block
+  (blocking.py), so each Pallas program owns one output block outright — the
+  ownership guarantee replaces the reference's shared-memory zero-atomic
+  schedule (src/spreading/gpu.jl:237-434) *and* its global-memory atomic adds.
+- Window weights become small dense matrices ``W^T (pd, P)`` per dimension
+  (built with 2M branchless compare-selects against a static iota), and the
+  tensor-product spread/gather becomes MXU matmuls over the point batch —
+  scatter turned into dense linear algebra, which is the shape TPUs want.
+- Each program accumulates into a padded VMEM block (halo ring of 2M-1); the
+  periodic merge across blocks is a separable, deterministic roll-and-add in
+  jnp (the counterpart of the reference's split_periodic block->global merge,
+  src/spreading/cpu_blocked.jl:3-36, made race-free by construction).
+- Blocks are laid out interleaved as (CR, nb0, p0, nb1, p1, ...) straight
+  from the kernel's BlockSpec, so the merge needs no HBM transpose.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import windows
+from ..windows import FastApproximation, KernelData
+
+TWO_PI = 2.0 * math.pi
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def padded_block_dims(block_dims: Sequence[int], m: int) -> Tuple[int, ...]:
+    """Per-dim padded block sizes: B + 2M - 1 halo; dims after the first are
+    rounded up to the 8-sublane granule so VMEM reshapes merging them are
+    tile-aligned (padded columns stay exactly zero)."""
+    out = []
+    for d, b in enumerate(block_dims):
+        p = b + 2 * m - 1
+        if d > 0:
+            p = round_up(p, 8)
+        out.append(p)
+    return tuple(out)
+
+
+def coefficient_stack(kernel_data: Sequence[KernelData]) -> jnp.ndarray:
+    """Stack the per-dim window coefficient arrays into one (D, ncoef, 2M)
+    input for the kernels (dummy zeros when a kernel family needs none)."""
+    arrs = []
+    for kd in kernel_data:
+        if kd.cs_poly is not None:
+            arrs.append(kd.cs_poly)
+        elif kd.cs_gauss is not None:
+            arrs.append(kd.cs_gauss[None, :])
+        else:
+            arrs.append(jnp.zeros((1, 2 * kd.m), dtype=jnp.float32))
+    return jnp.stack(arrs)
+
+
+def window_values_lanes(kd: KernelData, evalmode, x: jnp.ndarray, cs: jnp.ndarray):
+    """In-kernel window evaluation for one dimension.
+
+    ``x``: (1, P) folded coordinates.  ``cs``: (ncoef, 2M) coefficient array
+    for this dim (loaded from VMEM).  Returns ``(c, vals)`` with ``c`` the
+    (1, P) int32 cell indices and ``vals`` a list of 2M (1, P) arrays;
+    ``vals[t]`` is the weight of grid node ``c - M + 1 + t``.
+
+    Same math as ops.windows.eval_window, restructured as per-node lane
+    vectors (no trailing 2M axis) so everything stays in natural TPU
+    (sublane, lane) layouts.
+    """
+    m, n = kd.m, kd.n
+    dt = x.dtype
+    L = jnp.asarray(TWO_PI, dt)
+    r = (x / L) * n  # exact reference order of operations (Kernels.jl:121-126)
+    c = jnp.clip(r.astype(jnp.int32), 0, n - 1)
+    X = r - c.astype(dt)
+    fast = isinstance(evalmode, FastApproximation)
+    two_m = 2 * m
+
+    if kd.kind in ("kb", "bkb") and fast:
+        z = 2.0 * X - 1.0
+        ncoef = cs.shape[0]
+        vals = []
+        for t in range(two_m):
+            v = jnp.full_like(z, cs[ncoef - 1, t])
+            for q in range(ncoef - 2, -1, -1):
+                v = v * z + cs[q, t]
+            vals.append(v)
+        return c, vals
+
+    if kd.kind == "kb":  # direct
+        beta = jnp.asarray(kd.beta, dt)
+        vals = []
+        for t in range(two_m):
+            y = (m - 1.0 - t + X) / m
+            s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+            vals.append(windows.besseli0(beta * s))
+        return c, vals
+
+    if kd.kind == "bkb":  # direct: sinh via one exp
+        beta = jnp.asarray(kd.beta, dt)
+        pref = jnp.asarray(kd.beta / math.pi, dt)
+        vals = []
+        for t in range(two_m):
+            y = (m - 1.0 - t + X) / m
+            s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+            bs = beta * s
+            e = jnp.exp(bs)
+            sinh = 0.5 * (e - 1.0 / e)
+            ratio = jnp.where(bs == 0.0, 1.0, sinh / jnp.where(bs == 0.0, 1.0, bs))
+            vals.append(ratio * pref)
+        return c, vals
+
+    if kd.kind == "gaussian":
+        # One exp per node; the Greengard-Lee ladder saves nothing on the VPU.
+        dx = jnp.asarray(kd.dx, dt)
+        inv_tau = jnp.asarray(1.0 / kd.tau, dt)
+        vals = []
+        for t in range(two_m):
+            y = (m - 1.0 - t + X) * dx
+            vals.append(jnp.exp(-(y * y) * inv_tau))
+        return c, vals
+
+    if kd.kind == "bspline":
+        return c, windows.bspline_values_list(1.0 - X, two_m)
+
+    raise ValueError(kd.kind)
+
+
+def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int):
+    """Build the transposed window matrix W^T (pd, P) for one dimension.
+
+    ``W^T[i, p] = vals[t][p]`` where ``i = lx[p] + t``; zero elsewhere.  Built
+    with 2M branchless compare-selects against a static sublane iota — no
+    gather, no scatter.  ``block_origin`` is the (traced) first *owned* cell
+    of the block, ``b * B``; local index 0 corresponds to global cell
+    ``b*B - (M-1)``, so the window of a point in cell ``c`` (global start
+    ``c - M + 1``) begins at local index ``lx = c - b*B``.
+    """
+    lx = c - block_origin
+    iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)
+    w = jnp.zeros((pd, P), dtype=vals[0].dtype)
+    for t, v in enumerate(vals):
+        w = w + jnp.where(iota == lx + t, v, 0.0)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# jnp-side halo merge / gather (outside the kernels)
+# ---------------------------------------------------------------------------
+
+
+def overlap_add(blocks: jnp.ndarray, block_dims, padded_dims, m: int) -> jnp.ndarray:
+    """Merge padded per-block accumulators into the periodic grid.
+
+    ``blocks``: (CR, nb0, .., nbD-1, p0, .., pD-1) — the kernel's output
+    layout (Mosaic requires the last two block dims to span the array, so the
+    padded dims sit together at the end).  Local index i of a block maps to
+    global row ``b*B - (M-1) + i``: a left halo of M-1 rows belongs to the
+    previous block and a right halo of M rows (plus alignment padding, which
+    is identically zero) to the next, with periodic wrap via roll.  Returns
+    (CR, N0~, N1~, ...).
+    """
+    D = len(block_dims)
+    # Interleave to (CR, nb0, p0, nb1, p1, ...): one XLA transpose pass.
+    perm = [0]
+    for d in range(D):
+        perm += [1 + d, 1 + D + d]
+    arr = jnp.transpose(blocks, perm)
+    for d in range(D):
+        nb_ax = 1 + 2 * d
+        p_ax = nb_ax + 1
+        B = block_dims[d]
+        main = jax.lax.slice_in_dim(arr, m - 1, m - 1 + B, axis=p_ax)
+        left = jax.lax.slice_in_dim(arr, 0, m - 1, axis=p_ax)
+        # Right halo is exactly M wide; any further columns are alignment
+        # padding and identically zero (windows never reach them), so they
+        # are dropped rather than folded.
+        right = jax.lax.slice_in_dim(arr, m - 1 + B, m - 1 + B + m, axis=p_ax)
+        # Right halo adds to the start of the next block; left halo (width
+        # M-1) to the end of the previous block.
+        idx = [slice(None)] * arr.ndim
+        idx[p_ax] = slice(0, m)
+        main = main.at[tuple(idx)].add(jnp.roll(right, 1, axis=nb_ax))
+        if m > 1:
+            idx[p_ax] = slice(B - (m - 1), B)
+            main = main.at[tuple(idx)].add(jnp.roll(left, -1, axis=nb_ax))
+        arr = main
+    # (CR, nb0, B0, nb1, B1, ...) -> (CR, N0~, ...): adjacent merges are free.
+    shape = (arr.shape[0],) + tuple(
+        arr.shape[1 + 2 * d] * arr.shape[2 + 2 * d] for d in range(D)
+    )
+    return arr.reshape(shape)
+
+
+def halo_gather(grid: jnp.ndarray, block_dims, padded_dims, m: int) -> jnp.ndarray:
+    """Inverse of overlap_add for interpolation: build the per-block padded
+    (halo-including) view of the periodic grid.
+
+    ``grid``: (CR,) + shape_over.  Returns (CR, nb0, .., nbD-1, p0, .., pD-1)
+    (the kernels' layout), with the alignment-padding columns zero-filled.
+    """
+    D = len(block_dims)
+    CR = grid.shape[0]
+    shape = [CR]
+    for d in range(D):
+        nb = grid.shape[1 + d] // block_dims[d]
+        shape += [nb, block_dims[d]]
+    arr = grid.reshape(shape)
+    for d in range(D):
+        nb_ax = 1 + 2 * d
+        p_ax = nb_ax + 1
+        B = block_dims[d]
+        left = jax.lax.slice_in_dim(
+            jnp.roll(arr, 1, axis=nb_ax), B - (m - 1), B, axis=p_ax
+        )
+        right = jax.lax.slice_in_dim(jnp.roll(arr, -1, axis=nb_ax), 0, m, axis=p_ax)
+        pieces = [left, arr, right]
+        pad = padded_dims[d] - (B + 2 * m - 1)
+        if pad:
+            zshape = list(arr.shape)
+            zshape[p_ax] = pad
+            pieces.append(jnp.zeros(zshape, dtype=arr.dtype))
+        arr = jnp.concatenate(pieces, axis=p_ax)
+    # De-interleave (CR, nb0, p0, ...) -> (CR, nb0, .., p0, ..).
+    perm = [0] + [1 + 2 * d for d in range(D)] + [2 + 2 * d for d in range(D)]
+    return jnp.transpose(arr, perm)

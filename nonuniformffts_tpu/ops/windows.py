@@ -284,14 +284,11 @@ def _eval_gaussian_direct(kd: KernelData, yphys: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(-(yphys * yphys) / tau)
 
 
-def _eval_bspline_all(xp: jnp.ndarray, order: int) -> jnp.ndarray:
-    """Evaluate all ``order`` non-zero B-splines of order ``order`` at the
-    normalised coordinate ``xp in [0, 1]`` via the de Boor recurrence
-    (reference: src/Kernels/bspline.jl:143-222).
-
-    Returns an array of shape ``xp.shape + (order,)``; entry ``t`` matches the
-    reference's ``values[t+1]`` ordering.
-    """
+def bspline_values_list(xp: jnp.ndarray, order: int):
+    """All ``order`` non-zero B-splines of order ``order`` at the normalised
+    coordinate ``xp in [0, 1]`` via the de Boor recurrence (reference:
+    src/Kernels/bspline.jl:143-222), returned as a list of arrays (one per
+    node, reference ``values`` ordering)."""
     dtype = xp.dtype
     b = [jnp.ones_like(xp)]
     for q in range(2, order + 1):
@@ -302,7 +299,13 @@ def _eval_bspline_all(xp: jnp.ndarray, order: int) -> jnp.ndarray:
             new.append((1.0 - deltas[j - 1]) * b[j - 1] + deltas[j] * b[j])
         new.append((1.0 - deltas[q - 2]) * b[q - 2])
         b = new
-    return jnp.stack(b, axis=-1)
+    return b
+
+
+def _eval_bspline_all(xp: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Stacked variant of :func:`bspline_values_list`: shape
+    ``xp.shape + (order,)``."""
+    return jnp.stack(bspline_values_list(xp, order), axis=-1)
 
 
 def _horner_piecewise(cs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:

@@ -19,6 +19,7 @@ import dataclasses
 import math
 from typing import Any, Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,17 +61,22 @@ class Plan:
     sort_points: bool = static_field(default=False)
     point_transform: Callable = static_field(default=_identity)
     chunk_size: Optional[int] = static_field(default=None)
+    batch_size: int = static_field(default=128)  # points per Pallas batch
+    interpret: bool = static_field(default=False)  # Pallas interpreter mode
+    fft_method: str = static_field(default="xla")  # 'xla' | 'matmul'
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
     phihat_inv: Tuple[jnp.ndarray, ...] = data_field(default=())  # 1/phi_hat per dim
     index_maps: Tuple[jnp.ndarray, ...] = data_field(default=())
     kvec: Tuple[jnp.ndarray, ...] = data_field(default=())  # output wavenumbers
+    fft_axes: Tuple = data_field(default=())  # AxisDFT per dim (matmul FFT)
 
     # --- point state (set by set_points) --------------------------------
-    points: Optional[jnp.ndarray] = data_field(default=None)  # (D, Np) folded
-    point_perm: Optional[jnp.ndarray] = data_field(default=None)  # (Np,) sort
-    block_starts: Optional[jnp.ndarray] = data_field(default=None)  # (nblocks+1,)
+    points: Optional[jnp.ndarray] = data_field(default=None)  # (D, Np|Nslots)
+    point_slots: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
+    block_starts: Optional[jnp.ndarray] = data_field(default=None)  # (nblocks+1,) in batches
+    num_points_static: Optional[int] = static_field(default=None)  # Np (blocked)
 
     # --------------------------------------------------------------------
     @property
@@ -106,6 +112,8 @@ class Plan:
 
     @property
     def num_points(self) -> Optional[int]:
+        if self.num_points_static is not None:
+            return self.num_points_static
         return None if self.points is None else self.points.shape[1]
 
     @property
@@ -169,6 +177,9 @@ def PlanNUFFT(
     sort_points: bool = False,
     point_transform: Callable = _identity,
     chunk_size: Optional[int] = None,
+    batch_size: int = 128,
+    interpret: bool = False,
+    fft_method: Optional[str] = None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
 
@@ -241,6 +252,41 @@ def PlanNUFFT(
         phinv_np.append(1.0 / ph)
         imaps_np.append(imap)
 
+    if spread_method == "blocked":
+        from .blocking import choose_block_dims
+
+        if block_dims is None:
+            block_dims = choose_block_dims(shape_over, m)
+        else:
+            block_dims = tuple(int(b) for b in block_dims)
+            for b, n_over in zip(block_dims, shape_over):
+                if n_over % b != 0:
+                    raise ValueError(
+                        f"block dim {b} must divide the oversampled grid size {n_over}"
+                    )
+                if b < m:
+                    raise ValueError(
+                        f"block dim {b} must be >= the kernel half-support M={m} "
+                        "(halos may only touch immediate neighbour blocks)"
+                    )
+
+    # FFT engine: XLA's native FFT where available; MXU matmul-DFT on TPU
+    # backends that do not implement the FFT op (ops/matmul_fft.py).
+    if fft_method is None:
+        fft_method = "matmul" if jax.default_backend() in ("tpu", "axon") else "xla"
+    fft_axes = ()
+    if fft_method == "matmul":
+        from .ops import matmul_fft
+
+        fft_axes = tuple(
+            matmul_fft.make_axis_dft(
+                n_over,
+                "r2c" if (is_real and d == D - 1) else "c2c",
+                real_dtype,
+            )
+            for d, n_over in enumerate(shape_over)
+        )
+
     return Plan(
         dtype=dtype,
         shape=shape,
@@ -256,6 +302,10 @@ def PlanNUFFT(
         sort_points=bool(sort_points),
         point_transform=point_transform,
         chunk_size=chunk_size,
+        batch_size=int(batch_size),
+        interpret=bool(interpret),
+        fft_method=fft_method,
+        fft_axes=fft_axes,
         kernel_data=kernel_data,
         phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
         index_maps=tuple(jnp.asarray(i) for i in imaps_np),
@@ -303,16 +353,28 @@ def fold_points(x: jnp.ndarray, point_transform: Callable = _identity) -> jnp.nd
     return jnp.where(jnp.isfinite(x), jnp.mod(x, L), jnp.zeros_like(x))
 
 
+@jax.jit
+def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
+    from .blocking import sort_points_into_blocks
+
+    return sort_points_into_blocks(plan, pts)
+
+
 def set_points(plan: Plan, points) -> Plan:
     """Return a new plan with the non-uniform points set (folded; bin-sorted
     when the blocked method is active)."""
     pts = _canonicalise_points(points, plan.ndim, plan.real_dtype)
     pts = fold_points(pts, plan.point_transform)
     if plan.spread_method == "blocked":
-        from .blocking import sort_points_into_blocks
-
-        pts, perm, starts = sort_points_into_blocks(plan, pts)
+        np_ = pts.shape[1]
+        pts_slotted, slots, batch_starts = _sort_points_jit(plan, pts)
         return dataclasses.replace(
-            plan, points=pts, point_perm=perm, block_starts=starts
+            plan,
+            points=pts_slotted,
+            point_slots=slots,
+            block_starts=batch_starts,
+            num_points_static=np_,
         )
-    return dataclasses.replace(plan, points=pts, point_perm=None, block_starts=None)
+    return dataclasses.replace(
+        plan, points=pts, point_slots=None, block_starts=None, num_points_static=None
+    )

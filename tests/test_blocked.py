@@ -1,0 +1,179 @@
+"""Blocked (Pallas) fast path vs the reference path.
+
+The analogue of the reference's test/pseudo_gpu.jl: the accelerated code path
+is run on an emulated backend (Pallas ``interpret=True`` on CPU — the role
+POCL/OpenCL plays for the reference) and compared against the plain path on
+identical seeded inputs (reference oracle strategy, pseudo_gpu.jl:109-174).
+
+Also validates the MXU matmul-DFT engine against XLA's native FFT.
+"""
+
+import numpy as np
+import pytest
+
+import nonuniformffts_tpu as nufft
+from nufft_test_utils import random_values
+
+CASES = [
+    ((64,), np.complex128, 1),
+    ((32, 24), np.complex128, 1),
+    ((16, 12, 20), np.complex128, 2),
+    ((24, 18), np.float64, 1),
+    ((12, 10, 14), np.float64, 1),
+    ((32, 24), np.complex64, 1),
+]
+
+
+def _make_inputs(shape, dtype, C, Np, rng):
+    D = len(shape)
+    real_dtype = np.dtype(dtype).type(0).real.dtype
+    pts = rng.uniform(0, 2 * np.pi, (D, Np)).astype(real_dtype)
+    v = random_values(rng, dtype, (C, Np))
+    return pts, (v[0] if C == 1 else v)
+
+
+def _roundtrip(plan, pts, v):
+    plan = nufft.set_points(plan, pts)
+    u = np.asarray(nufft.exec_type1(plan, v))
+    v2 = np.asarray(nufft.exec_type2(plan, u.astype(plan.complex_dtype)))
+    return u, v2
+
+
+@pytest.mark.parametrize("shape,dtype,C", CASES, ids=lambda c: str(c))
+def test_blocked_matches_reference(shape, dtype, C, rng):
+    pts, v = _make_inputs(shape, dtype, C, 500, rng)
+    ref = nufft.PlanNUFFT(dtype, shape, ntransforms=C, sigma=2.0)
+    blk = nufft.PlanNUFFT(
+        dtype, shape, ntransforms=C, sigma=2.0,
+        spread_method="blocked", interpret=True,
+    )
+    u_ref, v2_ref = _roundtrip(ref, pts, v)
+    u_blk, v2_blk = _roundtrip(blk, pts, v)
+    tol = 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-12
+    assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < tol
+    assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < tol
+
+
+@pytest.mark.parametrize("shape,dtype,C", CASES[:4], ids=lambda c: str(c))
+def test_blocked_with_matmul_fft(shape, dtype, C, rng):
+    """Full TPU-path configuration (blocked spreading + matmul DFT), run via
+    the interpreter on CPU, against the plain XLA path."""
+    pts, v = _make_inputs(shape, dtype, C, 400, rng)
+    ref = nufft.PlanNUFFT(dtype, shape, ntransforms=C, sigma=2.0, fft_method="xla")
+    blk = nufft.PlanNUFFT(
+        dtype, shape, ntransforms=C, sigma=2.0,
+        spread_method="blocked", interpret=True, fft_method="matmul",
+    )
+    u_ref, v2_ref = _roundtrip(ref, pts, v)
+    u_blk, v2_blk = _roundtrip(blk, pts, v)
+    tol = 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-12
+    assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < tol
+    assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < tol
+
+
+def test_blocked_point_distribution_edge_cases(rng):
+    """Empty blocks, all points clustered in one block, single point, points
+    exactly at block boundaries and near 2pi."""
+    shape = (32, 24)
+    plan0 = nufft.PlanNUFFT(
+        np.complex128, shape, sigma=2.0, spread_method="blocked", interpret=True
+    )
+    ref0 = nufft.PlanNUFFT(np.complex128, shape, sigma=2.0)
+    cases = {
+        "clustered": rng.uniform(0.0, 0.05, (2, 300)),
+        "single": np.array([[1.234], [2.345]]),
+        "boundaries": np.stack(
+            [
+                np.linspace(0, 2 * np.pi, 64, endpoint=False),
+                np.full(64, np.nextafter(2 * np.pi, 0.0)),
+            ]
+        ),
+    }
+    for name, pts in cases.items():
+        v = random_values(rng, np.complex128, pts.shape[1])
+        u_ref, v2_ref = _roundtrip(ref0, pts, v)
+        u_blk, v2_blk = _roundtrip(plan0, pts, v)
+        assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12, name
+        assert np.abs(v2_blk - v2_ref).max() / max(np.abs(v2_ref).max(), 1e-30) < 1e-12, name
+
+
+def test_blocked_custom_block_dims_and_batch(rng):
+    shape = (24, 30)
+    pts, v = _make_inputs(shape, np.complex128, 1, 700, rng)
+    ref = nufft.PlanNUFFT(np.complex128, shape, sigma=2.0)
+    u_ref, v2_ref = _roundtrip(ref, pts, v)
+    for bdims, bs in [((12, 12), 32), ((8, 60), 64), ((48, 10), 128)]:
+        blk = nufft.PlanNUFFT(
+            np.complex128, shape, sigma=2.0, spread_method="blocked",
+            interpret=True, block_dims=bdims, batch_size=bs,
+        )
+        u_blk, v2_blk = _roundtrip(blk, pts, v)
+        assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12, (bdims, bs)
+        assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < 1e-12, (bdims, bs)
+
+
+def test_blocked_callbacks_and_fftshift(rng):
+    import jax.numpy as jnp
+
+    shape = (16, 20)
+    pts, v = _make_inputs(shape, np.complex128, 1, 200, rng)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, 200))
+    cb = nufft.NUFFTCallbacks(
+        nonuniform=lambda vs, n: tuple(x * w[n] for x in vs),
+        uniform=lambda ws, idx: tuple(x * 2.0 for x in ws),
+    )
+    for fftshift in (False, True):
+        ref = nufft.PlanNUFFT(np.complex128, shape, sigma=2.0, fftshift=fftshift)
+        blk = nufft.PlanNUFFT(
+            np.complex128, shape, sigma=2.0, fftshift=fftshift,
+            spread_method="blocked", interpret=True, fft_method="matmul",
+        )
+        ref = nufft.set_points(ref, pts)
+        blk = nufft.set_points(blk, pts)
+        u_ref = np.asarray(nufft.exec_type1(ref, v, callbacks=cb))
+        u_blk = np.asarray(nufft.exec_type1(blk, v, callbacks=cb))
+        assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12
+        v_ref = np.asarray(nufft.exec_type2(ref, u_ref, callbacks=cb))
+        v_blk = np.asarray(nufft.exec_type2(blk, u_ref, callbacks=cb))
+        assert np.abs(v_blk - v_ref).max() / np.abs(v_ref).max() < 1e-12
+
+
+def test_all_kernels_blocked(rng):
+    shape = (28, 22)
+    pts, v = _make_inputs(shape, np.complex128, 1, 300, rng)
+    for kernel in [
+        nufft.KaiserBesselKernel(),
+        nufft.BackwardsKaiserBesselKernel(),
+        nufft.GaussianKernel(),
+        nufft.BSplineKernel(),
+    ]:
+        for mode in [nufft.Direct(), nufft.FastApproximation()]:
+            ref = nufft.PlanNUFFT(
+                np.complex128, shape, sigma=2.0, kernel=kernel, kernel_evalmode=mode
+            )
+            blk = nufft.PlanNUFFT(
+                np.complex128, shape, sigma=2.0, kernel=kernel, kernel_evalmode=mode,
+                spread_method="blocked", interpret=True,
+            )
+            u_ref, _ = _roundtrip(ref, pts, v)
+            u_blk, _ = _roundtrip(blk, pts, v)
+            err = np.abs(u_blk - u_ref).max() / np.abs(u_ref).max()
+            assert err < 1e-12, (kernel, mode, err)
+
+
+def test_matmul_fft_standalone(rng):
+    """Direct vs split matmul-DFT against numpy FFT, both directions."""
+    import jax.numpy as jnp
+
+    from nonuniformffts_tpu.ops import matmul_fft as MF
+
+    for n in (24, 30, 32, 96, 125):
+        x = random_values(rng, np.complex128, (2, n))
+        ax = MF.make_axis_dft(n, "c2c", np.float64)
+        ch = jnp.stack([jnp.asarray(x.real), jnp.asarray(x.imag)], axis=1)
+        spec = MF.forward_fft_matmul(ch, (ax,), real=False)
+        got = np.asarray(spec[:, 0] + 1j * spec[:, 1])
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=-1), rtol=1e-10, atol=1e-9)
+        back = MF.backward_fft_matmul(spec, (ax,), real=False)
+        gotb = np.asarray(back[:, 0] + 1j * back[:, 1])
+        np.testing.assert_allclose(gotb, x * n, rtol=1e-10, atol=1e-8)  # bfft(fft(x)) = n x
