@@ -155,7 +155,7 @@ def _exec_type1_ch_impl(plan: Plan, vp_ch: jnp.ndarray, callbacks: NUFFTCallback
     C = vp_ch.shape[0]
     if plan.fft_method == "matmul":
         g = _spread(plan, vp_ch) if plan.is_real else _spread_ch(plan, vp_ch)
-        spec_ch = matmul_fft.forward_fft_matmul(g, plan.fft_axes, real=plan.is_real)
+        spec_ch = matmul_fft.forward_fft_matmul(g, plan.fft_axes, real=plan.is_real, prec=plan.precision)
         flat = spec_ch.reshape((2 * C,) + spec_ch.shape[2:])
         out = deconvolve_truncate(
             flat, plan.index_maps, plan.phihat_inv, plan.normfactor, callback=None
@@ -193,7 +193,7 @@ def _exec_type2_ch_impl(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallba
     if plan.fft_method == "matmul":
         flat = deconvolve_pad(flat, plan.spectral_shape_over, plan.index_maps, phinv)
         spec_ch = flat.reshape((C, 2) + flat.shape[1:])
-        grid = matmul_fft.backward_fft_matmul(spec_ch, plan.fft_axes, real=plan.is_real)
+        grid = matmul_fft.backward_fft_matmul(spec_ch, plan.fft_axes, real=plan.is_real, prec=plan.precision)
         vp_ch = _interpolate(plan, grid) if plan.is_real else _interpolate_ch(plan, grid)
     else:
         flat = deconvolve_pad(flat, plan.spectral_shape_over, plan.index_maps, phinv)

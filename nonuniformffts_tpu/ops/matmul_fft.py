@@ -35,12 +35,18 @@ import numpy as np
 
 from ..utils.pytree import data_field, register_pytree_dataclass, static_field
 
-# TPU f32 matmuls default to bfloat16 passes; DFT factors need full f32.
-_PREC = jax.lax.Precision.HIGHEST
+# TPU f32 matmuls default to bfloat16 passes, which costs ~3 decimal digits;
+# 'highest' (bf16x6) is exact-f32-ish, 'high' (bf16x3) carries ~21 mantissa
+# bits — usually enough for tol >= 1e-6 — at twice the speed.
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=_PREC)
+def _mm(a, b, prec):
+    return jnp.matmul(a, b, precision=PRECISIONS[prec])
 
 
 def _best_split(n: int) -> Optional[Tuple[int, int]]:
@@ -139,13 +145,13 @@ def make_axis_dft(n: int, kind: str, dtype, *, use_split: bool = True) -> AxisDF
 # ---------------------------------------------------------------------------
 
 
-def _c2c_last(xr, xi, ax: AxisDFT, sign: float):
+def _c2c_last(xr, xi, ax: AxisDFT, sign: float, prec: str):
     """DFT along the last axis; sign=+1 forward (e^{-i}), -1 backward."""
     if ax.split is None:
-        cr = _mm(xr, ax.cos_t)
-        ci = _mm(xi, ax.cos_t)
-        sr = _mm(xr, ax.sin_t)
-        si = _mm(xi, ax.sin_t)
+        cr = _mm(xr, ax.cos_t, prec)
+        ci = _mm(xi, ax.cos_t, prec)
+        sr = _mm(xr, ax.sin_t, prec)
+        si = _mm(xi, ax.sin_t, prec)
         return cr + sign * si, ci - sign * sr
     n1, n2 = ax.split
     shp = xr.shape[:-1]
@@ -153,8 +159,8 @@ def _c2c_last(xr, xi, ax: AxisDFT, sign: float):
     ar = xr.reshape(shp + (n1, n2))
     ai = xi.reshape(shp + (n1, n2))
     ar, ai = jnp.swapaxes(ar, -1, -2), jnp.swapaxes(ai, -1, -2)  # (..., n2, n1)
-    br = _mm(ar, ax.c1_t) + sign * (_mm(ai, ax.s1_t))
-    bi = _mm(ai, ax.c1_t) - sign * (_mm(ar, ax.s1_t))
+    br = _mm(ar, ax.c1_t, prec) + sign * (_mm(ai, ax.s1_t, prec))
+    bi = _mm(ai, ax.c1_t, prec) - sign * (_mm(ar, ax.s1_t, prec))
     # Twiddle: multiply by e^{-sign*i*2pi*k1*j2/n}; current layout (..., n2, n1)
     # with j2 on axis -2 and k1 on axis -1.
     twc = ax.tw_cos.T  # (n2, n1)
@@ -163,20 +169,20 @@ def _c2c_last(xr, xi, ax: AxisDFT, sign: float):
     ti = bi * twc - sign * (br * tws)
     # Stage 2: DFT_N2 over j2: move n2 last.
     tr, ti = jnp.swapaxes(tr, -1, -2), jnp.swapaxes(ti, -1, -2)  # (..., n1, n2)
-    ur = _mm(tr, ax.c2_t) + sign * (_mm(ti, ax.s2_t))
-    ui = _mm(ti, ax.c2_t) - sign * (_mm(tr, ax.s2_t))
+    ur = _mm(tr, ax.c2_t, prec) + sign * (_mm(ti, ax.s2_t, prec))
+    ui = _mm(ti, ax.c2_t, prec) - sign * (_mm(tr, ax.s2_t, prec))
     # Flatten (k1, k2) and un-scramble to natural order.
     ur = ur.reshape(shp + (ax.n,))
     ui = ui.reshape(shp + (ax.n,))
     return jnp.take(ur, ax.perm, axis=-1), jnp.take(ui, ax.perm, axis=-1)
 
 
-def _r2c_last(x, ax: AxisDFT):
-    return _mm(x, ax.cos_t), -(_mm(x, ax.sin_t))
+def _r2c_last(x, ax: AxisDFT, prec: str):
+    return _mm(x, ax.cos_t, prec), -(_mm(x, ax.sin_t, prec))
 
 
-def _c2r_last(xr, xi, ax: AxisDFT):
-    return _mm(xr, ax.bcos_t) - _mm(xi, ax.bsin_t)
+def _c2r_last(xr, xi, ax: AxisDFT, prec: str):
+    return _mm(xr, ax.bcos_t, prec) - _mm(xi, ax.bsin_t, prec)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +196,7 @@ def _roll_last_forward(x):
     return jnp.moveaxis(x, -1, 1)
 
 
-def forward_fft_matmul(grid: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool):
+def forward_fft_matmul(grid: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool, prec: str = "highest"):
     """Unnormalised forward DFT over all axes but the leading component axis.
 
     ``grid``: real (C,) + shape_over for r2c plans, channel form
@@ -200,20 +206,20 @@ def forward_fft_matmul(grid: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real
     """
     D = len(axes_dft)
     if real:
-        xr, xi = _r2c_last(grid, axes_dft[-1])
+        xr, xi = _r2c_last(grid, axes_dft[-1], prec)
     else:
         xr, xi = grid[:, 0], grid[:, 1]
-        xr, xi = _c2c_last(xr, xi, axes_dft[-1], 1.0)
+        xr, xi = _c2c_last(xr, xi, axes_dft[-1], 1.0, prec)
     xr, xi = _roll_last_forward(xr), _roll_last_forward(xi)
     # Remaining axes, from D-2 down to 0; each is last after the roll.
     for d in range(D - 2, -1, -1):
-        xr, xi = _c2c_last(xr, xi, axes_dft[d], 1.0)
+        xr, xi = _c2c_last(xr, xi, axes_dft[d], 1.0, prec)
         xr, xi = _roll_last_forward(xr), _roll_last_forward(xi)
     # D rolls cycle the axes back to natural order.
     return jnp.stack([xr, xi], axis=1)  # channel form (C, 2, ...)
 
 
-def backward_fft_matmul(spec_ch: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool):
+def backward_fft_matmul(spec_ch: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool, prec: str = "highest"):
     """Unnormalised backward DFT (bfft/brfft semantics).
 
     ``spec_ch``: channel-form spectrum (C, 2) + spectral shape.  Returns the
@@ -226,14 +232,14 @@ def backward_fft_matmul(spec_ch: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, 
         # Bring axis 1+d to the back: (C, a, b, c) with target at 1.
         xr = jnp.moveaxis(xr, 1, -1)
         xi = jnp.moveaxis(xi, 1, -1)
-        xr, xi = _c2c_last(xr, xi, axes_dft[d], -1.0)
+        xr, xi = _c2c_last(xr, xi, axes_dft[d], -1.0, prec)
     # Now layout is (C, last_axis_dim_pending_at_1? ...): after D-1 moves the
     # original axis order (C, a1..aD) became (C, aD, a1..aD-1) contracted in
     # order; bring the final (halved) axis to the back.
     xr = jnp.moveaxis(xr, 1, -1)
     xi = jnp.moveaxis(xi, 1, -1)
     if real:
-        out = _c2r_last(xr, xi, axes_dft[-1])
+        out = _c2r_last(xr, xi, axes_dft[-1], prec)
         return out  # (C,) + shape_over, natural order
-    yr, yi = _c2c_last(xr, xi, axes_dft[-1], -1.0)
+    yr, yi = _c2c_last(xr, xi, axes_dft[-1], -1.0, prec)
     return jnp.stack([yr, yi], axis=1)

@@ -40,6 +40,12 @@ from . import common
 
 TWO_PI = 2.0 * math.pi
 
+_PRECS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
 
 # ---------------------------------------------------------------------------
 # Component packing: complex data <-> real channels (CR = C or 2C)
@@ -174,7 +180,7 @@ def _spread_kernel(
             prod = jax.lax.dot_general(
                 wts[0], qc, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc_ref.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_PRECS[plan.precision],
             )
             acc_ref[c, :, :] = acc_ref[c, :, :] + prod
         return carry
@@ -285,7 +291,7 @@ def _interp_kernel(
             t = jax.lax.dot_general(
                 gblk[c], qt, (((1,), (0,)), ((), ())),
                 preferred_element_type=res_buf.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_PRECS[plan.precision],
             )
             # v (1, P) = sum_x W0T[x, p] * T[x, p]: sublane reduction.
             res_buf[c : c + 1, :] = jnp.sum(wts[0] * t, axis=0, keepdims=True)

@@ -1,0 +1,13 @@
+from .sharded import (
+    exec_type1_sharded,
+    exec_type2_sharded,
+    make_mesh,
+    shard_points,
+)
+
+__all__ = [
+    "exec_type1_sharded",
+    "exec_type2_sharded",
+    "make_mesh",
+    "shard_points",
+]

@@ -64,6 +64,7 @@ class Plan:
     batch_size: int = static_field(default=128)  # points per Pallas batch
     interpret: bool = static_field(default=False)  # Pallas interpreter mode
     fft_method: str = static_field(default="xla")  # 'xla' | 'matmul'
+    precision: str = static_field(default="highest")  # TPU matmul precision
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
@@ -180,6 +181,7 @@ def PlanNUFFT(
     batch_size: int = 128,
     interpret: bool = False,
     fft_method: Optional[str] = None,
+    precision: str = "highest",
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
 
@@ -306,6 +308,7 @@ def PlanNUFFT(
         interpret=bool(interpret),
         fft_method=fft_method,
         fft_axes=fft_axes,
+        precision=precision,
         kernel_data=kernel_data,
         phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
         index_maps=tuple(jnp.asarray(i) for i in imaps_np),
