@@ -21,6 +21,7 @@ Quick start::
 from .plan import Plan, PlanNUFFT, set_points
 from .execution import exec_type1, exec_type2
 from .callbacks import NUFFTCallbacks
+from .nfft_compat import NFFTPlan, nfft, nfft_adjoint, plan_nfft
 from .ops.windows import (
     BackwardsKaiserBesselKernel,
     BSplineKernel,
@@ -45,4 +46,8 @@ __all__ = [
     "BSplineKernel",
     "Direct",
     "FastApproximation",
+    "NFFTPlan",
+    "plan_nfft",
+    "nfft",
+    "nfft_adjoint",
 ]

@@ -257,6 +257,15 @@ def PlanNUFFT(
     if spread_method == "blocked":
         from .blocking import choose_block_dims
 
+        # Pallas DMA slot offsets (start_b + i) * P must be lane-tile (128)
+        # aligned on real TPUs; interpret mode would silently accept any
+        # value and then crash compiled (advisor finding, round 1).
+        if batch_size % 128 != 0 and not interpret:
+            raise ValueError(
+                f"batch_size={batch_size} must be a multiple of 128 for the "
+                "blocked method on TPU (DMA lane-tile alignment); use "
+                "interpret=True for emulation with smaller batches"
+            )
         if block_dims is None:
             block_dims = choose_block_dims(shape_over, m)
         else:
@@ -353,7 +362,10 @@ def fold_points(x: jnp.ndarray, point_transform: Callable = _identity) -> jnp.nd
     if point_transform is not _identity:
         x = point_transform(x)
     L = x.dtype.type(TWO_PI)
-    return jnp.where(jnp.isfinite(x), jnp.mod(x, L), jnp.zeros_like(x))
+    # Non-finite coordinates propagate as NaN (mod(inf) = mod(nan) = nan),
+    # matching the reference's to_unit_cell semantics: invalid input points
+    # surface as NaN in the output rather than silently folding to 0.
+    return jnp.mod(x, L)
 
 
 @jax.jit
