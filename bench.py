@@ -1,30 +1,27 @@
-"""Benchmark: 3D NUFFT throughput on one TPU chip.
+"""Benchmark: 3D NUFFT throughput + achieved accuracy on one TPU chip.
 
 Replicates the reference's benchmark protocol (docs/src/benchmarks.md:5-27,
-BASELINE.md): 3D grid 256^3, tolerance ~1e-6 (sigma = 1.5, m = 4, backwards
-Kaiser-Bessel), non-uniform points uniformly random in [0, 2pi)^3, complex
-data, Np = 1e6 (the BASELINE.json north-star operating point).  The timed
-unit is one full pipeline iteration: set_points (device bin-sort) +
-exec_type1 + exec_type2, matching the reference's "set_points! + exec"
-convention (both transforms share one sort, as in the reference's benchmark
-loop).
+benchmark/CPU+CUDA/run_benchmarks.jl:390-404, BASELINE.md): 3D grid 256^3,
+tolerance ~1e-6 (sigma = 1.5, m = 4, backwards Kaiser-Bessel), non-uniform
+points uniformly random in [0, 2pi)^3, complex data.  Reported per density:
+median-equivalent times for set_points, type-1 and type-2 separately, plus
+the *achieved relative error* measured on device output against exact-DFT
+oracles (type-1: random data, exact sums over a mode subsample in f64 on the
+host; type-2: rank-1 separable spectrum, exact closed-form products), like
+the reference's .dat files (columns 4-5).
 
-Timing methodology: the remote-tunnel runtime used here has ~30 ms dispatch
-latency per call and a no-op block_until_ready, so per-call wall timing is
-meaningless.  Instead K iterations are chained *inside one jitted scan*
-(each iteration's inputs depend on the previous carry, preventing CSE /
-hoisting) and a scalar result is fetched, which forces full execution; the
-measured time minus the dispatch overhead, divided by K, is the per-
-iteration device time.
+Timing methodology: the remote-tunnel runtime has ~30 ms dispatch latency,
+so K iterations are chained inside one jitted scan.  Anti-hoist measures
+(both bitten in round 1): inputs are perturbed by a carry-dependent
+*non-zero* epsilon (a ``+ c*0`` gets constant-folded and the loop-invariant
+body hoisted), and the carry reduces over the full outputs through an
+optimization_barrier (a sliced reduction lets XLA dead-code-eliminate the
+work).
 
-Metric: points/sec = Np / t_iteration.
-Baseline: cuFINUFFT on H100 at the nearest committed density point
-(Np = 1,677,722: type-1 0.0230 s + type-2 0.0074 s, global-memory method,
-ComplexF64 — BASELINE.md), i.e. 55.2e6 points/sec.  The baseline runs f64 on
-an H100; we run f32 (the TPU-native precision) at matched ~1e-6 tolerance.
-
-Prints exactly one JSON line:
+Prints exactly one JSON line (the headline Np=1e6 operating point):
   {"metric": ..., "value": ..., "unit": "points/sec", "vs_baseline": ...}
+Details (sweep rows, stage breakdown, errors) go to stderr and
+BENCH_SWEEP.json.
 """
 
 import json
@@ -35,15 +32,26 @@ import time
 import numpy as np
 
 N_GRID = int(os.environ.get("BENCH_N", 256))
-NP_PTS = int(os.environ.get("BENCH_NP", 1_000_000))
-K_ITERS = int(os.environ.get("BENCH_ITERS", 10))
-PRECISION = os.environ.get("BENCH_PRECISION", "highest")
-BASELINE_PTS_PER_SEC = 1_677_722 / (0.0230 + 0.0074)  # cuFINUFFT H100, rho=0.1
+NP_MAIN = int(os.environ.get("BENCH_NP", 1_000_000))
+K_ITERS = int(os.environ.get("BENCH_ITERS", 8))
+PRECISION = os.environ.get("BENCH_PRECISION", "high")
+CHECK = os.environ.get("BENCH_CHECK", "1") == "1"
+SWEEP = os.environ.get("BENCH_SWEEP", "1") == "1"
+# cuFINUFFT H100 (global-memory), rho=0.1, ComplexF64: t1+t2 (BASELINE.md).
+BASELINE_PTS_PER_SEC = 1_677_722 / (0.0230 + 0.0074)
+
+ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
+ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
     import nonuniformffts_tpu as nufft
     from nonuniformffts_tpu.callbacks import NUFFTCallbacks
     from nonuniformffts_tpu.execution import (
@@ -53,103 +61,203 @@ def main():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     shape = (N_GRID,) * 3
-    rng = np.random.default_rng(42)
-    pts = rng.uniform(0, 2 * np.pi, (3, NP_PTS)).astype(np.float32)
-    v_ch = rng.standard_normal((1, 2, NP_PTS)).astype(np.float32)
-
-    plan = nufft.PlanNUFFT(
-        np.complex64,
-        shape,
-        m=4,
-        sigma=1.5,
-        spread_method="blocked" if on_tpu else "reference",
-        fft_method=None,  # auto: matmul-DFT on TPU, XLA FFT elsewhere
-        chunk_size=None if on_tpu else 65536,
-        precision=PRECISION,
-    )
     cbs = NUFFTCallbacks()
 
-    pts_d = jax.device_put(pts)
-    v_d = jax.device_put(v_ch)
-
-    def one_iteration(plan0, pts_in, v_in, carry):
-        eps = carry * jnp.float32(0.0)
-        p = nufft.set_points(plan0, pts_in + eps)
-        u = _exec_type1_ch_impl(p, v_in + eps, cbs)
-        v2 = _exec_type2_ch_impl(p, u, cbs)
-        return jnp.sum(v2[0, :, :8])
-
+    # ---------------- timing helpers -------------------------------------
     @jax.jit
-    def full_loop(pts_in, v_in):
-        def body(c, _):
-            return one_iteration(plan, pts_in, v_in, c), None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_ITERS)
-        return c
-
-    # Stage loops (sorted plan prepared once, outside the timed loop).
-    p_sorted = nufft.set_points(plan, pts_d)
-
-    @jax.jit
-    def t1_loop(p, v_in):
-        def body(c, _):
-            u = _exec_type1_ch_impl(p, v_in + c * jnp.float32(0.0), cbs)
-            return jnp.sum(u[0, :, :2, 0, 0]), None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_ITERS)
-        return c
-
-    @jax.jit
-    def t2_loop(p, u_in):
-        def body(c, _):
-            v2 = _exec_type2_ch_impl(p, u_in + c * jnp.float32(0.0), cbs)
-            return jnp.sum(v2[0, :, :8]), None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_ITERS)
-        return c
-
-    @jax.jit
-    def set_loop(pts_in):
-        def body(c, _):
-            p = nufft.set_points(plan, pts_in + c * jnp.float32(0.0))
-            return jnp.sum(p.points[:, :8]) + c * 0, None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K_ITERS)
-        return c
-
-    @jax.jit
-    def empty(x):
+    def _noop(x):
         return x * 2.0
 
-    u_in = _exec_type1_ch_impl(p_sorted, v_d, cbs)
+    _ = float(_noop(jnp.float32(1.0)))
+    overhead = min(
+        _timeit(lambda: float(_noop(jnp.float32(1.0)))) for _ in range(5)
+    )
 
-    def timed(fn, *args):
-        _ = float(np.asarray(fn(*args)).ravel()[0])  # warm-up / compile
-        t0 = time.perf_counter()
-        _ = float(np.asarray(fn(*args)).ravel()[0])
-        return time.perf_counter() - t0
+    def timed_scan(build_body, k=K_ITERS, reps=2):
+        """build_body(c) -> scalar; chained k times inside one jit."""
 
-    overhead = min(timed(empty, jnp.float32(1.0)) for _ in range(3))
-    t_full = (timed(full_loop, pts_d, v_d) - overhead) / K_ITERS
-    t_set = (timed(set_loop, pts_d) - overhead) / K_ITERS
-    t_1 = (timed(t1_loop, p_sorted, v_d) - overhead) / K_ITERS
-    t_2 = (timed(t2_loop, p_sorted, u_in) - overhead) / K_ITERS
+        def body(c, _):
+            return jax.lax.optimization_barrier(build_body(c)), None
 
-    value = NP_PTS / t_full
+        @jax.jit
+        def loop():
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+
+        _ = float(loop())  # compile + warm
+        ts = [_timeit(lambda: float(loop())) for _ in range(reps)]
+        return (min(ts) - overhead) / k
+
+    def make_plan(np_hint):
+        return nufft.PlanNUFFT(
+            np.complex64,
+            shape,
+            m=4,
+            sigma=1.5,
+            spread_method="blocked" if on_tpu else "reference",
+            fft_method=None,  # auto: matmul-DFT on TPU, XLA FFT elsewhere
+            chunk_size=None if on_tpu else 65536,
+            precision=PRECISION,
+            np_hint=np_hint,
+        )
+
+    def eps_of(c, x):
+        return x + (c * jnp.asarray(1e-30, x.dtype)).astype(x.dtype)
+
+    def bench_point(np_pts, *, measure_error=False):
+        rng = np.random.default_rng(42)
+        pts_np = rng.uniform(0, 2 * np.pi, (3, np_pts)).astype(np.float32)
+        v_np = rng.standard_normal((1, 2, np_pts)).astype(np.float32)
+        plan = make_plan(np_pts)
+        pts_d = jax.device_put(pts_np)
+        v_d = jax.device_put(v_np)
+        p_sorted = nufft.set_points(plan, pts_d)
+        u_in = _exec_type1_ch_impl(p_sorted, v_d, cbs)
+        u_in.block_until_ready()
+
+        def full_body(c):
+            p = nufft.set_points(plan, eps_of(c, pts_d))
+            u = _exec_type1_ch_impl(p, eps_of(c, v_d), cbs)
+            v2 = _exec_type2_ch_impl(p, u, cbs)
+            return jnp.sum(u) + jnp.sum(v2)
+
+        def set_body(c):
+            p = nufft.set_points(plan, eps_of(c, pts_d))
+            return jnp.sum(p.points_slotted if plan.spread_method == "blocked"
+                           else p.points)
+
+        def t1_body(c):
+            u = _exec_type1_ch_impl(p_sorted, eps_of(c, v_d), cbs)
+            return jnp.sum(u)
+
+        def t2_body(c):
+            v2 = _exec_type2_ch_impl(p_sorted, eps_of(c, u_in), cbs)
+            return jnp.sum(v2)
+
+        t_full = timed_scan(full_body)
+        t_set = timed_scan(set_body)
+        t_1 = timed_scan(t1_body)
+        t_2 = timed_scan(t2_body)
+
+        row = {
+            "Np": np_pts,
+            "rho": np_pts / float(np.prod(shape)),
+            "t_full_s": t_full,
+            "t_set_s": t_set,
+            "t_type1_s": t_1,
+            "t_type2_s": t_2,
+            "pts_per_sec": np_pts / t_full,
+        }
+
+        if measure_error:
+            row["err_type1"] = measure_t1_error(plan, pts_np, v_np, p_sorted)
+            row["err_type2"] = measure_t2_error(plan, pts_np, p_sorted)
+        return row
+
+    # ---------------- accuracy oracles ------------------------------------
+    def measure_t1_error(plan, pts_np, v_np, p_sorted):
+        """Device type-1 output vs exact f64 DFT sums at a mode subsample."""
+        u_dev = np.asarray(_exec_type1_ch_impl(p_sorted, jnp.asarray(v_np), cbs))
+        u_dev = u_dev[0, 0] + 1j * u_dev[0, 1]  # (N, N, N) FFTW order
+        rng = np.random.default_rng(7)
+        N = N_GRID
+        kidx = rng.integers(0, N, (ERR_MODES, 3))  # FFTW-order indices
+        kval = np.where(kidx >= (N + 1) // 2, kidx - N, kidx).astype(np.float64)
+        v = (v_np[0, 0] + 1j * v_np[0, 1]).astype(np.complex128)
+        x = pts_np.astype(np.float64)
+        exact = np.zeros(ERR_MODES, np.complex128)
+        chunk = 131072
+        for s in range(0, x.shape[1], chunk):
+            ph = (
+                kval[:, 0:1] * x[0:1, s : s + chunk]
+                + kval[:, 1:2] * x[1:2, s : s + chunk]
+                + kval[:, 2:3] * x[2:3, s : s + chunk]
+            )
+            exact += np.exp(-1j * ph) @ v[s : s + chunk]
+        got = u_dev[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
+        return float(np.linalg.norm(got - exact) / np.linalg.norm(exact))
+
+    def measure_t2_error(plan, pts_np, p_sorted):
+        """Rank-1 spectrum: v_j = prod_d (sum_k a_d[k] e^{i k x_dj}) exactly."""
+        rng = np.random.default_rng(8)
+        N = N_GRID
+        a = [
+            (rng.standard_normal(N) + 1j * rng.standard_normal(N)) / N
+            for _ in range(3)
+        ]
+        u = np.einsum("a,b,c->abc", *a).astype(np.complex64)
+        u_ch = np.stack([u.real, u.imag])[None]  # (1, 2, N, N, N)
+        v_dev = np.asarray(
+            _exec_type2_ch_impl(p_sorted, jnp.asarray(u_ch), cbs)
+        )
+        v_dev = v_dev[0, 0] + 1j * v_dev[0, 1]
+        sel = np.random.default_rng(9).integers(0, pts_np.shape[1], ERR_POINTS)
+        x = pts_np[:, sel].astype(np.float64)
+        kval = np.fft.fftfreq(N, 1.0 / N).astype(np.float64)
+        exact = np.ones(ERR_POINTS, np.complex128)
+        for d in range(3):
+            exact *= np.exp(1j * np.outer(x[d], kval)) @ a[d].astype(np.complex128)
+        got = v_dev[sel]
+        return float(np.linalg.norm(got - exact) / np.linalg.norm(exact))
+
+    # ---------------- run -------------------------------------------------
+    rows = []
+    main_row = bench_point(NP_MAIN, measure_error=CHECK)
+    rows.append(main_row)
+    log(
+        f"# main Np={NP_MAIN}: full={main_row['t_full_s']*1e3:.1f}ms "
+        f"(set={main_row['t_set_s']*1e3:.1f} t1={main_row['t_type1_s']*1e3:.1f} "
+        f"t2={main_row['t_type2_s']*1e3:.1f}) "
+        f"err1={main_row.get('err_type1', float('nan')):.2e} "
+        f"err2={main_row.get('err_type2', float('nan')):.2e} "
+        f"prec={PRECISION} backend={'tpu' if on_tpu else 'cpu'}"
+    )
+
+    if SWEEP:
+        for np_pts in (167_772, 1_677_722, 16_777_216):
+            if np_pts == NP_MAIN:
+                continue
+            try:
+                r = bench_point(np_pts, measure_error=False)
+            except Exception as e:  # OOM guard at high density
+                log(f"# sweep Np={np_pts}: skipped ({type(e).__name__})")
+                continue
+            rows.append(r)
+            log(
+                f"# sweep Np={np_pts} (rho={r['rho']:.3g}): "
+                f"full={r['t_full_s']*1e3:.1f}ms t1={r['t_type1_s']*1e3:.1f} "
+                f"t2={r['t_type2_s']*1e3:.1f} -> {r['pts_per_sec']/1e6:.2f} Mpts/s"
+            )
+
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_SWEEP.json"), "w") as f:
+        json.dump(
+            {
+                "protocol": f"N={N_GRID}^3 m=4 sigma=1.5 BKB c64 prec={PRECISION}; "
+                "iteration = set_points + type1 + type2",
+                "rows": rows,
+            },
+            f,
+            indent=1,
+        )
+
+    value = main_row["pts_per_sec"]
     result = {
-        "metric": f"3D type-1+type-2 NUFFT points/sec (N={N_GRID}^3, Np={NP_PTS}, "
-        f"tol~1e-6: m=4 sigma=1.5 BKB c64; iteration = set_points+type1+type2)",
+        "metric": f"3D type-1+type-2 NUFFT points/sec (N={N_GRID}^3, Np={NP_MAIN}, "
+        f"tol~1e-6: m=4 sigma=1.5 BKB c64, achieved err1="
+        f"{main_row.get('err_type1', float('nan')):.2e} err2="
+        f"{main_row.get('err_type2', float('nan')):.2e}; "
+        f"iteration = set_points+type1+type2)",
         "value": value,
         "unit": "points/sec",
         "vs_baseline": value / BASELINE_PTS_PER_SEC,
     }
     print(json.dumps(result))
-    print(
-        f"# per-iter: full={t_full * 1e3:.2f}ms (set={t_set * 1e3:.2f} t1={t_1 * 1e3:.2f} "
-        f"t2={t_2 * 1e3:.2f}) overhead={overhead * 1e3:.1f}ms backend={jax.default_backend()} "
-        f"method={plan.spread_method}/{plan.fft_method}/{PRECISION}",
-        file=sys.stderr,
-    )
+
+
+def _timeit(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -31,29 +31,151 @@ def _divisors(n: int):
     return out
 
 
-def choose_block_dims(shape_over: Tuple[int, ...], m: int) -> Tuple[int, ...]:
-    """Pick per-dimension block sizes.
+# Cost-model constants, calibrated on a TPU v5e through the axon runtime
+# (scripts/profile_stages.py, round 2: 1024-program spread kernel = 32 ms of
+# which ~13 ms MXU at 'highest'; 4096^3 matmul = 65 Tflop/s at 'high'):
+# fixed per-Pallas-program overhead, effective MXU MAC rate for f32
+# ('high'-precision bf16x3 passes) and HBM bandwidth.
+_PROGRAM_OVERHEAD_S = 15e-6
+_MXU_MACS_PER_S = 3.0e13
+_HBM_BYTES_PER_S = 6.0e11
 
-    Each block dim must divide the oversampled grid size (so the periodic
-    overlap-add is a pure roll) and be >= 2M (so halos only touch immediate
-    neighbours).  Targets are tuned for the MXU contraction shape: small
-    leading dim (it is only sublane-padded), moderate trailing product.
+#: Per-core VMEM budget for the blocked kernels' working set.  The hardware
+#: has ~16 MiB/core (reference analogue: the 48 KiB CUDA shared-memory
+#: budget solved in src/gpu_common.jl:19-92); leave headroom for Mosaic's
+#: own buffers and the pipelined in/out blocks.
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def geometry_cost(
+    shape_over, block_dims, m: int, cr: int, np_pts: int, batch: int
+):
+    """Estimated seconds for one spread (or interpolation) pass, plus the
+    kernel working-set VMEM bytes.  Returns (cost_s, vmem_bytes).
+
+    The model is the TPU counterpart of the reference's shared-memory
+    geometry arithmetic (src/gpu_common.jl:19-92), with the roles inverted:
+    on a GPU the binding constraint is shared memory per workgroup; here the
+    binding constraints are (a) the fixed per-program pipeline overhead
+    multiplied by the number of blocks, (b) HBM traffic of the padded block
+    buffer, (c) MXU time of the dense window contractions, and (d) VMEM.
     """
     D = len(shape_over)
-    if D == 1:
-        targets = (1024,)
-    elif D == 2:
-        targets = (8, 64)
-    else:
-        targets = (8, 16, 16)
-    dims = []
-    for n, t in zip(shape_over, targets):
+    from .ops.pallas.common import padded_block_dims  # local: avoid cycle
+
+    pd = padded_block_dims(block_dims, m)
+    yz = 1
+    for p in pd[1:]:
+        yz *= p
+    nblocks = 1
+    for n, b in zip(shape_over, block_dims):
+        nblocks *= n // b
+    # Expected batches: every point appears once, plus ~half a batch of
+    # padding per non-empty block (slot quantisation).
+    nbatches = np_pts / batch + 0.5 * min(nblocks, np_pts)
+    macs = nbatches * cr * pd[0] * yz * batch
+    padded_bytes = nblocks * cr * pd[0] * yz * 4
+    nslots = np_pts + nblocks * (batch - 1) / 2
+    io_bytes = 2 * padded_bytes + nslots * (8 + max(8, cr)) * 4
+    cost = (
+        nblocks * _PROGRAM_OVERHEAD_S
+        + macs / _MXU_MACS_PER_S
+        + io_bytes / _HBM_BYTES_PER_S
+    )
+    vmem = 3 * cr * pd[0] * yz * 4 + yz * batch * 4 + 24 * batch * 4
+    return cost, vmem
+
+
+def choose_geometry(
+    shape_over: Tuple[int, ...],
+    m: int,
+    *,
+    cr: int = 2,
+    np_hint: int = None,
+    batch_size: int = 128,
+    vmem_budget: int = VMEM_BUDGET_BYTES,
+):
+    """Pick per-dimension block sizes by minimising the geometry cost model
+    under the VMEM budget (the C9 component: the TPU analogue of
+    block_dims_gpu_shmem, src/gpu_common.jl:19-92).
+
+    Each block dim must divide the oversampled grid size (so the periodic
+    overlap-add is a pure roll) and be >= the kernel half-support M (halos
+    may only touch immediate neighbour blocks).  ``np_hint`` is the expected
+    number of non-uniform points (defaults to a moderate density of 0.05
+    points per oversampled cell); pass the real value for optimal geometry.
+
+    Returns ``(block_dims, warnings)`` where warnings is a list of strings
+    (mirroring the reference's @warn on degenerate geometry,
+    src/gpu_common.jl:66-77).
+    """
+    D = len(shape_over)
+    total = 1
+    for n in shape_over:
+        total *= n
+    if np_hint is None:
+        np_hint = max(int(0.05 * total), 1)
+
+    per_dim = []
+    for d, n in enumerate(shape_over):
         lo = min(2 * m, n)
-        candidates = [d for d in _divisors(n) if d >= lo]
-        if not candidates:
-            candidates = [n]
-        dims.append(min(candidates, key=lambda d: (abs(d - t), d)))
-    return tuple(dims)
+        cands = [b for b in _divisors(n) if lo <= b <= 512]
+        # Mosaic tiling constraints of the relayout copy kernels (the last
+        # two dims of a block spec must be (8, 128)-divisible or span the
+        # array): the last block dim must be a multiple of 128 (or the full
+        # axis), the second-to-last a multiple of 8 (or the full axis).
+        if D >= 2 and d == D - 1:
+            cands = [b for b in cands if b % 128 == 0 or b == n]
+        elif D >= 2 and d == D - 2:
+            cands = [b for b in cands if b % 8 == 0 or b == n]
+        if not cands:
+            cands = [n]
+        # Keep the search tractable: at most ~10 divisors per dim.
+        if len(cands) > 10:
+            step = len(cands) / 10.0
+            cands = [cands[int(i * step)] for i in range(10)]
+        per_dim.append(cands)
+
+    import itertools
+
+    best = None
+    best_cost = None
+    feasible = False
+    for dims in itertools.product(*per_dim):
+        cost, vmem = geometry_cost(shape_over, dims, m, cr, np_hint, batch_size)
+        if vmem > vmem_budget:
+            continue
+        feasible = True
+        if best_cost is None or cost < best_cost:
+            best_cost, best = cost, dims
+
+    warnings = []
+    if not feasible:
+        # Fall back to the smallest admissible blocks and warn (reference
+        # errors/warns when the shared-memory budget cannot be met).
+        best = tuple(min(c) for c in per_dim)
+        warnings.append(
+            f"no block geometry fits the VMEM budget ({vmem_budget} B) for "
+            f"cr={cr}; falling back to minimal blocks {best} — expect "
+            "degraded performance. Reduce ntransforms or batch_size."
+        )
+    nblocks = 1
+    for n, b in zip(shape_over, best):
+        nblocks *= n // b
+    waste = 1.0 + nblocks * (batch_size - 1) / (2.0 * np_hint)
+    if waste > 2.0:
+        warnings.append(
+            f"block geometry {best} yields ~{waste:.1f}x slot-padding waste "
+            f"at Np={np_hint} (nblocks={nblocks}, batch={batch_size}); "
+            "point density is low for the blocked method — consider "
+            "spread_method='reference' or a larger np_hint."
+        )
+    return best, warnings
+
+
+def choose_block_dims(shape_over: Tuple[int, ...], m: int) -> Tuple[int, ...]:
+    """Back-compat wrapper: cost-model geometry with default density."""
+    return choose_geometry(shape_over, m)[0]
 
 
 def num_blocks(shape_over: Sequence[int], block_dims: Sequence[int]) -> Tuple[int, ...]:
@@ -81,22 +203,30 @@ def num_slots(np_: int, nblocks: int, batch: int) -> int:
 
 
 def sort_points_into_blocks(plan, points: jnp.ndarray):
-    """Bin points into a *slot-aligned* block layout.
+    """Bin points into a *slot-aligned* block layout — entirely scatter-free.
 
     Every block owns a contiguous segment of "slots" whose start is a
     multiple of the point-batch size P, so the Pallas kernels' DMA offsets
     are provably tile-aligned (TPU DMA offsets along the lane dimension must
-    be 128-divisible) and no masking is needed: padding slots carry zero
-    values/coordinates, which contribute nothing to spreading and whose
+    be 128-divisible) and no masking is needed inside the kernels: padding
+    slots carry zero values, which contribute nothing to spreading and whose
     interpolation outputs are never gathered.
 
-    Returns ``(points_slotted, slots, batch_starts)``:
+    TPU note: XLA lowers general scatters to a *serial* loop on TPU (round-1
+    profiling measured ~4 s for a 1M-element scatter at the bench point), so
+    every construction here uses only ``sort_key_val``, vectorised binary
+    search (``searchsorted`` over the sorted keys, replacing the histogram +
+    prefix sum of the reference's counting sort, src/blocking/gpu.jl:162-198)
+    and gathers, all of which are fast vector ops on TPU.
 
-    - ``points_slotted``: (D, Nslots) point coordinates scattered into their
-      slots (zeros in padding);
-    - ``slots``: (Np,) int32 slot of each original point (for scattering
-      values in type-1 and gathering results in type-2 — also serves as the
-      un-permutation, reference: interpolation/gpu.jl:196-203);
+    Returns ``(slot_to_point, slot_valid, point_slots, batch_starts)``:
+
+    - ``slot_to_point``: (Nslots,) int32 original point index feeding each
+      slot (clamped to 0 in padding slots — mask with ``slot_valid``);
+    - ``slot_valid``: (Nslots,) bool, False in padding slots;
+    - ``point_slots``: (Np,) int32 slot of each original point (gathers
+      type-2 results back to input order — the inverse permutation,
+      reference: interpolation/gpu.jl:196-203);
     - ``batch_starts``: (nblocks + 1,) int32 segment boundaries in units of
       P (the reference's cumulative_npoints_per_block, batch-quantised).
     """
@@ -106,23 +236,61 @@ def sort_points_into_blocks(plan, points: jnp.ndarray):
     np_ = points.shape[1]
     nblocks = int(np.prod(num_blocks(plan.shape_over, block_dims)))
     nslots = num_slots(np_, nblocks, P)
+    nbatches = nslots // P
 
     iota = jnp.arange(np_, dtype=jnp.int32)
     sorted_bid, perm = jax.lax.sort_key_val(bid, iota)
 
-    counts = jnp.zeros(nblocks, dtype=jnp.int32).at[bid].add(1, mode="drop")
-    pstarts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )
+    # Per-block point ranges from the sorted keys (binary search, no
+    # histogram): pstarts[b] = first sorted position with bid >= b.
+    pstarts = jnp.searchsorted(
+        sorted_bid, jnp.arange(nblocks + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = pstarts[1:] - pstarts[:-1]
     batches = -(-counts // P)  # cdiv
     batch_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(batches, dtype=jnp.int32)]
     )
 
+    # Which block does each batch serve, and which sorted points feed it?
+    bidx = jnp.arange(nbatches, dtype=jnp.int32)
+    blk = jnp.clip(
+        jnp.searchsorted(batch_starts, bidx, side="right").astype(jnp.int32) - 1,
+        0,
+        nblocks - 1,
+    )
+    batch_rank = bidx - jnp.take(batch_starts, blk)
+    first_sorted = jnp.take(pstarts, blk) + batch_rank * P  # (nbatches,)
+    limit_sorted = jnp.take(pstarts, blk + 1)
+
+    lane = jnp.arange(P, dtype=jnp.int32)
+    sidx = first_sorted[:, None] + lane[None, :]  # (nbatches, P)
+    slot_valid = (sidx < limit_sorted[:, None]).reshape(-1)
+    sidx = jnp.clip(sidx.reshape(-1), 0, max(np_ - 1, 0))
+    slot_to_point = jnp.take(perm, sidx)
+
+    # Inverse map via a second sort (not a scatter): sorting (perm ->
+    # slot_sorted) pairs by perm yields the per-original-point slot.
     rank = iota - jnp.take(pstarts, sorted_bid)
     slot_sorted = jnp.take(batch_starts, sorted_bid) * P + rank
-    slots = jnp.zeros(np_, dtype=jnp.int32).at[perm].set(slot_sorted)
+    _, point_slots = jax.lax.sort_key_val(perm, slot_sorted)
 
-    points_slotted = jnp.zeros((points.shape[0], nslots), dtype=points.dtype)
-    points_slotted = points_slotted.at[:, slots].set(points)
-    return points_slotted, slots, batch_starts
+    return slot_to_point, slot_valid, point_slots, batch_starts
+
+
+def gather_slots(x: jnp.ndarray, slot_to_point, slot_valid, *, rows: int = None,
+                 mask: bool = True) -> jnp.ndarray:
+    """Lay out per-point data ``x`` (R, Np) into the slot-aligned layout
+    (rows, Nslots) with a single gather (TPU scatters are serial — see
+    sort_points_into_blocks).  Rows are zero-padded up to ``rows`` (sublane
+    alignment for the kernels' DMA slices).  ``mask=False`` skips zeroing the
+    padding slots (safe for coordinates: padded columns then duplicate point
+    0, whose kernel weights multiply zero *values*)."""
+    R = x.shape[0]
+    rows = rows or R
+    if rows != R:
+        x = jnp.pad(x, ((0, rows - R), (0, 0)))
+    out = jnp.take(x, slot_to_point, axis=1)
+    if mask:
+        out = out * slot_valid.astype(x.dtype)[None, :]
+    return out

@@ -147,26 +147,35 @@ def _apply_nonuniform_ch(plan, vp_ch, callback):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("callbacks",))
-def _exec_type1_ch_impl(plan: Plan, vp_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
-    """vp_ch: (C, Np) real plans | (C, 2, Np) complex plans.
-    Returns the channel-form spectrum (C, 2) + spectral_shape."""
-    vp_ch = _apply_nonuniform_ch(plan, vp_ch, callbacks.nonuniform)
-    C = vp_ch.shape[0]
+# Per-stage helpers (shared by the fused jit path and the staged/timed path)
+
+
+def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
     if plan.fft_method == "matmul":
-        g = _spread(plan, vp_ch) if plan.is_real else _spread_ch(plan, vp_ch)
-        spec_ch = matmul_fft.forward_fft_matmul(g, plan.fft_axes, real=plan.is_real, prec=plan.precision)
-        flat = spec_ch.reshape((2 * C,) + spec_ch.shape[2:])
+        return _spread(plan, vp_ch) if plan.is_real else _spread_ch(plan, vp_ch)
+    vp = vp_ch if plan.is_real else _from_channels(vp_ch).astype(plan.dtype)
+    return _spread(plan, vp)
+
+
+def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
+    if plan.fft_method == "matmul":
+        return matmul_fft.forward_fft_matmul(
+            g, plan.fft_axes, real=plan.is_real, prec=plan.precision
+        )
+    return fft.forward_fft(g, real=plan.is_real)
+
+
+def _t1_deconv_stage(plan: Plan, spec, callbacks: NUFFTCallbacks):
+    if plan.fft_method == "matmul":
+        C = spec.shape[0]
+        flat = spec.reshape((2 * C,) + spec.shape[2:])
         out = deconvolve_truncate(
-            flat, plan.index_maps, plan.phihat_inv, plan.normfactor, callback=None
+            flat, plan.index_ranges, plan.phihat_inv, plan.normfactor, callback=None
         )
         out_ch = out.reshape((C, 2) + out.shape[1:])
     else:
-        vp = vp_ch if plan.is_real else _from_channels(vp_ch).astype(plan.dtype)
-        grid = _spread(plan, vp)
-        uhat_over = fft.forward_fft(grid, real=plan.is_real)
         uhat = deconvolve_truncate(
-            uhat_over, plan.index_maps, plan.phihat_inv, plan.normfactor, callback=None
+            spec, plan.index_ranges, plan.phihat_inv, plan.normfactor, callback=None
         )
         out_ch = _to_channels(uhat)
     if callbacks.uniform is not None:
@@ -176,10 +185,7 @@ def _exec_type1_ch_impl(plan: Plan, vp_ch: jnp.ndarray, callbacks: NUFFTCallback
     return out_ch
 
 
-@partial(jax.jit, static_argnames=("callbacks",))
-def _exec_type2_ch_impl(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
-    """uhat_ch: channel-form spectrum (C, 2) + spectral_shape.
-    Returns (C, Np) real plans | (C, 2, Np) complex plans."""
+def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
     C = uhat_ch.shape[0]
     if callbacks.uniform is not None:
         u = _from_channels(uhat_ch).astype(plan.complex_dtype)
@@ -190,19 +196,115 @@ def _exec_type2_ch_impl(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallba
     else:
         phinv = plan.phihat_inv
     flat = uhat_ch.reshape((2 * C,) + uhat_ch.shape[2:])
+    flat = deconvolve_pad(flat, plan.spectral_shape_over, plan.index_ranges, phinv)
+    return flat.reshape((C, 2) + flat.shape[1:])
+
+
+def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
     if plan.fft_method == "matmul":
-        flat = deconvolve_pad(flat, plan.spectral_shape_over, plan.index_maps, phinv)
-        spec_ch = flat.reshape((C, 2) + flat.shape[1:])
-        grid = matmul_fft.backward_fft_matmul(spec_ch, plan.fft_axes, real=plan.is_real, prec=plan.precision)
-        vp_ch = _interpolate(plan, grid) if plan.is_real else _interpolate_ch(plan, grid)
-    else:
-        flat = deconvolve_pad(flat, plan.spectral_shape_over, plan.index_maps, phinv)
-        spec_ch = flat.reshape((C, 2) + flat.shape[1:])
-        uhat_over = _from_channels(spec_ch).astype(plan.complex_dtype)
-        grid = fft.backward_fft(uhat_over, plan.shape_over, real=plan.is_real)
-        vp = _interpolate(plan, grid)
-        vp_ch = vp if plan.is_real else _to_channels(vp)
+        return matmul_fft.backward_fft_matmul(
+            spec_ch, plan.fft_axes, real=plan.is_real, prec=plan.precision
+        )
+    uhat_over = _from_channels(spec_ch).astype(plan.complex_dtype)
+    return fft.backward_fft(uhat_over, plan.shape_over, real=plan.is_real)
+
+
+def _t2_interp_stage(plan: Plan, grid):
+    if plan.fft_method == "matmul":
+        return _interpolate(plan, grid) if plan.is_real else _interpolate_ch(plan, grid)
+    vp = _interpolate(plan, grid)
+    return vp if plan.is_real else _to_channels(vp)
+
+
+@partial(jax.jit, static_argnames=("callbacks",))
+def _exec_type1_ch_impl(plan: Plan, vp_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
+    """vp_ch: (C, Np) real plans | (C, 2, Np) complex plans.
+    Returns the channel-form spectrum (C, 2) + spectral_shape."""
+    vp_ch = _apply_nonuniform_ch(plan, vp_ch, callbacks.nonuniform)
+    g = _t1_spread_stage(plan, vp_ch)
+    spec = _t1_fft_stage(plan, g)
+    return _t1_deconv_stage(plan, spec, callbacks)
+
+
+@partial(jax.jit, static_argnames=("callbacks",))
+def _exec_type2_ch_impl(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
+    """uhat_ch: channel-form spectrum (C, 2) + spectral_shape.
+    Returns (C, Np) real plans | (C, 2, Np) complex plans."""
+    spec_ch = _t2_pad_stage(plan, uhat_ch, callbacks)
+    grid = _t2_fft_stage(plan, spec_ch)
+    vp_ch = _t2_interp_stage(plan, grid)
     return _apply_nonuniform_ch(plan, vp_ch, callbacks.nonuniform)
+
+
+# ---------------------------------------------------------------------------
+# Staged (timed) execution: one jitted call per stage, synchronised between
+# stages — the analogue of the reference's @timeit-wrapped pipeline with
+# synchronise=true (src/NonuniformFFTs.jl:157-185, plan.jl:288-290).  Active
+# whenever the plan carries a Timer.
+# ---------------------------------------------------------------------------
+
+_j_nonuni = partial(jax.jit, static_argnames=("cb",))(
+    lambda plan, x, cb: _apply_nonuniform_ch(plan, x, cb)
+)
+_j_t1_spread = jax.jit(_t1_spread_stage)
+_j_t1_fft = jax.jit(_t1_fft_stage)
+_j_t1_deconv = partial(jax.jit, static_argnames=("callbacks",))(_t1_deconv_stage)
+_j_t2_pad = partial(jax.jit, static_argnames=("callbacks",))(_t2_pad_stage)
+_j_t2_fft = jax.jit(_t2_fft_stage)
+_j_t2_interp = jax.jit(_t2_interp_stage)
+
+
+def _run_staged(timer, name, fn, *args, **kw):
+    with timer.section(name):
+        out = fn(*args, **kw)
+        timer.sync(out)
+    return out
+
+
+def _exec_type1_ch_staged(plan: Plan, vp_ch, callbacks: NUFFTCallbacks):
+    t = plan.timer
+    with t.section("exec_type1"):
+        if callbacks.nonuniform is not None:
+            vp_ch = _run_staged(
+                t, "(0) nonuniform callback", _j_nonuni, plan, vp_ch,
+                cb=callbacks.nonuniform,
+            )
+        g = _run_staged(t, "(1) spreading", _j_t1_spread, plan, vp_ch)
+        spec = _run_staged(t, "(2) forward FFT", _j_t1_fft, plan, g)
+        out = _run_staged(
+            t, "(3) deconvolve + truncate", _j_t1_deconv, plan, spec,
+            callbacks=callbacks,
+        )
+    return out
+
+
+def _exec_type2_ch_staged(plan: Plan, uhat_ch, callbacks: NUFFTCallbacks):
+    t = plan.timer
+    with t.section("exec_type2"):
+        spec = _run_staged(
+            t, "(1) deconvolve + pad", _j_t2_pad, plan, uhat_ch,
+            callbacks=callbacks,
+        )
+        grid = _run_staged(t, "(2) backward FFT", _j_t2_fft, plan, spec)
+        vp_ch = _run_staged(t, "(3) interpolation", _j_t2_interp, plan, grid)
+        if callbacks.nonuniform is not None:
+            vp_ch = _run_staged(
+                t, "(4) nonuniform callback", _j_nonuni, plan, vp_ch,
+                cb=callbacks.nonuniform,
+            )
+    return vp_ch
+
+
+def _dispatch_type1(plan, vp_ch, callbacks):
+    if plan.timer is not None:
+        return _exec_type1_ch_staged(plan, vp_ch, callbacks)
+    return _exec_type1_ch_impl(plan, vp_ch, callbacks)
+
+
+def _dispatch_type2(plan, uhat_ch, callbacks):
+    if plan.timer is not None:
+        return _exec_type2_ch_staged(plan, uhat_ch, callbacks)
+    return _exec_type2_ch_impl(plan, uhat_ch, callbacks)
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +361,7 @@ def exec_type1(plan: Plan, vp, callbacks: NUFFTCallbacks = None) -> jnp.ndarray:
         vp_ch = jnp.asarray(_host_to_channels(vp, plan.dtype))
     else:
         vp_ch = _to_channels(vp)
-    out_ch = _exec_type1_ch_impl(plan, vp_ch, callbacks)
+    out_ch = _dispatch_type1(plan, vp_ch, callbacks)
     uhat = _from_channels(out_ch).astype(plan.complex_dtype)
     return uhat if had_axis else uhat[0]
 
@@ -292,7 +394,7 @@ def exec_type2(plan: Plan, uhat, callbacks: NUFFTCallbacks = None) -> jnp.ndarra
         )
     else:
         uhat_ch = _to_channels(uhat)
-    vp_ch = _exec_type2_ch_impl(plan, uhat_ch, callbacks)
+    vp_ch = _dispatch_type2(plan, uhat_ch, callbacks)
     if plan.is_real:
         vp = vp_ch.astype(plan.dtype)
     else:
@@ -318,7 +420,7 @@ def exec_type1_channels(plan: Plan, vp_ch, callbacks: NUFFTCallbacks = None):
     vp_ch = jnp.asarray(vp_ch)
     tail = 1 if plan.is_real else 2
     vp_ch, had_axis = _as_components(vp_ch, plan, expected_tail_ndim=tail)
-    out_ch = _exec_type1_ch_impl(plan, vp_ch, callbacks)
+    out_ch = _dispatch_type1(plan, vp_ch, callbacks)
     return out_ch if had_axis else out_ch[0]
 
 
@@ -335,5 +437,5 @@ def exec_type2_channels(plan: Plan, uhat_ch, callbacks: NUFFTCallbacks = None):
     uhat_ch, had_axis = _as_components(
         uhat_ch, plan, expected_tail_ndim=plan.ndim + 1
     )
-    vp_ch = _exec_type2_ch_impl(plan, uhat_ch, callbacks)
+    vp_ch = _dispatch_type2(plan, uhat_ch, callbacks)
     return vp_ch if had_axis else vp_ch[0]

@@ -71,6 +71,56 @@ def non_oversampled_indices(
     return out
 
 
+def truncate_ranges(
+    n_out: int, n_over: int, *, r2c: bool, fftshift: bool
+) -> Tuple[Tuple[int, int], ...]:
+    """The contiguous-slice structure of :func:`non_oversampled_indices`:
+    a tuple of ``(src_start, length)`` ranges into the oversampled axis, in
+    output order.  The non-oversampled modes always occupy at most two
+    contiguous runs of the oversampled FFT axis (k >= 0 at the front,
+    k < 0 at the back), so truncation/padding lower to slices and concats —
+    important on TPU, where XLA lowers general gathers/scatters far less
+    efficiently than dynamic slices."""
+    if r2c:
+        return ((0, n_out),)
+    h_neg = n_out // 2  # count of k < 0 modes
+    h_pos = n_out - h_neg  # count of k >= 0 modes (incl. 0)
+    if fftshift:
+        return ((n_over - h_neg, h_neg), (0, h_pos))
+    return ((0, h_pos), (n_over - h_neg, h_neg))
+
+
+def truncate_axis(x: jnp.ndarray, axis: int, ranges) -> jnp.ndarray:
+    """Truncate one axis to the output modes (output-ordered slice concat)."""
+    parts = [jax.lax.slice_in_dim(x, s, s + l, axis=axis) for s, l in ranges]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
+def pad_axis(x: jnp.ndarray, axis: int, ranges, n_over: int) -> jnp.ndarray:
+    """Inverse of :func:`truncate_axis`: place the output-ordered input
+    segments at their oversampled positions, zero-filling the gap."""
+    # Input offsets of each segment, in listed (output) order.
+    offs = []
+    off = 0
+    for _, l in ranges:
+        offs.append(off)
+        off += l
+    segs = sorted(zip(ranges, offs))  # by src_start
+    pieces = []
+    pos = 0
+    zshape = list(x.shape)
+    for (s, l), o in segs:
+        if s > pos:
+            zshape[axis] = s - pos
+            pieces.append(jnp.zeros(zshape, dtype=x.dtype))
+        pieces.append(jax.lax.slice_in_dim(x, o, o + l, axis=axis))
+        pos = s + l
+    if pos < n_over:
+        zshape[axis] = n_over - pos
+        pieces.append(jnp.zeros(zshape, dtype=x.dtype))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=axis)
+
+
 def _apply_uniform_callback(w: jnp.ndarray, callback) -> jnp.ndarray:
     """Apply the reference-semantics uniform callback ``(w_tuple, idx_tuple) ->
     w_tuple`` at every grid point, vectorised with vmap.  ``w`` has shape
@@ -94,18 +144,19 @@ def _apply_uniform_callback(w: jnp.ndarray, callback) -> jnp.ndarray:
 
 def deconvolve_truncate(
     uhat_over: jnp.ndarray,  # (C,) + oversampled spectral shape
-    index_maps: Sequence[jnp.ndarray],
+    index_ranges,  # per-dim tuple of (src_start, length) ranges
     phihat_inv: Sequence[jnp.ndarray],  # per-dim 1/phi_hat at output modes
     normfactor: float,
     callback=None,
 ) -> jnp.ndarray:
     """Type-1 step (3): truncate the oversampled spectrum to the output modes
     and multiply by ``normfactor / prod_d phi_hat_d`` (reference:
-    src/NonuniformFFTs.jl:179-185, 350-414)."""
+    src/NonuniformFFTs.jl:179-185, 350-414).  Truncation is per-axis slice +
+    concat (see :func:`truncate_ranges`)."""
     out = uhat_over
-    for d, idx in enumerate(index_maps):
-        out = jnp.take(out, idx, axis=1 + d)
-    D = len(index_maps)
+    for d, ranges in enumerate(index_ranges):
+        out = truncate_axis(out, 1 + d, ranges)
+    D = len(index_ranges)
     scale = jnp.asarray(normfactor, dtype=out.real.dtype)
     out = out * scale
     for d, ph_inv in enumerate(phihat_inv):
@@ -120,15 +171,15 @@ def deconvolve_truncate(
 def deconvolve_pad(
     uhat_k: jnp.ndarray,  # (C,) + output spectral shape
     shape_over_spec: Tuple[int, ...],  # oversampled spectral shape
-    index_maps: Sequence[jnp.ndarray],
+    index_ranges,  # per-dim tuple of (src_start, length) ranges
     phihat_inv: Sequence[jnp.ndarray],
     callback=None,
 ) -> jnp.ndarray:
     """Type-2 step (1): scale input modes by ``1 / prod_d phi_hat_d`` and
-    scatter them into the zero-padded oversampled spectrum (reference:
-    src/NonuniformFFTs.jl:268-272, 416-480)."""
-    C = uhat_k.shape[0]
-    D = len(index_maps)
+    place them into the zero-padded oversampled spectrum (reference:
+    src/NonuniformFFTs.jl:268-272, 416-480).  Zero-padding is per-axis
+    slice + concat — no scatter (serial on TPU)."""
+    D = len(index_ranges)
     w = uhat_k
     if phihat_inv is not None:  # None: caller already applied the scaling
         for d, ph_inv in enumerate(phihat_inv):
@@ -137,6 +188,6 @@ def deconvolve_pad(
             w = w * ph_inv.reshape(shape)
     if callback is not None:
         w = _apply_uniform_callback(w, callback)
-    out = jnp.zeros((C,) + tuple(shape_over_spec), dtype=uhat_k.dtype)
-    mesh = jnp.ix_(*[jnp.asarray(m) for m in index_maps])
-    return out.at[(slice(None),) + mesh].set(w)
+    for d, ranges in enumerate(index_ranges):
+        w = pad_axis(w, 1 + d, ranges, shape_over_spec[d])
+    return w

@@ -211,13 +211,16 @@ def spread_blocked(
     P = plan.batch_size
     rdt = plan.real_dtype
 
-    nslots = plan.points.shape[1]
-    # Leading (sublane) dims of DMA-sliced arrays must be tile-aligned.
-    DP = common.round_up(D, 8)
+    # Leading (sublane) dims of DMA-sliced arrays must be tile-aligned;
+    # the slot layout is built with one gather (TPU scatters are serial).
+    from ...blocking import gather_slots
+
     CRP = common.round_up(CR, 8)
-    pts = jnp.pad(plan.points, ((0, DP - D), (0, 0)))
-    vals = jnp.zeros((CRP, nslots), rdt).at[:CR, plan.point_slots].set(
-        vals_in.astype(rdt)
+    pts = plan.points_slotted
+    DP = pts.shape[0]
+    nslots = pts.shape[1]
+    vals = gather_slots(
+        vals_in.astype(rdt), plan.slot_to_point, plan.slot_valid, rows=CRP
     )
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
 
@@ -255,7 +258,7 @@ def spread_blocked(
     )(plan.block_starts, pts, vals, cs)
 
     blocks = blocks.reshape((CR,) + tuple(nb) + tuple(pd))  # free lane split
-    grid = common.overlap_add(blocks, bdims, pd, m)
+    grid = common.overlap_add(blocks, bdims, pd, m, interpret=plan.interpret)
     if channel_output and is_complex:
         return grid.reshape((C, 2) + grid.shape[1:])
     return unpack_components(grid, is_complex).astype(plan.dtype)
@@ -317,17 +320,17 @@ def interpolate_blocked(
     P = plan.batch_size
     rdt = plan.real_dtype
 
-    nslots = plan.points.shape[1]
-    DP = common.round_up(D, 8)
     CRP = common.round_up(CR, 8)
-    pts = jnp.pad(plan.points, ((0, DP - D), (0, 0)))
+    pts = plan.points_slotted
+    DP = pts.shape[0]
+    nslots = pts.shape[1]
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
 
     if channel_input and is_complex:
         gp = grid.reshape((2 * C,) + grid.shape[2:]).astype(rdt)
     else:
         gp = pack_components(grid, is_complex).astype(rdt)
-    halos = common.halo_gather(gp, bdims, pd, m)  # (CR, nb.., pd..)
+    halos = common.halo_gather(gp, bdims, pd, m, interpret=plan.interpret)  # (CR, nb.., pd..)
     halos = halos.reshape((CR,) + tuple(nb) + (pd[0], yz))  # free lane merge
 
     nblocks = int(np.prod(nb))

@@ -158,30 +158,106 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int):
 
 
 # ---------------------------------------------------------------------------
+# Block-major <-> grid relayout (Pallas copy kernels)
+# ---------------------------------------------------------------------------
+#
+# The grid layout (CR, N0, N1, ...) and the kernels' block-major layout
+# (CR, nb0, .., B0/p0, ..) differ by the classic block-interleave transpose.
+# XLA lowers that transpose (fused with the halo rolls) at ~20 GB/s on this
+# TPU (round-2 profile: 110 ms for the 0.8 GB merge), so the relayout is
+# done instead by a trivial Pallas copy kernel whose BlockSpecs express the
+# permutation as pipelined DMAs, and every halo merge/gather step operates
+# on matching-layout arrays (slices and rolls only, no transpose).
+
+
+def _relayout_kernel(src_ref, dst_ref):
+    dst_ref[...] = src_ref[...].reshape(dst_ref.shape)
+
+
+def relayout_to_grid(blocks_major: jnp.ndarray, block_dims, *, interpret=False):
+    """(CR, nb0, .., nbD-1, B0, .., BD-1) -> (CR, N0, .., ND-1).
+
+    Mosaic requires the last two block-spec dims to be (8, 128)-divisible or
+    span the array — guaranteed by choose_geometry / the block_dims
+    validation in PlanNUFFT (last block dim a multiple of 128 or the full
+    axis; second-to-last a multiple of 8 or the full axis)."""
+    from jax.experimental import pallas as pl
+
+    D = len(block_dims)
+    CR = blocks_major.shape[0]
+    nb = blocks_major.shape[1 : 1 + D]
+    grid_shape = tuple(n * b for n, b in zip(nb, block_dims))
+    if D == 1:
+        # Block-major == grid layout up to a contiguous merge: free reshape.
+        return blocks_major.reshape((CR,) + grid_shape)
+
+    def in_index(*bids):
+        return (0,) + tuple(bids) + (0,) * D
+
+    def out_index(*bids):
+        return (0,) + tuple(bids)
+
+    return pl.pallas_call(
+        _relayout_kernel,
+        grid=tuple(nb),
+        in_specs=[pl.BlockSpec((CR,) + (1,) * D + tuple(block_dims), in_index)],
+        out_specs=pl.BlockSpec((CR,) + tuple(block_dims), out_index),
+        out_shape=jax.ShapeDtypeStruct((CR,) + grid_shape, blocks_major.dtype),
+        interpret=interpret,
+    )(blocks_major)
+
+
+def relayout_to_blocks(grid: jnp.ndarray, block_dims, *, interpret=False):
+    """(CR, N0, .., ND-1) -> (CR, nb0, .., nbD-1, B0, .., BD-1)."""
+    from jax.experimental import pallas as pl
+
+    D = len(block_dims)
+    CR = grid.shape[0]
+    nb = tuple(n // b for n, b in zip(grid.shape[1:], block_dims))
+    if D == 1:
+        return grid.reshape((CR,) + nb + tuple(block_dims))
+
+    def in_index(*bids):
+        return (0,) + tuple(bids)
+
+    def out_index(*bids):
+        return (0,) + tuple(bids) + (0,) * D
+
+    return pl.pallas_call(
+        _relayout_kernel,
+        grid=nb,
+        in_specs=[pl.BlockSpec((CR,) + tuple(block_dims), in_index)],
+        out_specs=pl.BlockSpec((CR,) + (1,) * D + tuple(block_dims), out_index),
+        out_shape=jax.ShapeDtypeStruct(
+            (CR,) + nb + tuple(block_dims), grid.dtype
+        ),
+        interpret=interpret,
+    )(grid)
+
+
+# ---------------------------------------------------------------------------
 # jnp-side halo merge / gather (outside the kernels)
 # ---------------------------------------------------------------------------
 
 
-def overlap_add(blocks: jnp.ndarray, block_dims, padded_dims, m: int) -> jnp.ndarray:
+def overlap_add(
+    blocks: jnp.ndarray, block_dims, padded_dims, m: int, *, interpret=False
+) -> jnp.ndarray:
     """Merge padded per-block accumulators into the periodic grid.
 
     ``blocks``: (CR, nb0, .., nbD-1, p0, .., pD-1) — the kernel's output
-    layout (Mosaic requires the last two block dims to span the array, so the
-    padded dims sit together at the end).  Local index i of a block maps to
-    global row ``b*B - (M-1) + i``: a left halo of M-1 rows belongs to the
-    previous block and a right halo of M rows (plus alignment padding, which
-    is identically zero) to the next, with periodic wrap via roll.  Returns
-    (CR, N0~, N1~, ...).
+    layout.  Local index i of a block maps to global row ``b*B - (M-1) + i``:
+    a left halo of M-1 rows belongs to the previous block and a right halo
+    of M rows (plus alignment padding, which is identically zero) to the
+    next, with periodic wrap via roll.  All merge passes stay in block-major
+    layout (slices + rolls along *distinct* axes — no transpose); the final
+    block->grid relayout is a Pallas copy.  Returns (CR, N0~, N1~, ...).
     """
     D = len(block_dims)
-    # Interleave to (CR, nb0, p0, nb1, p1, ...): one XLA transpose pass.
-    perm = [0]
+    arr = blocks
     for d in range(D):
-        perm += [1 + d, 1 + D + d]
-    arr = jnp.transpose(blocks, perm)
-    for d in range(D):
-        nb_ax = 1 + 2 * d
-        p_ax = nb_ax + 1
+        nb_ax = 1 + d
+        p_ax = 1 + D + d
         B = block_dims[d]
         main = jax.lax.slice_in_dim(arr, m - 1, m - 1 + B, axis=p_ax)
         left = jax.lax.slice_in_dim(arr, 0, m - 1, axis=p_ax)
@@ -198,30 +274,25 @@ def overlap_add(blocks: jnp.ndarray, block_dims, padded_dims, m: int) -> jnp.nda
             idx[p_ax] = slice(B - (m - 1), B)
             main = main.at[tuple(idx)].add(jnp.roll(left, -1, axis=nb_ax))
         arr = main
-    # (CR, nb0, B0, nb1, B1, ...) -> (CR, N0~, ...): adjacent merges are free.
-    shape = (arr.shape[0],) + tuple(
-        arr.shape[1 + 2 * d] * arr.shape[2 + 2 * d] for d in range(D)
-    )
-    return arr.reshape(shape)
+    return relayout_to_grid(arr, block_dims, interpret=interpret)
 
 
-def halo_gather(grid: jnp.ndarray, block_dims, padded_dims, m: int) -> jnp.ndarray:
+def halo_gather(
+    grid: jnp.ndarray, block_dims, padded_dims, m: int, *, interpret=False
+) -> jnp.ndarray:
     """Inverse of overlap_add for interpolation: build the per-block padded
     (halo-including) view of the periodic grid.
 
     ``grid``: (CR,) + shape_over.  Returns (CR, nb0, .., nbD-1, p0, .., pD-1)
     (the kernels' layout), with the alignment-padding columns zero-filled.
+    Grid -> block-major is a Pallas relayout copy; halo assembly then runs
+    on the block-major layout (rolls + concats, no transpose).
     """
     D = len(block_dims)
-    CR = grid.shape[0]
-    shape = [CR]
+    arr = relayout_to_blocks(grid, block_dims, interpret=interpret)
     for d in range(D):
-        nb = grid.shape[1 + d] // block_dims[d]
-        shape += [nb, block_dims[d]]
-    arr = grid.reshape(shape)
-    for d in range(D):
-        nb_ax = 1 + 2 * d
-        p_ax = nb_ax + 1
+        nb_ax = 1 + d
+        p_ax = 1 + D + d
         B = block_dims[d]
         left = jax.lax.slice_in_dim(
             jnp.roll(arr, 1, axis=nb_ax), B - (m - 1), B, axis=p_ax
@@ -234,6 +305,4 @@ def halo_gather(grid: jnp.ndarray, block_dims, padded_dims, m: int) -> jnp.ndarr
             zshape[p_ax] = pad
             pieces.append(jnp.zeros(zshape, dtype=arr.dtype))
         arr = jnp.concatenate(pieces, axis=p_ax)
-    # De-interleave (CR, nb0, p0, ...) -> (CR, nb0, .., p0, ..).
-    perm = [0] + [1 + 2 * d for d in range(D)] + [2 + 2 * d for d in range(D)]
-    return jnp.transpose(arr, perm)
+    return arr

@@ -98,7 +98,7 @@ def exec_type1_sharded(plan: Plan, points, vp_ch, *, mesh: Mesh, axis_name: str 
         gc = jax.lax.complex(grid[:, 0], grid[:, 1]).astype(plan.complex_dtype)
         uhat_over = fft_ops.forward_fft(gc, real=False)
     uhat = deconvolve_truncate(
-        uhat_over, plan.index_maps, plan.phihat_inv, plan.normfactor
+        uhat_over, plan.index_ranges, plan.phihat_inv, plan.normfactor
     )
     return jnp.stack([uhat.real, uhat.imag], axis=1)
 
@@ -110,7 +110,7 @@ def exec_type2_sharded(plan: Plan, points, uhat_ch, *, mesh: Mesh, axis_name: st
     Np (zero communication: pure local gather)."""
     uhat = jax.lax.complex(uhat_ch[:, 0], uhat_ch[:, 1]).astype(plan.complex_dtype)
     uhat_over = deconvolve_pad(
-        uhat, plan.spectral_shape_over, plan.index_maps, plan.phihat_inv
+        uhat, plan.spectral_shape_over, plan.index_ranges, plan.phihat_inv
     )
     grid = fft_ops.backward_fft(uhat_over, plan.shape_over, real=plan.is_real)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import warnings
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -65,16 +66,26 @@ class Plan:
     interpret: bool = static_field(default=False)  # Pallas interpreter mode
     fft_method: str = static_field(default="xla")  # 'xla' | 'matmul'
     precision: str = static_field(default="highest")  # TPU matmul precision
+    # Host-side per-stage Timer (utils.timer.Timer) or None.  When set, the
+    # execution functions run stage-by-stage with device sync between stages
+    # (the analogue of the reference's TimerOutputs + synchronise=true,
+    # src/NonuniformFFTs.jl:157-185, src/plan.jl:453-454).
+    timer: Optional[Any] = static_field(default=None)
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
     phihat_inv: Tuple[jnp.ndarray, ...] = data_field(default=())  # 1/phi_hat per dim
-    index_maps: Tuple[jnp.ndarray, ...] = data_field(default=())
+    # Per-dim (src_start, length) slice ranges mapping output modes into the
+    # oversampled FFT axis — static so trunc/pad lower to slices, not gathers.
+    index_ranges: Tuple = static_field(default=())
     kvec: Tuple[jnp.ndarray, ...] = data_field(default=())  # output wavenumbers
     fft_axes: Tuple = data_field(default=())  # AxisDFT per dim (matmul FFT)
 
     # --- point state (set by set_points) --------------------------------
-    points: Optional[jnp.ndarray] = data_field(default=None)  # (D, Np|Nslots)
+    points: Optional[jnp.ndarray] = data_field(default=None)  # (D, Np) folded
+    points_slotted: Optional[jnp.ndarray] = data_field(default=None)  # (DP, Nslots)
+    slot_to_point: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,)
+    slot_valid: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,) bool
     point_slots: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
     block_starts: Optional[jnp.ndarray] = data_field(default=None)  # (nblocks+1,) in batches
     num_points_static: Optional[int] = static_field(default=None)  # Np (blocked)
@@ -152,6 +163,20 @@ class Plan:
             + (f", block dims {self.block_dims}" if self.block_dims else ""),
             f"  - points set: {self.num_points if self.points is not None else 'no'}",
         ]
+        if self.spread_method == "blocked" and self.block_dims:
+            nblocks = 1
+            for n, b in zip(self.shape_over, self.block_dims):
+                nblocks *= n // b
+            lines.append(
+                f"  - blocked geometry: {nblocks} blocks, point batch "
+                f"{self.batch_size}, FFT engine {self.fft_method} "
+                f"(precision {self.precision})"
+            )
+            if self.points_slotted is not None and self.num_points:
+                waste = self.points_slotted.shape[1] / self.num_points
+                lines.append(f"  - slot padding waste: {waste:.2f}x")
+        if self.timer is not None:
+            lines.append(f"  - timer attached (synchronise={self.timer.synchronise})")
         return "\n".join(lines)
 
 
@@ -182,6 +207,8 @@ def PlanNUFFT(
     interpret: bool = False,
     fft_method: Optional[str] = None,
     precision: str = "highest",
+    np_hint: Optional[int] = None,
+    timer=None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
 
@@ -240,22 +267,23 @@ def PlanNUFFT(
         for n, n_over in zip(shape, shape_over)
     )
 
-    # Output wavenumbers, deconvolution factors and index maps per dim.
-    kvec_np, phinv_np, imaps_np = [], [], []
+    # Output wavenumbers, deconvolution factors and slice ranges per dim.
+    kvec_np, phinv_np, iranges = [], [], []
     for d, (n, n_over, kd) in enumerate(zip(shape, shape_over, kernel_data)):
         r2c = is_real and d == D - 1
         k = deconvolve.output_wavenumbers(n, r2c=r2c, fftshift=fftshift and not r2c)
         ph = windows.fourier_coefficients_np(kd, k)
         n_over_spec = (n_over // 2 + 1) if r2c else n_over
-        imap = deconvolve.non_oversampled_indices(
-            len(k), n_over_spec, r2c=r2c, fftshift=fftshift and not r2c
+        iranges.append(
+            deconvolve.truncate_ranges(
+                len(k), n_over_spec, r2c=r2c, fftshift=fftshift and not r2c
+            )
         )
         kvec_np.append(k)
         phinv_np.append(1.0 / ph)
-        imaps_np.append(imap)
 
     if spread_method == "blocked":
-        from .blocking import choose_block_dims
+        from .blocking import choose_geometry
 
         # Pallas DMA slot offsets (start_b + i) * P must be lane-tile (128)
         # aligned on real TPUs; interpret mode would silently accept any
@@ -267,10 +295,15 @@ def PlanNUFFT(
                 "interpret=True for emulation with smaller batches"
             )
         if block_dims is None:
-            block_dims = choose_block_dims(shape_over, m)
+            cr = ntransforms * (1 if is_real else 2)
+            block_dims, geo_warnings = choose_geometry(
+                shape_over, m, cr=cr, np_hint=np_hint, batch_size=batch_size
+            )
+            for w in geo_warnings:
+                warnings.warn(w, stacklevel=2)
         else:
             block_dims = tuple(int(b) for b in block_dims)
-            for b, n_over in zip(block_dims, shape_over):
+            for d, (b, n_over) in enumerate(zip(block_dims, shape_over)):
                 if n_over % b != 0:
                     raise ValueError(
                         f"block dim {b} must divide the oversampled grid size {n_over}"
@@ -280,6 +313,19 @@ def PlanNUFFT(
                         f"block dim {b} must be >= the kernel half-support M={m} "
                         "(halos may only touch immediate neighbour blocks)"
                     )
+                if not interpret and D >= 2:
+                    # Mosaic tiling constraint of the relayout copy kernels.
+                    if d == D - 1 and b % 128 != 0 and b != n_over:
+                        raise ValueError(
+                            f"last block dim {b} must be a multiple of 128 or "
+                            f"the full axis ({n_over}) on compiled TPU backends"
+                        )
+                    if d == D - 2 and b % 8 != 0 and b != n_over:
+                        raise ValueError(
+                            f"second-to-last block dim {b} must be a multiple "
+                            f"of 8 or the full axis ({n_over}) on compiled TPU "
+                            "backends"
+                        )
 
     # FFT engine: XLA's native FFT where available; MXU matmul-DFT on TPU
     # backends that do not implement the FFT op (ops/matmul_fft.py).
@@ -318,9 +364,10 @@ def PlanNUFFT(
         fft_method=fft_method,
         fft_axes=fft_axes,
         precision=precision,
+        timer=timer,
         kernel_data=kernel_data,
         phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
-        index_maps=tuple(jnp.asarray(i) for i in imaps_np),
+        index_ranges=tuple(iranges),
         kvec=tuple(jnp.asarray(k, dtype=real_dtype) for k in kvec_np),
     )
 
@@ -370,9 +417,15 @@ def fold_points(x: jnp.ndarray, point_transform: Callable = _identity) -> jnp.nd
 
 @jax.jit
 def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
-    from .blocking import sort_points_into_blocks
+    from .blocking import gather_slots, sort_points_into_blocks
 
-    return sort_points_into_blocks(plan, pts)
+    s2p, valid, point_slots, batch_starts = sort_points_into_blocks(plan, pts)
+    # Pre-gather the slot-aligned coordinates (rows padded to the sublane
+    # granule for the kernels' DMA slices); padding slots duplicate point 0,
+    # which is harmless because their *values* are masked to zero.
+    DP = -(-plan.ndim // 8) * 8
+    pts_slotted = gather_slots(pts, s2p, valid, rows=DP, mask=False)
+    return pts_slotted, s2p, valid, point_slots, batch_starts
 
 
 def set_points(plan: Plan, points) -> Plan:
@@ -382,14 +435,43 @@ def set_points(plan: Plan, points) -> Plan:
     pts = fold_points(pts, plan.point_transform)
     if plan.spread_method == "blocked":
         np_ = pts.shape[1]
-        pts_slotted, slots, batch_starts = _sort_points_jit(plan, pts)
+        if plan.timer is not None:
+            with plan.timer.section("set_points"):
+                out = _sort_points_jit(plan, pts)
+                plan.timer.sync(out)
+        else:
+            out = _sort_points_jit(plan, pts)
+        pts_slotted, s2p, valid, slots, batch_starts = out
+        # Geometry diagnostic (reference warns on degenerate shared-memory
+        # geometry, src/gpu_common.jl:66-77): slot padding waste is known
+        # statically here because nslots is a static shape.
+        nslots = pts_slotted.shape[1]
+        if np_ > 0 and nslots / np_ > 2.0:
+            warnings.warn(
+                f"slot padding waste is {nslots / np_:.1f}x (Np={np_}, "
+                f"nslots={nslots}, block_dims={plan.block_dims}, batch="
+                f"{plan.batch_size}); point density is low for this blocked "
+                "geometry — pass np_hint to PlanNUFFT or use "
+                "spread_method='reference'.",
+                stacklevel=2,
+            )
         return dataclasses.replace(
             plan,
-            points=pts_slotted,
+            points=pts,
+            points_slotted=pts_slotted,
+            slot_to_point=s2p,
+            slot_valid=valid,
             point_slots=slots,
             block_starts=batch_starts,
             num_points_static=np_,
         )
     return dataclasses.replace(
-        plan, points=pts, point_slots=None, block_starts=None, num_points_static=None
+        plan,
+        points=pts,
+        points_slotted=None,
+        slot_to_point=None,
+        slot_valid=None,
+        point_slots=None,
+        block_starts=None,
+        num_points_static=None,
     )

@@ -29,16 +29,27 @@ from nonuniformffts_tpu.ops.pallas import blocked, common
 
 
 def timed_scan(f, x, k=K, reps=2):
-    """Median wall time of one application of f, chained k times in a scan.
-    f: x -> y (pytrees); result reduced to a scalar that feeds the carry."""
+    """Min wall time of one application of f, chained k times in a scan.
+    f: x -> y (pytrees).  Anti-hoist: float inputs are perturbed by a
+    carry-dependent *non-zero* epsilon (a ``c * 0`` perturbation gets
+    constant-folded, after which XLA hoists the loop-invariant body — the
+    round-1 profile measured 1537 "Tflop/s" that way), and the body output
+    passes through an optimization_barrier."""
 
     def body(c, _):
-        y = f(jax.tree.map(lambda a: a + c * jnp.asarray(0, a.dtype), x))
-        s = sum(
-            jnp.sum(jnp.ravel(leaf)[:4]).astype(jnp.float32)
-            for leaf in jax.tree.leaves(y)
-        )
-        return s, None
+        def perturb(a):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a + (c * jnp.asarray(1e-30, a.dtype)).astype(a.dtype)
+            return a
+
+        y = f(jax.tree.map(perturb, x))
+        # Reduce over the FULL output: a partial slice lets XLA dead-code
+        # eliminate most of the stage (slicing a matmul output keeps only
+        # the sliced rows of the contraction).  The full-sum reduction adds
+        # one bandwidth-bound pass over the output, which is noted when
+        # interpreting bandwidth-bound stages.
+        s = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in jax.tree.leaves(y))
+        return jax.lax.optimization_barrier(s), None
 
     @jax.jit
     def loop():
@@ -82,14 +93,14 @@ if os.environ.get("PROF_CALIB", "1") == "1":
         pr = {"default": jax.lax.Precision.DEFAULT,
               "high": jax.lax.Precision.HIGH,
               "highest": jax.lax.Precision.HIGHEST}[prec]
-        t = timed_scan(lambda x, pr=pr: jnp.matmul(x, x, precision=pr), a)
+        t = timed_scan(lambda x, pr=pr: jnp.matmul(x, x, precision=pr), a, k=30)
         flops = 2 * 4096**3 / t
         report(f"matmul 4096^3 f32 {prec}", t, f"{flops/1e12:.1f} Tflop/s")
     big = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
-    t = timed_scan(lambda x: x + 1.0, big)
+    t = timed_scan(lambda x: x + 1.0, big, k=30)
     report("elementwise 256MB (r+w)", t, f"{2*big.nbytes/t/1e9:.0f} GB/s")
     t = timed_scan(lambda x: jnp.transpose(
-        x.reshape(384, 384, 384), (1, 2, 0)).reshape(-1)[:8], jnp.ones((384**3,), jnp.float32))
+        x.reshape(384, 384, 384), (1, 2, 0)), jnp.ones((384**3,), jnp.float32), k=30)
     report("transpose 384^3 f32 (1,2,0)", t, f"{2*4*384**3/t/1e9:.0f} GB/s eff")
 
 # ---------------------------------------------------------------------------
@@ -111,28 +122,30 @@ print(f"\nplan: N={shape} Np={NP_PTS} block_dims={plan.block_dims} "
 pts = jax.device_put(pts_np)
 v_ch = jax.device_put(v_np)
 p = nufft.set_points(plan, pts)
-print(f"nslots={p.points.shape[1]} nblocks={int(np.prod([s//b for s,b in zip(plan.shape_over, plan.block_dims)]))}")
+nslots = p.points_slotted.shape[1]
+print(f"nslots={nslots} nblocks={int(np.prod([s//b for s,b in zip(plan.shape_over, plan.block_dims)]))}")
 
 # --- set_points ---
-t_set = timed_scan(lambda x: nufft.set_points(plan, x).points[:, :8], pts)
-report("set_points (fold+sort+scatter)", t_set)
+t_set = timed_scan(lambda x: nufft.set_points(plan, x).points_slotted, pts)
+report("set_points (fold+sort+gather)", t_set)
 
 # --- spread: kernel only (monkeypatch-free: call internals) ---
+from nonuniformffts_tpu.blocking import gather_slots
+
 D, m, bdims, nb, pd, yz = blocked._geometry(p)
 C = 1
 CR = 2
 rdt = p.real_dtype
 
 vals_in = v_np.reshape(2, NP_PTS)
-nslots = p.points.shape[1]
 DP = common.round_up(D, 8)
 CRP = common.round_up(CR, 8)
 
-def scatter_vals(v):
-    return jnp.zeros((CRP, nslots), rdt).at[:CR, p.point_slots].set(v.reshape(2, -1))
+def slot_vals_gather(v):
+    return gather_slots(v.reshape(2, -1), p.slot_to_point, p.slot_valid, rows=CRP)
 
-t_scat = timed_scan(scatter_vals, v_ch)
-report("value scatter into slots", t_scat)
+t_scat = timed_scan(slot_vals_gather, v_ch)
+report("value gather into slots", t_scat)
 
 full_spread = lambda v: blocked.spread_blocked(p, v, channel_input=True, channel_output=True)
 t_spread_full = timed_scan(full_spread, v_ch)
@@ -143,8 +156,8 @@ import functools
 import jax.experimental.pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-pts_pad = jnp.pad(p.points, ((0, DP - D), (0, 0)))
-vals_slotted = scatter_vals(v_ch)
+pts_pad = p.points_slotted
+vals_slotted = slot_vals_gather(v_ch)
 cs = common.coefficient_stack(p.kernel_data).astype(rdt)
 
 def kernel_only(args):
@@ -174,7 +187,7 @@ def kernel_only(args):
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
-    )(p.block_starts, pts_k, vals_k, cs)[:, 0, 0, 0, :2, :2]
+    )(p.block_starts, pts_k, vals_k, cs)
 
 t_kernel = timed_scan(kernel_only, (pts_pad, vals_slotted))
 nbl = int(np.prod(nb))
@@ -182,13 +195,13 @@ bufGB = nbl * CR * pd[0] * yz * 4 / 1e9
 report("spread pallas kernel only", t_kernel, f"{nbl} programs, out buf {bufGB:.2f} GB")
 
 blocks_buf = jnp.zeros((CR,) + tuple(nb) + tuple(pd), rdt)
-t_oadd = timed_scan(lambda b: common.overlap_add(b, bdims, pd, m)[:, :2, :2, :2], blocks_buf)
+t_oadd = timed_scan(lambda b: common.overlap_add(b, bdims, pd, m), blocks_buf)
 report("overlap_add only", t_oadd)
 
 # --- forward matmul FFT ---
 grid_r = jnp.zeros((C, 2) + plan.shape_over, rdt)
 t_ffwd = timed_scan(
-    lambda g: matmul_fft.forward_fft_matmul(g, plan.fft_axes, real=False, prec=plan.precision)[:, :, :2, :2, :2],
+    lambda g: matmul_fft.forward_fft_matmul(g, plan.fft_axes, real=False, prec=plan.precision),
     grid_r,
 )
 report(f"forward matmul-DFT ({plan.precision})", t_ffwd)
@@ -197,8 +210,8 @@ spec_ch = jnp.zeros((C, 2) + plan.spectral_shape_over, rdt)
 
 t_deconv = timed_scan(
     lambda s: deconvolve_truncate(
-        s.reshape((2 * C,) + s.shape[2:]), p.index_maps, p.phihat_inv, p.normfactor
-    )[:, :2, :2, :2],
+        s.reshape((2 * C,) + s.shape[2:]), p.index_ranges, p.phihat_inv, p.normfactor
+    ),
     spec_ch,
 )
 report("deconvolve_truncate", t_deconv)
@@ -206,32 +219,32 @@ report("deconvolve_truncate", t_deconv)
 # --- type 2 stages ---
 uhat_ch = jnp.zeros((2 * C,) + plan.shape, rdt)
 t_pad = timed_scan(
-    lambda u: deconvolve_pad(u, plan.spectral_shape_over, p.index_maps, p.phihat_inv)[:, :2, :2, :2],
+    lambda u: deconvolve_pad(u, plan.spectral_shape_over, p.index_ranges, p.phihat_inv),
     uhat_ch,
 )
 report("deconvolve_pad", t_pad)
 
 t_fbwd = timed_scan(
-    lambda s: matmul_fft.backward_fft_matmul(s, plan.fft_axes, real=False, prec=plan.precision)[:, :, :2, :2, :2],
+    lambda s: matmul_fft.backward_fft_matmul(s, plan.fft_axes, real=False, prec=plan.precision),
     spec_ch,
 )
 report(f"backward matmul-DFT ({plan.precision})", t_fbwd)
 
 grid_full = jnp.zeros((C, 2) + plan.shape_over, rdt)
 t_interp_full = timed_scan(
-    lambda g: blocked.interpolate_blocked(p, g, channel_input=True, channel_output=True)[:, :, :16],
+    lambda g: blocked.interpolate_blocked(p, g, channel_input=True, channel_output=True),
     grid_full,
 )
 report("interpolate_blocked total", t_interp_full)
 
 gp = grid_full.reshape((2 * C,) + plan.shape_over)
 t_hgather = timed_scan(
-    lambda g: common.halo_gather(g, bdims, pd, m).reshape(-1)[:8], gp
+    lambda g: common.halo_gather(g, bdims, pd, m), gp
 )
 report("halo_gather only", t_hgather)
 
 t_take = timed_scan(
-    lambda sv: jnp.take(sv, p.point_slots, axis=1)[:, :8],
+    lambda sv: jnp.take(sv, p.point_slots, axis=1),
     jnp.zeros((CR, nslots), rdt),
 )
 report("slot un-permute (take)", t_take)

@@ -1,0 +1,121 @@
+"""Geometry calculator (C9) + observability (C22) tests.
+
+The TPU analogue of the reference's shared-memory geometry arithmetic
+(src/gpu_common.jl:19-92) and its misconfiguration warnings (:66-77), plus
+the per-stage Timer (reference: TimerOutputs on the plan, src/plan.jl:282).
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import nonuniformffts_tpu as nufft
+from nonuniformffts_tpu.blocking import (
+    VMEM_BUDGET_BYTES,
+    choose_geometry,
+    geometry_cost,
+    num_slots,
+)
+from nonuniformffts_tpu.utils.timer import Timer
+
+
+def test_choose_geometry_divides_and_tiling():
+    shape_over = (384, 384, 384)
+    bd, w = choose_geometry(shape_over, 4, cr=2, np_hint=1_000_000)
+    assert all(n % b == 0 for n, b in zip(shape_over, bd))
+    assert bd[-1] % 128 == 0 or bd[-1] == shape_over[-1]
+    assert bd[-2] % 8 == 0 or bd[-2] == shape_over[-2]
+    assert not w
+    _, vmem = geometry_cost(shape_over, bd, 4, 2, 1_000_000, 128)
+    assert vmem <= VMEM_BUDGET_BYTES
+
+
+def test_choose_geometry_small_grid_full_axis():
+    # 96 has no divisor that is a multiple of 128 -> last dim must be full.
+    bd, _ = choose_geometry((96, 96, 96), 4, cr=2, np_hint=100_000)
+    assert bd[-1] == 96
+
+
+def test_choose_geometry_density_adapts():
+    lo, _ = choose_geometry((384, 384, 384), 4, cr=2, np_hint=50_000)
+    hi, _ = choose_geometry((384, 384, 384), 4, cr=2, np_hint=16_777_216)
+    nblocks = lambda bd: np.prod([384 // b for b in bd])
+    # Fewer blocks at low density (padding waste), more at high density.
+    assert nblocks(lo) <= nblocks(hi)
+
+
+def test_choose_geometry_warns_when_infeasible():
+    # An absurd CR makes every candidate blow the VMEM budget.
+    bd, w = choose_geometry((384, 384, 384), 4, cr=4096, np_hint=1_000_000)
+    assert any("VMEM" in x for x in w)
+
+
+def test_plan_rejects_bad_tiling_compiled():
+    with pytest.raises(ValueError, match="multiple of 128"):
+        nufft.PlanNUFFT(
+            np.complex64, (256, 256, 256), m=4, sigma=1.5,
+            spread_method="blocked", block_dims=(16, 24, 48),
+        )
+    # Same dims are fine in interpret (emulation) mode.
+    nufft.PlanNUFFT(
+        np.complex64, (64, 64, 64), m=4, sigma=1.5,
+        spread_method="blocked", block_dims=(16, 16, 16), interpret=True,
+        batch_size=32,
+    )
+
+
+def test_set_points_waste_warning(rng):
+    plan = nufft.PlanNUFFT(
+        np.complex64, (64, 64), m=4, sigma=1.5, spread_method="blocked",
+        interpret=True, block_dims=(16, 16), batch_size=32,
+    )
+    pts = rng.uniform(0, 2 * np.pi, (2, 20)).astype(np.float32)
+    with pytest.warns(UserWarning, match="padding waste"):
+        nufft.set_points(plan, pts)
+
+
+def test_num_slots_bound():
+    assert num_slots(1000, 10, 128) >= 1000
+    assert num_slots(1000, 10, 128) % 128 == 0
+
+
+def test_timer_records_stages(rng):
+    t = Timer(synchronise=True)
+    plan = nufft.PlanNUFFT(np.complex128, (32, 32), m=4, sigma=2.0, timer=t)
+    plan = nufft.set_points(plan, rng.uniform(0, 2 * np.pi, (2, 100)))
+    v = rng.standard_normal(100) + 1j * rng.standard_normal(100)
+    u = nufft.exec_type1(plan, v)
+    nufft.exec_type2(plan, np.asarray(u))
+    labels = set(t.times)
+    assert "exec_type1/(1) spreading" in labels
+    assert "exec_type1/(2) forward FFT" in labels
+    assert "exec_type2/(3) interpolation" in labels
+    assert "timer attached" in repr(plan)
+    t.reset()
+    assert not t.times
+
+
+def test_timer_matches_untimed_results(rng):
+    """The staged path must produce identical results to the fused path."""
+    pts = rng.uniform(0, 2 * np.pi, (2, 200))
+    v = rng.standard_normal(200) + 1j * rng.standard_normal(200)
+    base = nufft.PlanNUFFT(np.complex128, (32, 24), m=4, sigma=2.0)
+    timed = nufft.PlanNUFFT(
+        np.complex128, (32, 24), m=4, sigma=2.0, timer=Timer()
+    )
+    u0 = np.asarray(nufft.exec_type1(nufft.set_points(base, pts), v))
+    u1 = np.asarray(nufft.exec_type1(nufft.set_points(timed, pts), v))
+    np.testing.assert_allclose(u0, u1, rtol=1e-13)
+
+
+def test_plan_repr_geometry(rng):
+    plan = nufft.PlanNUFFT(
+        np.complex64, (64, 64, 64), m=4, sigma=1.5, spread_method="blocked",
+        interpret=True, block_dims=(16, 16, 16), batch_size=128,
+    )
+    r = repr(plan)
+    assert "blocked geometry" in r and "blocks" in r
+    pts = rng.uniform(0, 2 * np.pi, (3, 50_000)).astype(np.float32)
+    plan = nufft.set_points(plan, pts)
+    assert "slot padding waste" in repr(plan)
