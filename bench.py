@@ -33,10 +33,10 @@ import numpy as np
 
 N_GRID = int(os.environ.get("BENCH_N", 256))
 NP_MAIN = int(os.environ.get("BENCH_NP", 1_000_000))
-K_ITERS = int(os.environ.get("BENCH_ITERS", 8))
-PRECISION = os.environ.get("BENCH_PRECISION", "high")
+K_ITERS = int(os.environ.get("BENCH_ITERS", 6))
+PRECISION = os.environ.get("BENCH_PRECISION", "highest")
 CHECK = os.environ.get("BENCH_CHECK", "1") == "1"
-SWEEP = os.environ.get("BENCH_SWEEP", "1") == "1"
+SWEEP = os.environ.get("BENCH_SWEEP", "0") == "1"
 # cuFINUFFT H100 (global-memory), rho=0.1, ComplexF64: t1+t2 (BASELINE.md).
 BASELINE_PTS_PER_SEC = 1_677_722 / (0.0230 + 0.0074)
 

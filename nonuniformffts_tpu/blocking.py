@@ -40,10 +40,13 @@ _PROGRAM_OVERHEAD_S = 15e-6
 _MXU_MACS_PER_S = 3.0e13
 _HBM_BYTES_PER_S = 6.0e11
 
-#: Per-core VMEM budget for the blocked kernels' working set.  The hardware
-#: has ~16 MiB/core (reference analogue: the 48 KiB CUDA shared-memory
-#: budget solved in src/gpu_common.jl:19-92); leave headroom for Mosaic's
-#: own buffers and the pipelined in/out blocks.
+#: Per-core VMEM budget for the blocked kernels' *estimated* working set
+#: (reference analogue: the 48 KiB CUDA shared-memory budget solved in
+#: src/gpu_common.jl:19-92).  The hardware scoped-vmem limit is 16 MiB; the
+#: estimate below undercounts Mosaic's pipelining buffers by ~40%
+#: (empirically: estimate 12.6 MiB -> 18.3 MiB actual at blocks
+#: (24,32,128)), so the budget is set so that estimates <= 10 MiB
+#: correspond to actual usage comfortably under the 16 MiB limit.
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
@@ -82,7 +85,16 @@ def geometry_cost(
         + macs / _MXU_MACS_PER_S
         + io_bytes / _HBM_BYTES_PER_S
     )
-    vmem = 3 * cr * pd[0] * yz * 4 + yz * batch * 4 + 24 * batch * 4
+    # VMEM working set: accumulator / halo block + double-buffered pipeline
+    # block (3x CR*pd0*yz), the Khatri-Rao qt build (broadcast product +
+    # reshape copy + loop buffer: 3x yz*P), window matrices and point/value
+    # staging buffers.
+    vmem = (
+        3 * cr * pd[0] * yz * 4
+        + 3 * yz * batch * 4
+        + 2 * batch * sum(pd) * 4
+        + 24 * batch * 4
+    )
     return cost, vmem
 
 
@@ -183,16 +195,36 @@ def num_blocks(shape_over: Sequence[int], block_dims: Sequence[int]) -> Tuple[in
     return tuple(n // b for n, b in zip(shape_over, block_dims))
 
 
-def compute_block_ids(kernel_data, block_dims, points: jnp.ndarray) -> jnp.ndarray:
-    """Flattened (row-major) block id per point; points (D, Np) folded."""
-    D = points.shape[0]
+def cells_and_fracs(kernel_data, points: jnp.ndarray):
+    """High-accuracy per-dim cell indices and in-cell fractions for raw
+    (possibly unfolded) points (D, Np).  Returns ``(cells (D, Np) int32,
+    fracs (D, Np))``; see windows.point_to_cell_split for why this is not
+    just ``(x/L)*N``."""
+    cs, xs = [], []
+    for d, kd in enumerate(kernel_data):
+        c, X = windows.point_to_cell_split(points[d], kd.n)
+        cs.append(c)
+        xs.append(X)
+    return jnp.stack(cs), jnp.stack(xs)
+
+
+def block_ids_from_cells(cells: jnp.ndarray, kernel_data, block_dims) -> jnp.ndarray:
+    """Flattened (row-major) block id per point from per-dim cell indices —
+    the exact same cells the kernels use, so a point can never land outside
+    its block's padded window (reference: blocking/gpu.jl:145-160)."""
+    D = cells.shape[0]
     nb = [kd.n // b for kd, b in zip(kernel_data, block_dims)]
     bid = None
     for d in range(D):
-        c, _ = windows.point_to_cell(points[d], kernel_data[d].n)
-        b = c // block_dims[d]
+        b = cells[d] // block_dims[d]
         bid = b if bid is None else bid * nb[d] + b
     return bid
+
+
+def compute_block_ids(kernel_data, block_dims, points: jnp.ndarray) -> jnp.ndarray:
+    """Flattened (row-major) block id per point; points (D, Np) raw."""
+    cells, _ = cells_and_fracs(kernel_data, points)
+    return block_ids_from_cells(cells, kernel_data, block_dims)
 
 
 def num_slots(np_: int, nblocks: int, batch: int) -> int:
@@ -233,9 +265,21 @@ def sort_points_into_blocks(plan, points: jnp.ndarray):
     block_dims = plan.block_dims
     P = plan.batch_size
     bid = compute_block_ids(plan.kernel_data, block_dims, points).astype(jnp.int32)
-    np_ = points.shape[1]
     nblocks = int(np.prod(num_blocks(plan.shape_over, block_dims)))
-    nslots = num_slots(np_, nblocks, P)
+    return slot_layout(bid, nblocks, P)
+
+
+def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0):
+    """Scatter-free slot-aligned layout from per-point block ids.
+
+    ``virtual`` extra trailing block ids (``nblocks .. nblocks+virtual-1``)
+    may be used as parking bins for invalid/padding points (the spatially
+    sharded path routes all-to-all padding there); their slots exist in the
+    layout but no kernel program ever reads them.
+    """
+    np_ = bid.shape[0]
+    ntot = nblocks + virtual
+    nslots = num_slots(np_, ntot, P)
     nbatches = nslots // P
 
     iota = jnp.arange(np_, dtype=jnp.int32)
@@ -244,7 +288,7 @@ def sort_points_into_blocks(plan, points: jnp.ndarray):
     # Per-block point ranges from the sorted keys (binary search, no
     # histogram): pstarts[b] = first sorted position with bid >= b.
     pstarts = jnp.searchsorted(
-        sorted_bid, jnp.arange(nblocks + 1, dtype=jnp.int32), side="left"
+        sorted_bid, jnp.arange(ntot + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = pstarts[1:] - pstarts[:-1]
     batches = -(-counts // P)  # cdiv
@@ -257,7 +301,7 @@ def sort_points_into_blocks(plan, points: jnp.ndarray):
     blk = jnp.clip(
         jnp.searchsorted(batch_starts, bidx, side="right").astype(jnp.int32) - 1,
         0,
-        nblocks - 1,
+        ntot - 1,
     )
     batch_rank = bidx - jnp.take(batch_starts, blk)
     first_sorted = jnp.take(pstarts, blk) + batch_rank * P  # (nbatches,)

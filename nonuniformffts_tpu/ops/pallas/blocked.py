@@ -40,9 +40,13 @@ from . import common
 
 TWO_PI = 2.0 * math.pi
 
+# Mosaic's dot lowering supports only DEFAULT and HIGHEST; map 'high' to
+# HIGHEST inside the kernels (the window contractions need >=f32-ish
+# accuracy anyway — bf16 single-pass would inject ~1e-3 window error).
+# The XLA-level matmul-DFT keeps true 3-pass HIGH (ops/matmul_fft.py).
 _PRECS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }
 
@@ -109,7 +113,7 @@ def _block_shape(CR, nb, pd, yz):
 
 
 def _block_index_map(D, nb):
-    def index_map(b, starts):
+    def index_map(b, *prefetch_refs):
         bids = _decompose_block(b, nb)
         return (0,) + tuple(bids) + (0, 0)
 
@@ -117,12 +121,16 @@ def _block_index_map(D, nb):
 
 
 def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P):
-    """Per-dimension transposed window matrices for one point batch."""
+    """Per-dimension transposed window matrices for one point batch.
+    ``pts_buf`` rows: D cell-index rows (exact floats) then D fraction
+    rows (the set_points high-accuracy split layout)."""
+    D = plan.ndim
     wts = []
-    for d in range(plan.ndim):
-        x = pts_buf[d : d + 1, :]  # (1, P)
+    for d in range(D):
+        c_row = pts_buf[d : d + 1, :]  # (1, P) cells as floats
+        X = pts_buf[D + d : D + d + 1, :]  # (1, P) fractions
         c, vlist = common.window_values_lanes(
-            plan.kernel_data[d], plan.evalmode, x, cs_ref[d]
+            plan.kernel_data[d], plan.evalmode, c_row, X, cs_ref[d]
         )
         if d == 0 and valid is not None:
             vlist = [jnp.where(valid, v, 0.0) for v in vlist]
@@ -148,13 +156,18 @@ def _qt_matrix(wts, yz, P):
 
 
 def _spread_kernel(
-    starts_ref, pts_hbm, vals_hbm, cs_ref, out_ref,
+    starts_ref, offset_ref, pts_hbm, vals_hbm, cs_ref, out_ref,
     acc_ref, pts_buf, vals_buf, sem_p, sem_v,
     *, plan, CR, nb, pd, yz, P,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
-    origins = [bids[d] * plan.block_dims[d] for d in range(plan.ndim)]
+    # offset_ref: per-dim block offset of this device's block range within
+    # the global grid (zero on a single chip; the spatially-sharded path
+    # passes the chip's block-row offset so cell arithmetic stays global).
+    origins = [
+        (offset_ref[d] + bids[d]) * plan.block_dims[d] for d in range(plan.ndim)
+    ]
     start_b = starts_ref[b]  # segment boundaries in units of P (slot layout)
     nbatch = starts_ref[b + 1] - start_b
 
@@ -190,7 +203,8 @@ def _spread_kernel(
 
 
 def spread_blocked(
-    plan, vp: jnp.ndarray, *, channel_input: bool = False, channel_output: bool = False
+    plan, vp: jnp.ndarray, *, channel_input: bool = False,
+    channel_output: bool = False, block_offset=None, shard_axis=None,
 ) -> jnp.ndarray:
     """Blocked type-1 spreading.  ``vp``: (C, Np) in *original* point order
     (scattered into the slot-aligned layout here), or the real channel form
@@ -230,7 +244,7 @@ def spread_blocked(
     out_index = _block_index_map(D, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # points (D, Np_pad)
@@ -247,6 +261,8 @@ def spread_blocked(
         ],
     )
 
+    if block_offset is None:
+        block_offset = jnp.zeros((D,), jnp.int32)
     kernel = functools.partial(
         _spread_kernel, plan=plan, CR=CR, nb=nb, pd=pd, yz=yz, P=P
     )
@@ -255,10 +271,10 @@ def spread_blocked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
         interpret=plan.interpret,
-    )(plan.block_starts, pts, vals, cs)
+    )(plan.block_starts, block_offset, pts, vals, cs)
 
     blocks = blocks.reshape((CR,) + tuple(nb) + tuple(pd))  # free lane split
-    grid = common.overlap_add(blocks, bdims, pd, m, interpret=plan.interpret)
+    grid = common.overlap_add(blocks, bdims, pd, m, interpret=plan.interpret, shard_axis=shard_axis)
     if channel_output and is_complex:
         return grid.reshape((C, 2) + grid.shape[1:])
     return unpack_components(grid, is_complex).astype(plan.dtype)
@@ -270,13 +286,15 @@ def spread_blocked(
 
 
 def _interp_kernel(
-    starts_ref, blk_ref, pts_hbm, cs_ref, out_ref,
+    starts_ref, offset_ref, blk_ref, pts_hbm, cs_ref, out_ref,
     pts_buf, res_buf, sem_p, sem_r,
     *, plan, CR, nb, pd, yz, P,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
-    origins = [bids[d] * plan.block_dims[d] for d in range(plan.ndim)]
+    origins = [
+        (offset_ref[d] + bids[d]) * plan.block_dims[d] for d in range(plan.ndim)
+    ]
     start_b = starts_ref[b]  # in units of P (slot layout)
     nbatch = starts_ref[b + 1] - start_b
 
@@ -307,7 +325,8 @@ def _interp_kernel(
 
 
 def interpolate_blocked(
-    plan, grid: jnp.ndarray, *, channel_input: bool = False, channel_output: bool = False
+    plan, grid: jnp.ndarray, *, channel_input: bool = False,
+    channel_output: bool = False, block_offset=None, shard_axis=None,
 ) -> jnp.ndarray:
     """Blocked type-2 interpolation.  ``grid``: (C,) + shape_over (or channel
     form (C, 2) + shape_over with ``channel_input``).  Returns (C, Np) in
@@ -330,7 +349,7 @@ def interpolate_blocked(
         gp = grid.reshape((2 * C,) + grid.shape[2:]).astype(rdt)
     else:
         gp = pack_components(grid, is_complex).astype(rdt)
-    halos = common.halo_gather(gp, bdims, pd, m, interpret=plan.interpret)  # (CR, nb.., pd..)
+    halos = common.halo_gather(gp, bdims, pd, m, interpret=plan.interpret, shard_axis=shard_axis)  # (CR, nb.., pd..)
     halos = halos.reshape((CR,) + tuple(nb) + (pd[0], yz))  # free lane merge
 
     nblocks = int(np.prod(nb))
@@ -338,7 +357,7 @@ def interpolate_blocked(
     in_index = _block_index_map(D, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(blk_shape, in_index),  # halo-gathered padded block
@@ -354,6 +373,8 @@ def interpolate_blocked(
         ],
     )
 
+    if block_offset is None:
+        block_offset = jnp.zeros((D,), jnp.int32)
     kernel = functools.partial(
         _interp_kernel, plan=plan, CR=CR, nb=nb, pd=pd, yz=yz, P=P
     )
@@ -363,7 +384,7 @@ def interpolate_blocked(
         out_shape=jax.ShapeDtypeStruct((CRP, nslots), rdt),
         interpret=plan.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(plan.block_starts, halos, pts, cs)
+    )(plan.block_starts, block_offset, halos, pts, cs)
 
     vals = jnp.take(slot_vals[:CR], plan.point_slots, axis=1)
     vals = vals * jnp.asarray(plan.normfactor, rdt)

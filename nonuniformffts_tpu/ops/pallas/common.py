@@ -68,24 +68,24 @@ def coefficient_stack(kernel_data: Sequence[KernelData]) -> jnp.ndarray:
     return jnp.stack(arrs)
 
 
-def window_values_lanes(kd: KernelData, evalmode, x: jnp.ndarray, cs: jnp.ndarray):
+def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
+                        X: jnp.ndarray, cs: jnp.ndarray):
     """In-kernel window evaluation for one dimension.
 
-    ``x``: (1, P) folded coordinates.  ``cs``: (ncoef, 2M) coefficient array
-    for this dim (loaded from VMEM).  Returns ``(c, vals)`` with ``c`` the
-    (1, P) int32 cell indices and ``vals`` a list of 2M (1, P) arrays;
-    ``vals[t]`` is the weight of grid node ``c - M + 1 + t``.
+    ``c_row``: (1, P) cell indices stored as exact floats (set_points's
+    high-accuracy split, windows.point_to_cell_split); ``X``: (1, P) in-cell
+    fractions; ``cs``: (ncoef, 2M) coefficient array for this dim (loaded
+    from VMEM).  Returns ``(c, vals)`` with ``c`` the (1, P) int32 cells and
+    ``vals`` a list of 2M (1, P) arrays; ``vals[t]`` is the weight of grid
+    node ``c - M + 1 + t``.
 
-    Same math as ops.windows.eval_window, restructured as per-node lane
-    vectors (no trailing 2M axis) so everything stays in natural TPU
+    Same math as ops.windows.eval_window_frac, restructured as per-node
+    lane vectors (no trailing 2M axis) so everything stays in natural TPU
     (sublane, lane) layouts.
     """
     m, n = kd.m, kd.n
-    dt = x.dtype
-    L = jnp.asarray(TWO_PI, dt)
-    r = (x / L) * n  # exact reference order of operations (Kernels.jl:121-126)
-    c = jnp.clip(r.astype(jnp.int32), 0, n - 1)
-    X = r - c.astype(dt)
+    dt = X.dtype
+    c = c_row.astype(jnp.int32)
     fast = isinstance(evalmode, FastApproximation)
     two_m = 2 * m
 
@@ -240,8 +240,29 @@ def relayout_to_blocks(grid: jnp.ndarray, block_dims, *, interpret=False):
 # ---------------------------------------------------------------------------
 
 
+def _shift_blockrows_from_prev(x, nb_ax, shard_axis):
+    """roll(x, +1, nb_ax) across chips: each chip's first block-row receives
+    the previous chip's last block-row (periodic over the mesh ring)."""
+    last = jax.lax.slice_in_dim(x, x.shape[nb_ax] - 1, x.shape[nb_ax], axis=nb_ax)
+    n = jax.lax.axis_size(shard_axis)
+    wrap = jax.lax.ppermute(last, shard_axis, [(i, (i + 1) % n) for i in range(n)])
+    rest = jax.lax.slice_in_dim(x, 0, x.shape[nb_ax] - 1, axis=nb_ax)
+    return jnp.concatenate([wrap, rest], axis=nb_ax)
+
+
+def _shift_blockrows_from_next(x, nb_ax, shard_axis):
+    """roll(x, -1, nb_ax) across chips: each chip's last block-row receives
+    the next chip's first block-row."""
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=nb_ax)
+    n = jax.lax.axis_size(shard_axis)
+    wrap = jax.lax.ppermute(first, shard_axis, [(i, (i - 1) % n) for i in range(n)])
+    rest = jax.lax.slice_in_dim(x, 1, x.shape[nb_ax], axis=nb_ax)
+    return jnp.concatenate([rest, wrap], axis=nb_ax)
+
+
 def overlap_add(
-    blocks: jnp.ndarray, block_dims, padded_dims, m: int, *, interpret=False
+    blocks: jnp.ndarray, block_dims, padded_dims, m: int, *, interpret=False,
+    shard_axis=None,
 ) -> jnp.ndarray:
     """Merge padded per-block accumulators into the periodic grid.
 
@@ -266,19 +287,34 @@ def overlap_add(
         # are dropped rather than folded.
         right = jax.lax.slice_in_dim(arr, m - 1 + B, m - 1 + B + m, axis=p_ax)
         # Right halo adds to the start of the next block; left halo (width
-        # M-1) to the end of the previous block.
+        # M-1) to the end of the previous block.  Along a mesh-sharded dim 0
+        # the block-row roll crosses chips: the wrapped row travels by
+        # ppermute over ICI (the chip-level ghost-cell exchange; reference
+        # merge arithmetic: src/spreading/cpu_blocked.jl:3-36).
+        sharded = shard_axis is not None and d == 0
         idx = [slice(None)] * arr.ndim
         idx[p_ax] = slice(0, m)
-        main = main.at[tuple(idx)].add(jnp.roll(right, 1, axis=nb_ax))
+        right_sh = (
+            _shift_blockrows_from_prev(right, nb_ax, shard_axis)
+            if sharded
+            else jnp.roll(right, 1, axis=nb_ax)
+        )
+        main = main.at[tuple(idx)].add(right_sh)
         if m > 1:
             idx[p_ax] = slice(B - (m - 1), B)
-            main = main.at[tuple(idx)].add(jnp.roll(left, -1, axis=nb_ax))
+            left_sh = (
+                _shift_blockrows_from_next(left, nb_ax, shard_axis)
+                if sharded
+                else jnp.roll(left, -1, axis=nb_ax)
+            )
+            main = main.at[tuple(idx)].add(left_sh)
         arr = main
     return relayout_to_grid(arr, block_dims, interpret=interpret)
 
 
 def halo_gather(
-    grid: jnp.ndarray, block_dims, padded_dims, m: int, *, interpret=False
+    grid: jnp.ndarray, block_dims, padded_dims, m: int, *, interpret=False,
+    shard_axis=None,
 ) -> jnp.ndarray:
     """Inverse of overlap_add for interpolation: build the per-block padded
     (halo-including) view of the periodic grid.
@@ -294,10 +330,23 @@ def halo_gather(
         nb_ax = 1 + d
         p_ax = 1 + D + d
         B = block_dims[d]
-        left = jax.lax.slice_in_dim(
-            jnp.roll(arr, 1, axis=nb_ax), B - (m - 1), B, axis=p_ax
-        )
-        right = jax.lax.slice_in_dim(jnp.roll(arr, -1, axis=nb_ax), 0, m, axis=p_ax)
+        sharded = shard_axis is not None and d == 0
+        if sharded:
+            prev = _shift_blockrows_from_prev(
+                jax.lax.slice_in_dim(arr, B - (m - 1), B, axis=p_ax),
+                nb_ax, shard_axis,
+            )
+            nxt = _shift_blockrows_from_next(
+                jax.lax.slice_in_dim(arr, 0, m, axis=p_ax), nb_ax, shard_axis
+            )
+            left, right = prev, nxt
+        else:
+            left = jax.lax.slice_in_dim(
+                jnp.roll(arr, 1, axis=nb_ax), B - (m - 1), B, axis=p_ax
+            )
+            right = jax.lax.slice_in_dim(
+                jnp.roll(arr, -1, axis=nb_ax), 0, m, axis=p_ax
+            )
         pieces = [left, arr, right]
         pad = padded_dims[d] - (B + 2 * m - 1)
         if pad:

@@ -35,8 +35,11 @@ def window_values_and_starts(
     (unwrapped int32, (P,)) for every point."""
     values, starts = [], []
     for d, kd in enumerate(kernel_data):
-        c, r = windows.point_to_cell(points[d], kd.n)
-        values.append(windows.eval_window(kd, evalmode, r, c))
+        # High-accuracy cell decomposition (point_to_cell_split): in f32 the
+        # naive (x/L)*N costs N*2^-24 cells of position noise, which round-2
+        # measured as the accuracy floor of the whole transform.
+        c, X = windows.point_to_cell_split(points[d], kd.n)
+        values.append(windows.eval_window_frac(kd, evalmode, X))
         starts.append(c - (kd.m - 1))
     return tuple(values), tuple(starts)
 

@@ -28,6 +28,7 @@ import dataclasses
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -255,6 +256,51 @@ def point_to_cell(x: jnp.ndarray, n: int):
     return c, r
 
 
+def point_to_cell_split(x: jnp.ndarray, n: int):
+    """High-accuracy cell decomposition for the blocked fast path: map raw
+    (possibly unfolded) coordinates to ``(c, X)`` with ``c`` the 0-based
+    cell in ``[0, N)`` and ``X = r - floor(r) in [0, 1)`` the in-cell
+    fraction of ``r = x * N / 2pi`` (folding is the mod-N on ``r``).
+
+    In f32 the naive ``(x/L)*N`` carries an *absolute* error of
+    ``N * 2^-24`` cells (2.3e-5 at N=384), which round-2 profiling measured
+    as the accuracy floor of the whole transform.  Here the product is
+    evaluated in double-single arithmetic (Veltkamp-split operands, exact
+    high product), reducing the fraction error to ~2^-24 of one cell; f64
+    inputs take the plain path (already exact enough).
+    """
+    if x.dtype == jnp.float64:
+        r = x * (np.float64(n) / np.float64(TWO_PI))
+        i = jnp.floor(r)
+        X = r - i
+        c = jnp.mod(i.astype(jnp.int64), n).astype(jnp.int32)
+        return c, X.astype(x.dtype)
+
+    # k = N / 2pi split so that x_hi * k_hi is exact in f32:
+    # k_hi keeps 12 mantissa bits, x_hi keeps 11 (11 + 12 <= 24).
+    k = np.float64(n) / np.float64(TWO_PI)
+    k_hi = np.float32(
+        np.frombuffer(
+            (np.frombuffer(np.float32(k).tobytes(), np.uint32) & np.uint32(0xFFFFF800)).tobytes(),
+            np.float32,
+        )[0]
+    )
+    k_lo = np.float32(k - np.float64(k_hi))  # next ~24 bits of k
+    xb = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    x_hi = jax.lax.bitcast_convert_type(xb & jnp.uint32(0xFFFFF000), jnp.float32)
+    x_lo = x - x_hi  # exact
+    r_main = x_hi * jnp.float32(k_hi)  # exact product
+    r_rest = x_lo * jnp.float32(k_hi) + x * jnp.float32(k_lo)
+    i_main = jnp.floor(r_main)
+    f_main = r_main - i_main  # exact (Sterbenz)
+    t = f_main + r_rest
+    extra = jnp.floor(t)
+    X = t - extra
+    i = i_main.astype(jnp.int32) + extra.astype(jnp.int32)
+    c = jnp.mod(i, n)
+    return c, X.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Window evaluation: per-point (..., 2M) value tensors
 # ---------------------------------------------------------------------------
@@ -329,8 +375,15 @@ def eval_window(kd: KernelData, evalmode: EvaluationMode, r: jnp.ndarray, c: jnp
     Returns an array of shape ``r.shape + (2M,)``; entry ``t`` is the weight of
     grid node ``c - M + 1 + t`` (0-based, to be wrapped mod N by the caller).
     """
+    return eval_window_frac(kd, evalmode, r - c.astype(r.dtype))
+
+
+def eval_window_frac(kd: KernelData, evalmode: EvaluationMode, X: jnp.ndarray):
+    """Same as :func:`eval_window` but taking the in-cell fraction
+    ``X = r - c in [0, 1)`` directly (the high-accuracy path computes it via
+    :func:`point_to_cell_split`)."""
     m = kd.m
-    X = r - c.astype(r.dtype)  # in [0, 1)
+    r = X  # dtype carrier
     t = jnp.arange(2 * m, dtype=r.dtype)
 
     fast = isinstance(evalmode, FastApproximation)

@@ -1,0 +1,530 @@
+"""Spatially-sharded multi-chip NUFFT: oversampled grid split over chips.
+
+The reference is single-device (SURVEY.md section 2: no distributed layer
+exists there); this module is the TPU-native scaling extension for grids
+too large for one chip — per-chip memory is O(grid / n_chips):
+
+- the OVERSAMPLED grid is sharded along dim 0 at *block-row* granularity:
+  chip r owns block rows [r*nb0/n, (r+1)*nb0/n), i.e. grid planes
+  [r*N0~/n, (r+1)*N0~/n);
+- non-uniform points arrive sharded along Np in arbitrary order; set_points
+  routes each point to its owner chip with one capacity-bounded
+  ``all_to_all`` (bin by destination slab -> sort -> pad each (src, dst)
+  lane to a static capacity; overflow is detected and reported, never
+  silently dropped);
+- spreading/interpolation run the SAME blocked Pallas kernels per chip over
+  the local block rows (the ``block_offset`` scalar-prefetch keeps cell
+  arithmetic global), and the dim-0 boundary halos travel by ``ppermute``
+  over ICI — the chip-level version of the reference's ghost-cell merge
+  (src/spreading/cpu_blocked.jl:3-36, src/gpu_common.jl:51-53);
+- the DFT is distributed: dims 1..D-1 transform locally (MXU matmul-DFT),
+  then one tiled ``all_to_all`` transposes the sharding from dim 0 to
+  dim 1 and the dim-0 DFT runs locally.  Truncation/padding and the
+  deconvolution factors are applied along the way (dim-1 factors sliced
+  per chip).
+
+Everything runs inside one ``shard_map`` over a 1-D mesh; XLA places the
+collectives (all_to_all, ppermute, all_gather) on ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..blocking import gather_slots, num_blocks, slot_layout
+from ..ops import matmul_fft, windows
+from ..ops.deconvolve import pad_axis, truncate_axis
+from ..ops.pallas import blocked
+from ..plan import Plan, PlanNUFFT, fold_points, _canonicalise_points
+from ..utils.pytree import data_field, register_pytree_dataclass, static_field
+
+
+@register_pytree_dataclass
+class SpatialPoints:
+    """Routed point state, one leading mesh axis (chip) on every leaf."""
+
+    send_idx: jnp.ndarray = data_field(default=None)  # (n, S) local pt idx
+    send_valid: jnp.ndarray = data_field(default=None)  # (n, S) bool
+    send_pos: jnp.ndarray = data_field(default=None)  # (n, Npl) slot in send buf
+    recv_valid: jnp.ndarray = data_field(default=None)  # (n, S) bool
+    point_slots: jnp.ndarray = data_field(default=None)  # (n, S) recv->slot
+    pts_slotted: jnp.ndarray = data_field(default=None)  # (n, DP, nslots)
+    slot_to_point: jnp.ndarray = data_field(default=None)  # (n, nslots)
+    slot_valid: jnp.ndarray = data_field(default=None)  # (n, nslots)
+    batch_starts: jnp.ndarray = data_field(default=None)  # (n, nb_l+2)
+    num_points: int = static_field(default=0)  # global Np
+
+
+def _dft_axis(xr, xi, ax_dft, axis, sign, prec):
+    xr = jnp.moveaxis(xr, axis, -1)
+    xi = jnp.moveaxis(xi, axis, -1)
+    xr, xi = matmul_fft._c2c_last(xr, xi, ax_dft, sign, prec)
+    return jnp.moveaxis(xr, -1, axis), jnp.moveaxis(xi, -1, axis)
+
+
+class SpatialNUFFT:
+    """Grid-sharded NUFFT over a 1-D device mesh.
+
+    Channel-form API (TPU-safe transfers): values/spectra are real arrays
+    with a (C, 2, ...) layout for complex dtypes, (C, ...) for real ones.
+
+    Parameters mirror :func:`PlanNUFFT`; additionally ``mesh`` (a 1-D
+    ``jax.sharding.Mesh``) and ``capacity_factor`` (routing slack: each
+    (src chip -> dst chip) lane holds up to ``capacity_factor * Np_local/n``
+    points; heavier skew raises a ValueError at set_points).
+    """
+
+    def __init__(
+        self,
+        dtype,
+        shape,
+        *,
+        mesh: Mesh,
+        axis_name: Optional[str] = None,
+        capacity_factor: float = 4.0,
+        **plan_kw,
+    ):
+        if len(mesh.axis_names) != 1:
+            raise ValueError("SpatialNUFFT expects a 1-D mesh")
+        self.mesh = mesh
+        self.axis_name = axis_name or mesh.axis_names[0]
+        self.n = mesh.shape[self.axis_name]
+        self.capacity_factor = float(capacity_factor)
+
+        plan_kw.setdefault("spread_method", "blocked")
+        base = PlanNUFFT(dtype, shape, **plan_kw)
+        if base.ndim < 2:
+            raise ValueError("spatial sharding needs >= 2 dimensions")
+        if base.fft_method != "matmul":
+            # The distributed FFT is built from the matmul-DFT primitives.
+            plan_kw["fft_method"] = "matmul"
+            base = PlanNUFFT(dtype, shape, **plan_kw)
+
+        # Dim-0 block count and the transposed dims must split evenly.
+        n = self.n
+        nb = num_blocks(base.shape_over, base.block_dims)
+        if nb[0] % n != 0:
+            b0 = self._fix_b0(base.shape_over[0], base.m, n)
+            plan_kw["block_dims"] = (b0,) + base.block_dims[1:]
+            base = PlanNUFFT(dtype, shape, **plan_kw)
+            nb = num_blocks(base.shape_over, base.block_dims)
+        if base.shape_over[1] % n or base.shape[1] % n:
+            raise ValueError(
+                f"dim-1 sizes ({base.shape[1]}, oversampled "
+                f"{base.shape_over[1]}) must divide by the mesh size {n}"
+            )
+        self.base = base
+        self.nb0_local = nb[0] // n
+        self.nblocks_local = self.nb0_local * int(np.prod(nb[1:]))
+        self.local_shape_over = (
+            base.shape_over[0] // n,
+        ) + base.shape_over[1:]
+
+    @staticmethod
+    def _fix_b0(n0_over: int, m: int, n: int) -> int:
+        cands = [
+            b for b in range(max(m, 1), n0_over + 1)
+            if n0_over % b == 0 and (n0_over // b) % n == 0
+        ]
+        if not cands:
+            raise ValueError(
+                f"cannot split {n0_over} grid planes into block rows "
+                f"divisible by {n} chips"
+            )
+        return min(cands, key=lambda b: abs(b - 16))
+
+    # -- local plan view ----------------------------------------------------
+    def _local_plan(self, st: SpatialPoints) -> Plan:
+        return dataclasses.replace(
+            self.base,
+            shape_over=self.local_shape_over,
+            points_slotted=st.pts_slotted,
+            slot_to_point=st.slot_to_point,
+            slot_valid=st.slot_valid,
+            point_slots=st.point_slots,
+            block_starts=st.batch_starts,
+            num_points_static=int(st.slot_to_point.shape[0]),
+            # shape_over above is the local slab; keep the GLOBAL FFT
+            # normalisation (the slab view would inflate it by n).
+            normfactor_override=self.base.normfactor,
+        )
+
+    def _capacity(self, np_local: int) -> int:
+        cap = int(math.ceil(self.capacity_factor * np_local / self.n))
+        return max(-(-cap // 8) * 8, 8)
+
+    # -- set_points -----------------------------------------------------------
+    def set_points(self, points) -> SpatialPoints:
+        """Route points to their owner chips and build per-chip slot layouts.
+
+        ``points``: any format :func:`set_points` accepts; the Np axis must
+        divide evenly by the mesh size (shard it beforehand or let this
+        place it).
+        """
+        pts = _canonicalise_points(points, self.base.ndim, self.base.real_dtype)
+        np_total = int(pts.shape[1])
+        if np_total % self.n:
+            raise ValueError(
+                f"number of points {np_total} must divide by mesh size {self.n}"
+            )
+        np_local = np_total // self.n
+        cap = self._capacity(np_local)
+        ax = self.axis_name
+        base = self.base
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            check_vma=False,
+            in_specs=(P(), P(None, ax)),
+            out_specs=(
+                P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                P(ax), P(ax),
+            ),
+        )
+        def body(plan, pts_l):
+            out = _route_and_sort(
+                plan, pts_l, self.n, cap, self.nb0_local,
+                self.nblocks_local, ax,
+            )
+            return tuple(x[None] for x in out)
+
+        (send_idx, send_valid, send_pos, recv_valid, pslots, pts_slotted,
+         s2p, svalid, bstarts, overflow) = jax.jit(body)(base, pts)
+        if bool(jnp.any(overflow)):
+            raise ValueError(
+                "point routing overflow: a (src, dst) chip lane exceeded its "
+                f"capacity ({cap} points). The point distribution is too "
+                "skewed for capacity_factor="
+                f"{self.capacity_factor}; increase it."
+            )
+        return SpatialPoints(
+            send_idx=send_idx,
+            send_valid=send_valid,
+            send_pos=send_pos,
+            recv_valid=recv_valid,
+            point_slots=pslots,
+            pts_slotted=pts_slotted,
+            slot_to_point=s2p,
+            slot_valid=svalid,
+            batch_starts=bstarts,
+            num_points=np_total,
+        )
+
+    # -- transforms -----------------------------------------------------------
+    def exec_type1(self, state: SpatialPoints, v_ch) -> jnp.ndarray:
+        """Distributed type 1.  ``v_ch``: (C, 2, Np) channel values (complex
+        plans) or (C, Np) (real plans).  Returns the full (replicated)
+        channel-form spectrum (C, 2) + spectral_shape."""
+        base = self.base
+        ax = self.axis_name
+        v_ch = jnp.asarray(v_ch, base.real_dtype)
+        vspec = P(*([None] * (v_ch.ndim - 1) + [ax]))
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            check_vma=False,
+            in_specs=(P(), _state_specs(ax, state.num_points), vspec),
+            out_specs=P(),
+        )
+        def body(plan, st, v_l):
+            return _exec_type1_body(self, plan, _unlead(st), v_l)
+
+        return jax.jit(body)(base, state, v_ch)
+
+    def exec_type2(self, state: SpatialPoints, uhat_ch) -> jnp.ndarray:
+        """Distributed type 2.  ``uhat_ch``: full channel-form spectrum
+        (C, 2) + spectral_shape (replicated).  Returns (C, 2, Np) / (C, Np)
+        channel values in the caller's original point order."""
+        base = self.base
+        ax = self.axis_name
+        uhat_ch = jnp.asarray(uhat_ch, base.real_dtype)
+        out_spec = (
+            P(None, None, ax) if not base.is_real else P(None, ax)
+        )
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            check_vma=False,
+            in_specs=(P(), _state_specs(ax, state.num_points), P()),
+            out_specs=out_spec,
+        )
+        def body(plan, st, u_full):
+            return _exec_type2_body(self, plan, _unlead(st), u_full)
+
+        return jax.jit(body)(base, state, uhat_ch)
+
+
+def _state_specs(ax, num_points=0):
+    return SpatialPoints(
+        send_idx=P(ax),
+        send_valid=P(ax),
+        send_pos=P(ax),
+        recv_valid=P(ax),
+        point_slots=P(ax),
+        pts_slotted=P(ax),
+        slot_to_point=P(ax),
+        slot_valid=P(ax),
+        batch_starts=P(ax),
+        num_points=num_points,
+    )
+
+
+def _unlead(st: SpatialPoints):
+    """Strip the leading per-chip axis (size 1 inside shard_map)."""
+    return jax.tree.map(lambda a: a[0], st)
+
+
+# ---------------------------------------------------------------------------
+# shard_map bodies
+# ---------------------------------------------------------------------------
+
+
+def _route_and_sort(plan: Plan, pts_l, n, cap, nb0_local, nblocks_local, ax):
+    """Per-chip: bin local points by destination slab, pad-and-exchange,
+    build the local slot layout over the received buffer."""
+    D, npl = pts_l.shape
+    # Transform (no fold) + high-accuracy cell split; route the (cells,
+    # fracs) representation so the owner chip never recomputes it.
+    from ..plan import _identity
+
+    if plan.point_transform is not _identity:
+        pts_l = plan.point_transform(pts_l)
+    from ..blocking import block_ids_from_cells, cells_and_fracs
+
+    cells, fracs = cells_and_fracs(plan.kernel_data, pts_l)
+    comb = jnp.concatenate(
+        [cells.astype(plan.real_dtype), fracs], axis=0
+    )  # (2D, Npl)
+
+    dest = (cells[0] // plan.block_dims[0]) // nb0_local
+    dest = jnp.clip(dest, 0, n - 1).astype(jnp.int32)
+
+    iota = jnp.arange(npl, dtype=jnp.int32)
+    sdest, perm = jax.lax.sort_key_val(dest, iota)
+    dstarts = jnp.searchsorted(
+        sdest, jnp.arange(n + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = dstarts[1:] - dstarts[:-1]
+    overflow = jnp.any(counts > cap)
+
+    S = n * cap
+    slot = jnp.arange(S, dtype=jnp.int32)
+    d_of = slot // cap
+    r = slot % cap
+    sidx = jnp.take(dstarts, d_of) + r
+    send_valid = sidx < jnp.take(dstarts, d_of + 1)
+    sidx = jnp.clip(sidx, 0, max(npl - 1, 0))
+    send_idx = jnp.take(perm, sidx)
+
+    rank = iota - jnp.take(dstarts, sdest)
+    pos_sorted = jnp.where(rank < cap, sdest * cap + rank, -1)
+    _, send_pos = jax.lax.sort_key_val(perm, pos_sorted)
+
+    # Exchange (cells, fracs) and validity with one all_to_all each.
+    psend = jnp.take(comb, send_idx, axis=1) * send_valid[None, :].astype(
+        comb.dtype
+    )
+    psend = psend.reshape(2 * D, n, cap)
+    precv = jax.lax.all_to_all(psend, ax, split_axis=1, concat_axis=1)
+    recv_valid = jax.lax.all_to_all(
+        send_valid.reshape(n, cap), ax, split_axis=0, concat_axis=0
+    ).reshape(-1)
+    comb_r = precv.reshape(2 * D, S)
+
+    cells_r = comb_r[:D].astype(jnp.int32)
+    bid_g = block_ids_from_cells(cells_r, plan.kernel_data, plan.block_dims)
+    me = jax.lax.axis_index(ax)
+    bid_l = bid_g.astype(jnp.int32) - me.astype(jnp.int32) * nblocks_local
+    in_range = (bid_l >= 0) & (bid_l < nblocks_local) & recv_valid
+    bid_l = jnp.where(in_range, bid_l, nblocks_local)
+
+    s2p, svalid, pslots, bstarts = slot_layout(
+        bid_l, nblocks_local, plan.batch_size, virtual=1
+    )
+    svalid = svalid & jnp.take(recv_valid, s2p)
+    DP = -(-(2 * D) // 8) * 8
+    pts_slotted = gather_slots(comb_r, s2p, svalid, rows=DP, mask=False)
+    return (
+        send_idx, send_valid, send_pos, recv_valid, pslots, pts_slotted,
+        s2p, svalid, bstarts, overflow,
+    )
+
+
+def _route_values(v_flat, send_idx, send_valid, n, cap, ax):
+    """(CR, Npl) original-order values -> (CR, S) routed to owner chips."""
+    vs = jnp.take(v_flat, send_idx, axis=1) * send_valid[None, :].astype(
+        v_flat.dtype
+    )
+    vs = vs.reshape(v_flat.shape[0], n, cap)
+    vr = jax.lax.all_to_all(vs, ax, split_axis=1, concat_axis=1)
+    return vr.reshape(v_flat.shape[0], n * cap)
+
+
+def _unroute_values(r_flat, send_pos, n, cap, ax):
+    """(CR, S) values at owner chips -> (CR, Npl) back in original order."""
+    rs = r_flat.reshape(r_flat.shape[0], n, cap)
+    rb = jax.lax.all_to_all(rs, ax, split_axis=1, concat_axis=1)
+    rb = rb.reshape(r_flat.shape[0], n * cap)
+    pos = jnp.clip(send_pos, 0, n * cap - 1)
+    return jnp.take(rb, pos, axis=1)
+
+
+def _exec_type1_body(sp: SpatialNUFFT, plan: Plan, st, v_l):
+    ax = sp.axis_name
+    n = sp.n
+    me = jax.lax.axis_index(ax)
+    cap = st.send_idx.shape[0] // n
+    D = plan.ndim
+
+    # Route values to owner chips.
+    C = v_l.shape[0]
+    CR = C if plan.is_real else 2 * C
+    v_flat = v_l.reshape(CR, -1)
+    v_routed = _route_values(v_flat, st.send_idx, st.send_valid, n, cap, ax)
+
+    L = sp._local_plan(st)
+    offset = jnp.zeros((D,), jnp.int32).at[0].set(
+        me.astype(jnp.int32) * sp.nb0_local
+    )
+    if plan.is_real:
+        grid = blocked.spread_blocked(
+            L, v_routed, block_offset=offset, shard_axis=ax
+        )  # (C, N0l, N1, N2)
+        xr, xi = None, None
+    else:
+        grid = blocked.spread_blocked(
+            L, v_routed.reshape(C, 2, -1), channel_input=True,
+            channel_output=True, block_offset=offset, shard_axis=ax,
+        )  # (C, 2, N0l, ...)
+
+    # ---- distributed forward DFT + deconvolution ----
+    prec = plan.precision
+    fx = plan.fft_axes
+    rngs = plan.index_ranges
+    if plan.is_real:
+        xr, xi = matmul_fft._r2c_last(grid, fx[D - 1], prec)
+    else:
+        xr, xi = grid[:, 0], grid[:, 1]
+        xr, xi = _dft_axis(xr, xi, fx[D - 1], 1 + (D - 1), 1.0, prec)
+    # Local axes D-1 .. 1: transform + truncate (all local).
+    xr = truncate_axis(xr, 1 + (D - 1), rngs[D - 1])
+    xi = truncate_axis(xi, 1 + (D - 1), rngs[D - 1])
+    for d in range(D - 2, 0, -1):
+        xr, xi = _dft_axis(xr, xi, fx[d], 1 + d, 1.0, prec)
+        xr = truncate_axis(xr, 1 + d, rngs[d])
+        xi = truncate_axis(xi, 1 + d, rngs[d])
+    # Transpose sharding dim0 <-> dim1 and do the dim-0 DFT locally.
+    xr = jax.lax.all_to_all(xr, ax, split_axis=2, concat_axis=1, tiled=True)
+    xi = jax.lax.all_to_all(xi, ax, split_axis=2, concat_axis=1, tiled=True)
+    xr, xi = _dft_axis(xr, xi, fx[0], 1, 1.0, prec)
+    xr = truncate_axis(xr, 1, rngs[0])
+    xi = truncate_axis(xi, 1, rngs[0])
+
+    # Deconvolution scale: full factors on dims != 1, a per-chip slice on
+    # the (sharded) dim 1.
+    scale = jnp.asarray(plan.normfactor, xr.dtype)
+    xr = xr * scale
+    xi = xi * scale
+    for d in range(D):
+        ph = plan.phihat_inv[d]
+        if d == 1:
+            k = ph.shape[0] // n
+            ph = jax.lax.dynamic_slice(ph, (me * k,), (k,))
+        shape = [1] * xr.ndim
+        shape[1 + d] = ph.shape[0]
+        xr = xr * ph.reshape(shape)
+        xi = xi * ph.reshape(shape)
+
+    # Gather the dim-1 shards into the full replicated spectrum.
+    xr = jax.lax.all_gather(xr, ax, axis=2, tiled=True)
+    xi = jax.lax.all_gather(xi, ax, axis=2, tiled=True)
+    return jnp.stack([xr, xi], axis=1)
+
+
+def _exec_type2_body(sp: SpatialNUFFT, plan: Plan, st, u_full):
+    ax = sp.axis_name
+    n = sp.n
+    me = jax.lax.axis_index(ax)
+    cap = st.send_idx.shape[0] // n
+    D = plan.ndim
+    prec = plan.precision
+    fx = plan.fft_axes
+    rngs = plan.index_ranges
+
+    C = u_full.shape[0]
+    xr, xi = u_full[:, 0], u_full[:, 1]
+
+    # Slice my dim-1 shard, apply deconvolution factors (dim-1 sliced).
+    k1 = xr.shape[2] // n
+    xr = jax.lax.dynamic_slice_in_dim(xr, me * k1, k1, axis=2)
+    xi = jax.lax.dynamic_slice_in_dim(xi, me * k1, k1, axis=2)
+    for d in range(D):
+        ph = plan.phihat_inv[d]
+        if d == 1:
+            ph = jax.lax.dynamic_slice(ph, (me * k1,), (k1,))
+        shape = [1] * xr.ndim
+        shape[1 + d] = ph.shape[0]
+        xr = xr * ph.reshape(shape)
+        xi = xi * ph.reshape(shape)
+
+    # Dim-0: pad + backward DFT locally (full axis present), then transpose
+    # the sharding back to dim 0.
+    xr = pad_axis(xr, 1, rngs[0], plan.shape_over[0])
+    xi = pad_axis(xi, 1, rngs[0], plan.shape_over[0])
+    xr, xi = _dft_axis(xr, xi, fx[0], 1, -1.0, prec)
+    xr = jax.lax.all_to_all(xr, ax, split_axis=1, concat_axis=2, tiled=True)
+    xi = jax.lax.all_to_all(xi, ax, split_axis=1, concat_axis=2, tiled=True)
+
+    # Remaining axes: pad + backward DFT locally.
+    for d in range(1, D - 1):
+        xr = pad_axis(xr, 1 + d, rngs[d], plan.shape_over[d])
+        xi = pad_axis(xi, 1 + d, rngs[d], plan.shape_over[d])
+        xr, xi = _dft_axis(xr, xi, fx[d], 1 + d, -1.0, prec)
+    dlast = D - 1
+    spec_last = (
+        plan.shape_over[dlast] // 2 + 1 if plan.is_real
+        else plan.shape_over[dlast]
+    )
+    xr = pad_axis(xr, 1 + dlast, rngs[dlast], spec_last)
+    xi = pad_axis(xi, 1 + dlast, rngs[dlast], spec_last)
+    if plan.is_real:
+        xr = jnp.moveaxis(xr, 1 + dlast, -1)
+        xi = jnp.moveaxis(xi, 1 + dlast, -1)
+        grid = matmul_fft._c2r_last(xr, xi, fx[dlast], prec)
+        grid = jnp.moveaxis(grid, -1, 1 + dlast)
+    else:
+        xr, xi = _dft_axis(xr, xi, fx[dlast], 1 + dlast, -1.0, prec)
+        grid = jnp.stack([xr, xi], axis=1)
+
+    # Local interpolation + route the results back to the source chips.
+    L = sp._local_plan(st)
+    offset = jnp.zeros((D,), jnp.int32).at[0].set(
+        me.astype(jnp.int32) * sp.nb0_local
+    )
+    if plan.is_real:
+        vals = blocked.interpolate_blocked(
+            L, grid, block_offset=offset, shard_axis=ax
+        )  # (C, S)
+        flat = vals
+    else:
+        vals = blocked.interpolate_blocked(
+            L, grid, channel_input=True, channel_output=True,
+            block_offset=offset, shard_axis=ax,
+        )  # (C, 2, S)
+        flat = vals.reshape(2 * C, -1)
+    flat = flat * st.recv_valid[None, :].astype(flat.dtype)
+    back = _unroute_values(flat, st.send_pos, n, cap, ax)
+    if plan.is_real:
+        return back
+    return back.reshape(C, 2, -1)

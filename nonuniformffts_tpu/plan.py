@@ -71,6 +71,7 @@ class Plan:
     # (the analogue of the reference's TimerOutputs + synchronise=true,
     # src/NonuniformFFTs.jl:157-185, src/plan.jl:453-454).
     timer: Optional[Any] = static_field(default=None)
+    normfactor_override: Optional[float] = static_field(default=None)
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
@@ -130,7 +131,11 @@ class Plan:
 
     @property
     def normfactor(self) -> float:
-        """FFT normalisation ``prod(2pi / N~)`` (NonuniformFFTs.jl:181)."""
+        """FFT normalisation ``prod(2pi / N~)`` (NonuniformFFTs.jl:181).
+        The spatially-sharded path overrides this on its per-chip local plan
+        views (whose shape_over is one grid slab) with the global value."""
+        if self.normfactor_override is not None:
+            return self.normfactor_override
         out = 1.0
         for n in self.shape_over:
             out *= TWO_PI / n
@@ -417,14 +422,33 @@ def fold_points(x: jnp.ndarray, point_transform: Callable = _identity) -> jnp.nd
 
 @jax.jit
 def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
-    from .blocking import gather_slots, sort_points_into_blocks
+    """Blocked-path point preparation.  ``pts`` are transformed but NOT
+    folded: folding is the mod-N built into the high-accuracy cell split
+    (windows.point_to_cell_split).  The slot-aligned coordinate array
+    carries 2D rows — per-dim integer cells (as exact floats) followed by
+    per-dim in-cell fractions — which is what the Pallas kernels consume."""
+    import numpy as _np
 
-    s2p, valid, point_slots, batch_starts = sort_points_into_blocks(plan, pts)
-    # Pre-gather the slot-aligned coordinates (rows padded to the sublane
-    # granule for the kernels' DMA slices); padding slots duplicate point 0,
-    # which is harmless because their *values* are masked to zero.
-    DP = -(-plan.ndim // 8) * 8
-    pts_slotted = gather_slots(pts, s2p, valid, rows=DP, mask=False)
+    from .blocking import (
+        block_ids_from_cells,
+        cells_and_fracs,
+        gather_slots,
+        num_blocks,
+        slot_layout,
+    )
+
+    cells, fracs = cells_and_fracs(plan.kernel_data, pts)
+    bid = block_ids_from_cells(cells, plan.kernel_data, plan.block_dims)
+    nblocks = int(_np.prod(num_blocks(plan.shape_over, plan.block_dims)))
+    s2p, valid, point_slots, batch_starts = slot_layout(
+        bid.astype(jnp.int32), nblocks, plan.batch_size
+    )
+    comb = jnp.concatenate([cells.astype(plan.real_dtype), fracs], axis=0)
+    # Rows padded to the sublane granule for the kernels' DMA slices;
+    # padding slots duplicate point 0, which is harmless because their
+    # *values* are masked to zero.
+    DP = -(-(2 * plan.ndim) // 8) * 8
+    pts_slotted = gather_slots(comb, s2p, valid, rows=DP, mask=False)
     return pts_slotted, s2p, valid, point_slots, batch_starts
 
 
@@ -432,15 +456,19 @@ def set_points(plan: Plan, points) -> Plan:
     """Return a new plan with the non-uniform points set (folded; bin-sorted
     when the blocked method is active)."""
     pts = _canonicalise_points(points, plan.ndim, plan.real_dtype)
-    pts = fold_points(pts, plan.point_transform)
     if plan.spread_method == "blocked":
+        # Transform but do NOT fold: the high-accuracy cell split folds via
+        # its mod-N (folding in f32 first would reintroduce the 2pi*2^-24
+        # coordinate noise the split exists to avoid).
+        pts_t = pts if plan.point_transform is _identity else plan.point_transform(pts)
         np_ = pts.shape[1]
         if plan.timer is not None:
             with plan.timer.section("set_points"):
-                out = _sort_points_jit(plan, pts)
+                out = _sort_points_jit(plan, pts_t)
                 plan.timer.sync(out)
         else:
-            out = _sort_points_jit(plan, pts)
+            out = _sort_points_jit(plan, pts_t)
+        pts = fold_points(pts, plan.point_transform)
         pts_slotted, s2p, valid, slots, batch_starts = out
         # Geometry diagnostic (reference warns on degenerate shared-memory
         # geometry, src/gpu_common.jl:66-77): slot padding waste is known
@@ -467,7 +495,7 @@ def set_points(plan: Plan, points) -> Plan:
         )
     return dataclasses.replace(
         plan,
-        points=pts,
+        points=fold_points(pts, plan.point_transform),
         points_slotted=None,
         slot_to_point=None,
         slot_valid=None,

@@ -167,7 +167,7 @@ def kernel_only(args):
     blk_shape = blocked._block_shape(CR, nb, pd, yz)
     out_index = blocked._block_index_map(D, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -187,7 +187,7 @@ def kernel_only(args):
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
-    )(p.block_starts, pts_k, vals_k, cs)
+    )(p.block_starts, jnp.zeros((D,), jnp.int32), pts_k, vals_k, cs)
 
 t_kernel = timed_scan(kernel_only, (pts_pad, vals_slotted))
 nbl = int(np.prod(nb))

@@ -1,0 +1,158 @@
+"""Spatially-sharded multi-chip path vs the single-device library.
+
+Runs on the 8-virtual-device CPU mesh (conftest).  The acceptance criterion
+from the round-1 review: numerical equality with single-device execution at
+a grid that is *sharded* (not replicated) end to end — grid slabs per chip,
+point routing via all_to_all, ppermute halo exchange, distributed
+matmul-DFT with an all_to_all transpose.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import nonuniformffts_tpu as nufft
+from nonuniformffts_tpu.execution import (
+    exec_type1_channels,
+    exec_type2_channels,
+)
+from nonuniformffts_tpu.parallel import SpatialNUFFT
+
+
+def make_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("grid",))
+
+
+def _single_plan(dtype, shape, **kw):
+    return nufft.PlanNUFFT(
+        dtype, shape, m=4, sigma=1.5, spread_method="blocked",
+        interpret=True, fft_method="matmul", **kw,
+    )
+
+
+@pytest.mark.parametrize("n_chips", [2, 4])
+def test_type1_type2_match_single_device_complex(n_chips, rng):
+    shape = (32, 32, 32)
+    Np = 160 * n_chips
+    mesh = make_mesh(n_chips)
+    sp = SpatialNUFFT(
+        np.complex128, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+    )
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    v_ch = rng.standard_normal((1, 2, Np))
+
+    st = sp.set_points(pts)
+    u_sp = np.asarray(sp.exec_type1(st, v_ch))
+
+    ref = nufft.set_points(
+        _single_plan(np.complex128, shape, block_dims=sp.base.block_dims), pts
+    )
+    u_ref = np.asarray(exec_type1_channels(ref, v_ch))
+    np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
+
+    v_sp = np.asarray(sp.exec_type2(st, u_ref))
+    v_ref = np.asarray(exec_type2_channels(ref, u_ref))
+    np.testing.assert_allclose(v_sp, v_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_real_data_path(rng):
+    shape = (32, 32, 32)
+    n_chips = 4
+    Np = 128 * n_chips
+    mesh = make_mesh(n_chips)
+    sp = SpatialNUFFT(
+        np.float64, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+    )
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    v = rng.standard_normal((1, Np))
+
+    st = sp.set_points(pts)
+    u_sp = np.asarray(sp.exec_type1(st, v))
+
+    ref = nufft.set_points(
+        _single_plan(np.float64, shape, block_dims=sp.base.block_dims), pts
+    )
+    u_ref = np.asarray(exec_type1_channels(ref, v))
+    np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
+
+    v_sp = np.asarray(sp.exec_type2(st, u_ref))
+    v_ref = np.asarray(exec_type2_channels(ref, u_ref))
+    np.testing.assert_allclose(v_sp, v_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_2d(rng):
+    shape = (32, 32)
+    n_chips = 4
+    Np = 100 * n_chips
+    mesh = make_mesh(n_chips)
+    sp = SpatialNUFFT(
+        np.complex128, shape, mesh=mesh, m=4, sigma=2.0, interpret=True,
+    )
+    pts = rng.uniform(0, 2 * np.pi, (2, Np))
+    v_ch = rng.standard_normal((1, 2, Np))
+    st = sp.set_points(pts)
+    u_sp = np.asarray(sp.exec_type1(st, v_ch))
+
+    ref = nufft.set_points(
+        nufft.PlanNUFFT(
+            np.complex128, shape, m=4, sigma=2.0, spread_method="blocked",
+            interpret=True, fft_method="matmul", block_dims=sp.base.block_dims,
+        ),
+        pts,
+    )
+    u_ref = np.asarray(exec_type1_channels(ref, v_ch))
+    np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_skewed_points_still_exact(rng):
+    """All points piled into one chip's slab (max routing skew) must still
+    be exact as long as the capacity allows it."""
+    shape = (32, 32, 32)
+    n_chips = 4
+    Np = 64 * n_chips
+    mesh = make_mesh(n_chips)
+    sp = SpatialNUFFT(
+        np.complex128, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+        capacity_factor=float(n_chips),
+    )
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    pts[0] = rng.uniform(0, 0.3, Np)  # everything in chip 0's slab
+    v_ch = rng.standard_normal((1, 2, Np))
+    st = sp.set_points(pts)
+    u_sp = np.asarray(sp.exec_type1(st, v_ch))
+    ref = nufft.set_points(
+        _single_plan(np.complex128, shape, block_dims=sp.base.block_dims), pts
+    )
+    u_ref = np.asarray(exec_type1_channels(ref, v_ch))
+    np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_routing_overflow_raises(rng):
+    shape = (32, 32, 32)
+    n_chips = 4
+    mesh = make_mesh(n_chips)
+    sp = SpatialNUFFT(
+        np.complex128, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+        capacity_factor=0.5,
+    )
+    pts = rng.uniform(0, 2 * np.pi, (3, 256))
+    pts[0] = 0.1  # everyone routes to chip 0 -> guaranteed overflow
+    with pytest.raises(ValueError, match="overflow"):
+        sp.set_points(pts)
+
+
+def test_validation_errors():
+    mesh = make_mesh(4)
+    with pytest.raises(ValueError, match="1-D mesh"):
+        SpatialNUFFT(
+            np.complex128, (32, 32),
+            mesh=Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("a", "b")),
+        )
+    with pytest.raises(ValueError, match=">= 2 dimensions"):
+        SpatialNUFFT(np.complex128, (64,), mesh=mesh, interpret=True)
+    sp = SpatialNUFFT(np.complex128, (32, 32), mesh=mesh, interpret=True)
+    with pytest.raises(ValueError, match="divide by mesh size"):
+        sp.set_points(np.zeros((2, 101)))
