@@ -173,33 +173,89 @@ def _spread_kernel(
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(i, carry):
-        off = pl.multiple_of((start_b + i) * P, P)
-        cp_p = pltpu.make_async_copy(pts_hbm.at[:, pl.ds(off, P)], pts_buf, sem_p)
-        cp_v = pltpu.make_async_copy(vals_hbm.at[:, pl.ds(off, P)], vals_buf, sem_v)
-        cp_p.start()
-        cp_v.start()
-        cp_p.wait()
-        cp_v.wait()
-        # Padding slots carry zero values and zero coordinates: their columns
-        # of qc are identically zero, so no masking is needed.
-        wts = _build_batch_wts(plan, cs_ref, pts_buf, origins, None, pd, P)
+    # Double-buffered point/value DMA: batch i+1 streams in while batch i
+    # computes (the DMA wait latency dominated the round-2 kernel profile).
+    def dma(slot, j):
+        off = pl.multiple_of((start_b + j) * P, P)
+        return (
+            pltpu.make_async_copy(
+                pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
+            ),
+            pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(off, P)], vals_buf.at[slot], sem_v.at[slot]
+            ),
+        )
+
+    @pl.when(nbatch > 0)
+    def _():
+        p0, v0 = dma(0, 0)
+        p0.start()
+        v0.start()
+
+    # Row-expansion selector: B_sel[c*p0 + x, c'] = (c == c'), so
+    # B_sel @ v expands per-channel rows to the stacked (CR*p0, P) layout
+    # with an exact 0/1 matmul — Mosaic rejects the boundary-crossing
+    # (CR, p0, P) reshape/broadcast forms as unsupported gathers.
+    row_c = jax.lax.broadcasted_iota(jnp.int32, (CR * pd[0], CR), 0) // pd[0]
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (CR * pd[0], CR), 1)
+    b_sel = (row_c == col_c).astype(acc_ref.dtype)
+
+    def compute(pts_b, vals_b):
+        # Padding slots carry zero values: their rows of wv are identically
+        # zero, so no masking is needed.
+        wts = _build_batch_wts(plan, cs_ref, pts_b, origins, None, pd, P)
         qt = _qt_matrix(wts, yz, P)
-        for c in range(CR):
-            vrow = vals_buf[c : c + 1, :]  # (1, P)
-            qc = qt * vrow
-            # acc[c] (p0, YZ) += sum_p W0T[x, p] * qc[yz, p]: contraction over
-            # the point batch (K = P = lane dim of both operands).
-            prod = jax.lax.dot_general(
-                wts[0], qc, (((1,), (1,)), ((), ())),
-                preferred_element_type=acc_ref.dtype,
-                precision=_PRECS[plan.precision],
-            )
-            acc_ref[c, :, :] = acc_ref[c, :, :] + prod
+        # Channel-stacked contraction: Wv[c*p0 + x, p] = W0T[x, p] * v[c, p],
+        # acc (CR*p0, YZ) += sum_p Wv[cx, p] qt[yz, p].  One matmul with
+        # M = CR*p0: MXU row utilisation and CR scaling both come from the
+        # stacking (no Python channel loop in the contraction).
+        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*p0, P)
+        v_rows = jax.lax.dot_general(
+            b_sel, vals_b[:CR, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CR*p0, P): row c*p0+x = v[c]
+        wv = w_tiled * v_rows
+        prod = jax.lax.dot_general(
+            wv, qt, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=_PRECS[plan.precision],
+        )
+        acc_ref[...] = acc_ref[...] + prod
+
+    def body(i, carry):
+        slot = i % 2
+
+        @pl.when(i + 1 < nbatch)
+        def _():
+            pn, vn = dma((i + 1) % 2, i + 1)
+            pn.start()
+            vn.start()
+
+        pc, vc = dma(slot, i)
+        pc.wait()
+        vc.wait()
+        # Mosaic cannot load a VMEM value at a traced leading index; the
+        # slot choice is branched statically instead (DMAs/semaphores above
+        # *do* take traced .at[slot] indices).
+        @pl.when(slot == 0)
+        def _():
+            compute(pts_buf[0], vals_buf[0])
+
+        @pl.when(slot == 1)
+        def _():
+            compute(pts_buf[1], vals_buf[1])
+
         return carry
 
     jax.lax.fori_loop(0, nbatch, body, 0)
-    out_ref[...] = acc_ref[...].reshape(out_ref.shape)
+    # Un-stack channels with static sublane slices (one write per channel;
+    # a (CR*p0, yz) -> (CR, 1.., p0, yz) reshape would be a boundary-
+    # crossing relayout Mosaic lowers as an unsupported gather).
+    for c in range(CR):
+        out_ref[(c,) + (0,) * len(nb)] = jax.lax.slice_in_dim(
+            acc_ref[...], c * pd[0], (c + 1) * pd[0], axis=0
+        )
 
 
 def spread_blocked(
@@ -253,11 +309,11 @@ def spread_blocked(
         ],
         out_specs=pl.BlockSpec(blk_shape, out_index),
         scratch_shapes=[
-            pltpu.VMEM((CR, pd[0], yz), rdt),
-            pltpu.VMEM((DP, P), rdt),
-            pltpu.VMEM((CRP, P), rdt),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((CR * pd[0], yz), rdt),
+            pltpu.VMEM((2, DP, P), rdt),
+            pltpu.VMEM((2, CRP, P), rdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -298,30 +354,102 @@ def _interp_kernel(
     start_b = starts_ref[b]  # in units of P (slot layout)
     nbatch = starts_ref[b + 1] - start_b
 
-    gblk = blk_ref[...].reshape(CR, pd[0], yz)  # hoisted out of the batch loop
+    # Channel-stacked block (CR*p0, YZ), hoisted out of the batch loop
+    # (static per-channel loads + sublane concat; a merging reshape would
+    # be a boundary-crossing relayout Mosaic rejects).
+    gblk = jnp.concatenate(
+        [blk_ref[(c,) + (0,) * len(nb)] for c in range(CR)], axis=0
+    )
+    # Channel-summing selector: A_sel[c, c'*p0 + x] = (c == c') so that
+    # A_sel @ (W0T-weighted T) reduces each channel's p0 rows exactly.
+    a_row = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0]), 0)
+    a_col = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0]), 1) // pd[0]
+    a_sel = (a_row == a_col).astype(res_buf.dtype)
+
+    def dma_p(slot, j):
+        off = pl.multiple_of((start_b + j) * P, P)
+        return pltpu.make_async_copy(
+            pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
+        )
+
+    @pl.when(nbatch > 0)
+    def _():
+        dma_p(0, 0).start()
+
+    def compute(pts_b, res_slot_ref):
+        wts = _build_batch_wts(plan, cs_ref, pts_b, origins, None, pd, P)
+        qt = _qt_matrix(wts, yz, P)
+        # T (CR*p0, P) = sum_yz G[cx, yz] * QT[yz, p]: one matmul with
+        # M = CR*p0 (no Python channel loop; MXU rows scale with CR).
+        t = jax.lax.dot_general(
+            gblk, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=_PRECS[plan.precision],
+        )
+        # v (CR, P) = sum_x W0T[x, p] * T[c*p0 + x, p]: weight with the
+        # tiled W0T, then reduce each channel's p0 rows with the exact 0/1
+        # selector matmul.
+        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*p0, P)
+        res_slot_ref[:CR, :] = jax.lax.dot_general(
+            a_sel, t * w_tiled, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def body(i, carry):
+        slot = i % 2
+
+        @pl.when(i + 1 < nbatch)
+        def _():
+            dma_p((i + 1) % 2, i + 1).start()
+
+        dma_p(slot, i).wait()
+        # Wait for the result DMA of batch i-2 (same slot) before
+        # overwriting its buffer; static-slot branches (Mosaic cannot load
+        # VMEM values at traced leading indices).
+        @pl.when(i >= 2)
+        def _():
+            off_p = pl.multiple_of((start_b + i - 2) * P, P)
+            pltpu.make_async_copy(
+                res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off_p, P)],
+                sem_r.at[slot],
+            ).wait()
+
+        @pl.when(slot == 0)
+        def _():
+            compute(pts_buf[0], res_buf.at[0])
+
+        @pl.when(slot == 1)
+        def _():
+            compute(pts_buf[1], res_buf.at[1])
+
         off = pl.multiple_of((start_b + i) * P, P)
-        cp_p = pltpu.make_async_copy(pts_hbm.at[:, pl.ds(off, P)], pts_buf, sem_p)
-        cp_p.start()
-        cp_p.wait()
-        wts = _build_batch_wts(plan, cs_ref, pts_buf, origins, None, pd, P)
-        qt = _qt_matrix(wts, yz, P)
-        for c in range(CR):
-            # T (p0, P) = sum_yz G[c][x, yz] * QT[yz, p]: K = YZ (lane of lhs).
-            t = jax.lax.dot_general(
-                gblk[c], qt, (((1,), (0,)), ((), ())),
-                preferred_element_type=res_buf.dtype,
-                precision=_PRECS[plan.precision],
-            )
-            # v (1, P) = sum_x W0T[x, p] * T[x, p]: sublane reduction.
-            res_buf[c : c + 1, :] = jnp.sum(wts[0] * t, axis=0, keepdims=True)
-        cp_r = pltpu.make_async_copy(res_buf, out_ref.at[:, pl.ds(off, P)], sem_r)
-        cp_r.start()
-        cp_r.wait()
+        pltpu.make_async_copy(
+            res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off, P)],
+            sem_r.at[slot],
+        ).start()
         return carry
 
     jax.lax.fori_loop(0, nbatch, body, 0)
+
+    # Drain the last (up to two) in-flight result DMAs.
+    @pl.when(nbatch > 0)
+    def _():
+        i = nbatch - 1
+        off_l = pl.multiple_of((start_b + i) * P, P)
+        pltpu.make_async_copy(
+            res_buf.at[i % 2, :, :], out_ref.at[:, pl.ds(off_l, P)],
+            sem_r.at[i % 2],
+        ).wait()
+
+    @pl.when(nbatch > 1)
+    def _():
+        i = nbatch - 2
+        off_l = pl.multiple_of((start_b + i) * P, P)
+        pltpu.make_async_copy(
+            res_buf.at[i % 2, :, :], out_ref.at[:, pl.ds(off_l, P)],
+            sem_r.at[i % 2],
+        ).wait()
 
 
 def interpolate_blocked(
@@ -366,10 +494,10 @@ def interpolate_blocked(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # (CR, Np_pad)
         scratch_shapes=[
-            pltpu.VMEM((DP, P), rdt),
-            pltpu.VMEM((CRP, P), rdt),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, DP, P), rdt),
+            pltpu.VMEM((2, CRP, P), rdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

@@ -42,16 +42,12 @@ def round_up(x: int, m: int) -> int:
 
 
 def padded_block_dims(block_dims: Sequence[int], m: int) -> Tuple[int, ...]:
-    """Per-dim padded block sizes: B + 2M - 1 halo; dims after the first are
-    rounded up to the 8-sublane granule so VMEM reshapes merging them are
-    tile-aligned (padded columns stay exactly zero)."""
-    out = []
-    for d, b in enumerate(block_dims):
-        p = b + 2 * m - 1
-        if d > 0:
-            p = round_up(p, 8)
-        out.append(p)
-    return tuple(out)
+    """Per-dim padded block sizes: B + 2M - 1 halo, rounded up to the
+    8-sublane granule so VMEM reshapes merging/splitting them (the
+    channel-stacked (CR*p0, yz) accumulator and trailing-dim merges) are
+    tile-aligned.  Padded rows/columns stay exactly zero (windows never
+    reach them)."""
+    return tuple(round_up(b + 2 * m - 1, 8) for b in block_dims)
 
 
 def coefficient_stack(kernel_data: Sequence[KernelData]) -> jnp.ndarray:
@@ -170,45 +166,61 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int):
 # on matching-layout arrays (slices and rolls only, no transpose).
 
 
-def _relayout_kernel(src_ref, dst_ref):
-    dst_ref[...] = src_ref[...].reshape(dst_ref.shape)
-
-
 def relayout_to_grid(blocks_major: jnp.ndarray, block_dims, *, interpret=False):
     """(CR, nb0, .., nbD-1, B0, .., BD-1) -> (CR, N0, .., ND-1).
 
-    Mosaic requires the last two block-spec dims to be (8, 128)-divisible or
-    span the array — guaranteed by choose_geometry / the block_dims
-    validation in PlanNUFFT (last block dim a multiple of 128 or the full
-    axis; second-to-last a multiple of 8 or the full axis)."""
+    One Pallas program per (nb0, .., nbD-2) position spans the FULL last
+    block axis (an entire row of nbD-1 blocks concatenated along the lane
+    dim), amortising per-program overhead and giving large pipelined DMAs.
+    Mosaic requires the last two block-spec dims to be (8, 128)-divisible
+    or span the array — guaranteed by choose_geometry / the block_dims
+    validation in PlanNUFFT."""
     from jax.experimental import pallas as pl
 
     D = len(block_dims)
     CR = blocks_major.shape[0]
-    nb = blocks_major.shape[1 : 1 + D]
+    nb = tuple(blocks_major.shape[1 : 1 + D])
     grid_shape = tuple(n * b for n, b in zip(nb, block_dims))
     if D == 1:
         # Block-major == grid layout up to a contiguous merge: free reshape.
         return blocks_major.reshape((CR,) + grid_shape)
 
+    nlast = nb[-1]
+
+    def kernel(src_ref, dst_ref):
+        pieces = [
+            src_ref[(slice(None),) + (0,) * (D - 1) + (k,)]
+            for k in range(nlast)
+        ]
+        dst_ref[...] = (
+            pieces[0] if nlast == 1 else jnp.concatenate(pieces, axis=-1)
+        )
+
     def in_index(*bids):
-        return (0,) + tuple(bids) + (0,) * D
+        return (0,) + tuple(bids) + (0,) * (D + 1)
 
     def out_index(*bids):
-        return (0,) + tuple(bids)
+        return (0,) + tuple(bids) + (0,)
 
     return pl.pallas_call(
-        _relayout_kernel,
-        grid=tuple(nb),
-        in_specs=[pl.BlockSpec((CR,) + (1,) * D + tuple(block_dims), in_index)],
-        out_specs=pl.BlockSpec((CR,) + tuple(block_dims), out_index),
+        kernel,
+        grid=nb[:-1],
+        in_specs=[
+            pl.BlockSpec(
+                (CR,) + (1,) * (D - 1) + (nlast,) + tuple(block_dims), in_index
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (CR,) + tuple(block_dims[:-1]) + (grid_shape[-1],), out_index
+        ),
         out_shape=jax.ShapeDtypeStruct((CR,) + grid_shape, blocks_major.dtype),
         interpret=interpret,
     )(blocks_major)
 
 
 def relayout_to_blocks(grid: jnp.ndarray, block_dims, *, interpret=False):
-    """(CR, N0, .., ND-1) -> (CR, nb0, .., nbD-1, B0, .., BD-1)."""
+    """(CR, N0, .., ND-1) -> (CR, nb0, .., nbD-1, B0, .., BD-1).  Same
+    full-last-axis program fattening as relayout_to_grid."""
     from jax.experimental import pallas as pl
 
     D = len(block_dims)
@@ -217,17 +229,33 @@ def relayout_to_blocks(grid: jnp.ndarray, block_dims, *, interpret=False):
     if D == 1:
         return grid.reshape((CR,) + nb + tuple(block_dims))
 
+    nlast = nb[-1]
+    Blast = block_dims[-1]
+
+    def kernel(src_ref, dst_ref):
+        src = src_ref[...]
+        for k in range(nlast):
+            dst_ref[(slice(None),) + (0,) * (D - 1) + (k,)] = (
+                jax.lax.slice_in_dim(src, k * Blast, (k + 1) * Blast, axis=-1)
+            )
+
     def in_index(*bids):
-        return (0,) + tuple(bids)
+        return (0,) + tuple(bids) + (0,)
 
     def out_index(*bids):
-        return (0,) + tuple(bids) + (0,) * D
+        return (0,) + tuple(bids) + (0,) * (D + 1)
 
     return pl.pallas_call(
-        _relayout_kernel,
-        grid=nb,
-        in_specs=[pl.BlockSpec((CR,) + tuple(block_dims), in_index)],
-        out_specs=pl.BlockSpec((CR,) + (1,) * D + tuple(block_dims), out_index),
+        kernel,
+        grid=nb[:-1],
+        in_specs=[
+            pl.BlockSpec(
+                (CR,) + tuple(block_dims[:-1]) + (grid.shape[-1],), in_index
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (CR,) + (1,) * (D - 1) + (nlast,) + tuple(block_dims), out_index
+        ),
         out_shape=jax.ShapeDtypeStruct(
             (CR,) + nb + tuple(block_dims), grid.dtype
         ),

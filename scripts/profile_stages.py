@@ -138,7 +138,7 @@ CR = 2
 rdt = p.real_dtype
 
 vals_in = v_np.reshape(2, NP_PTS)
-DP = common.round_up(D, 8)
+DP = common.round_up(2 * D, 8)
 CRP = common.round_up(CR, 8)
 
 def slot_vals_gather(v):
@@ -176,11 +176,11 @@ def kernel_only(args):
         ],
         out_specs=pl.BlockSpec(blk_shape, out_index),
         scratch_shapes=[
-            pltpu.VMEM((CR, pd[0], yz), rdt),
-            pltpu.VMEM((DP, plan.batch_size), rdt),
-            pltpu.VMEM((CRP, plan.batch_size), rdt),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((CR * pd[0], yz), rdt),
+            pltpu.VMEM((2, DP, plan.batch_size), rdt),
+            pltpu.VMEM((2, CRP, plan.batch_size), rdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(blocked._spread_kernel, plan=p, CR=CR, nb=nb, pd=pd, yz=yz, P=plan.batch_size)
