@@ -73,19 +73,22 @@ def main():
         _timeit(lambda: float(_noop(jnp.float32(1.0)))) for _ in range(5)
     )
 
-    def timed_scan(build_body, k=K_ITERS, reps=2):
-        """build_body(c) -> scalar; chained k times inside one jit."""
-
-        def body(c, _):
-            return jax.lax.optimization_barrier(build_body(c)), None
+    def timed_scan(build_body, args, k=K_ITERS, reps=2):
+        """build_body(c, *args) -> scalar; chained k times inside one jit.
+        ``args`` are jit ARGUMENTS, not closure constants: the axon tunnel
+        ships closure constants inside the remote-compile request, which
+        blows its size limit (HTTP 413) for multi-hundred-MB point sets."""
 
         @jax.jit
-        def loop():
+        def loop(*a):
+            def body(c, _):
+                return jax.lax.optimization_barrier(build_body(c, *a)), None
+
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return c
 
-        _ = float(loop())  # compile + warm
-        ts = [_timeit(lambda: float(loop())) for _ in range(reps)]
+        _ = float(loop(*args))  # compile + warm
+        ts = [_timeit(lambda: float(loop(*args))) for _ in range(reps)]
         return (min(ts) - overhead) / k
 
     def make_plan(np_hint):
@@ -104,7 +107,7 @@ def main():
     def eps_of(c, x):
         return x + (c * jnp.asarray(1e-30, x.dtype)).astype(x.dtype)
 
-    def bench_point(np_pts, *, measure_error=False):
+    def bench_point(np_pts, *, measure_error=False, full_only=False):
         rng = np.random.default_rng(42)
         pts_np = rng.uniform(0, 2 * np.pi, (3, np_pts)).astype(np.float32)
         v_np = rng.standard_normal((1, 2, np_pts)).astype(np.float32)
@@ -115,29 +118,31 @@ def main():
         u_in = _exec_type1_ch_impl(p_sorted, v_d, cbs)
         u_in.block_until_ready()
 
-        def full_body(c):
-            p = nufft.set_points(plan, eps_of(c, pts_d))
-            u = _exec_type1_ch_impl(p, eps_of(c, v_d), cbs)
+        def full_body(c, pts_a, v_a):
+            p = nufft.set_points(plan, eps_of(c, pts_a))
+            u = _exec_type1_ch_impl(p, eps_of(c, v_a), cbs)
             v2 = _exec_type2_ch_impl(p, u, cbs)
             return jnp.sum(u) + jnp.sum(v2)
 
-        def set_body(c):
-            p = nufft.set_points(plan, eps_of(c, pts_d))
+        def set_body(c, pts_a):
+            p = nufft.set_points(plan, eps_of(c, pts_a))
             return jnp.sum(p.points_slotted if plan.spread_method == "blocked"
                            else p.points)
 
-        def t1_body(c):
-            u = _exec_type1_ch_impl(p_sorted, eps_of(c, v_d), cbs)
+        def t1_body(c, ps, v_a):
+            u = _exec_type1_ch_impl(ps, eps_of(c, v_a), cbs)
             return jnp.sum(u)
 
-        def t2_body(c):
-            v2 = _exec_type2_ch_impl(p_sorted, eps_of(c, u_in), cbs)
+        def t2_body(c, ps, u_a):
+            v2 = _exec_type2_ch_impl(ps, eps_of(c, u_a), cbs)
             return jnp.sum(v2)
 
-        t_full = timed_scan(full_body)
-        t_set = timed_scan(set_body)
-        t_1 = timed_scan(t1_body)
-        t_2 = timed_scan(t2_body)
+        t_full = timed_scan(full_body, (pts_d, v_d))
+        t_set = t_1 = t_2 = float("nan")
+        if not full_only:  # sweep rows skip the per-stage loops (compile cost)
+            t_set = timed_scan(set_body, (pts_d,))
+            t_1 = timed_scan(t1_body, (p_sorted, v_d))
+            t_2 = timed_scan(t2_body, (p_sorted, u_in))
 
         row = {
             "Np": np_pts,
@@ -152,6 +157,20 @@ def main():
         if measure_error:
             row["err_type1"] = measure_t1_error(plan, pts_np, v_np, p_sorted)
             row["err_type2"] = measure_t2_error(plan, pts_np, p_sorted)
+            # Edge-case certification on the COMPILED kernels (same plan and
+            # shapes, so no recompile): near-2pi coordinates, a dense
+            # cluster (single-block pileup -> many batches in one program)
+            # and mostly-empty blocks, all at once.  Mirrors the
+            # interpret-mode cases of tests/test_blocked.py on hardware.
+            rng2 = np.random.default_rng(11)
+            pts_e = rng2.uniform(0, 2 * np.pi, (3, np_pts)).astype(np.float32)
+            ncl = np_pts // 2
+            pts_e[:, :ncl] = rng2.uniform(1.0, 1.3, (3, ncl)).astype(np.float32)
+            pts_e[:, ncl : ncl + 1000] = np.nextafter(
+                np.float32(2 * np.pi), np.float32(0)
+            )
+            p_edge = nufft.set_points(plan, jax.device_put(pts_e))
+            row["err_edge"] = measure_t1_error(plan, pts_e, v_np, p_edge)
         return row
 
     # ---------------- accuracy oracles ------------------------------------
@@ -210,6 +229,7 @@ def main():
         f"t2={main_row['t_type2_s']*1e3:.1f}) "
         f"err1={main_row.get('err_type1', float('nan')):.2e} "
         f"err2={main_row.get('err_type2', float('nan')):.2e} "
+        f"err_edge={main_row.get('err_edge', float('nan')):.2e} "
         f"prec={PRECISION} backend={'tpu' if on_tpu else 'cpu'}"
     )
 
@@ -218,7 +238,7 @@ def main():
             if np_pts == NP_MAIN:
                 continue
             try:
-                r = bench_point(np_pts, measure_error=False)
+                r = bench_point(np_pts, measure_error=False, full_only=True)
             except Exception as e:  # OOM guard at high density
                 log(f"# sweep Np={np_pts}: skipped ({type(e).__name__})")
                 continue

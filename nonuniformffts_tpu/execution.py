@@ -82,6 +82,8 @@ def _spread(plan: Plan, vp: jnp.ndarray) -> jnp.ndarray:
         from .ops.pallas import spread_blocked
 
         return spread_blocked(plan, vp)
+    if plan.point_perm is not None:  # sort_points: points stored cell-major
+        vp = jnp.take(vp, plan.point_perm, axis=-1)
     return spread_reference(
         plan.kernel_data, plan.evalmode, plan.shape_over, plan.points, vp,
         chunk_size=plan.chunk_size,
@@ -103,10 +105,13 @@ def _interpolate(plan: Plan, grid: jnp.ndarray) -> jnp.ndarray:
         from .ops.pallas import interpolate_blocked
 
         return interpolate_blocked(plan, grid)
-    return interpolate_reference(
+    out = interpolate_reference(
         plan.kernel_data, plan.evalmode, grid, plan.points, plan.normfactor,
         chunk_size=plan.chunk_size,
     )
+    if plan.point_perm is not None:  # un-permute back to input order
+        out = jnp.take(out, plan.point_perm_inv, axis=-1)
+    return out
 
 
 def _interpolate_ch(plan: Plan, grid_ch: jnp.ndarray) -> jnp.ndarray:

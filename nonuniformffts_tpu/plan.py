@@ -90,6 +90,11 @@ class Plan:
     point_slots: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
     block_starts: Optional[jnp.ndarray] = data_field(default=None)  # (nblocks+1,) in batches
     num_points_static: Optional[int] = static_field(default=None)  # Np (blocked)
+    # Reference-path spatial sort (sort_points=True): points stored in
+    # cell-major order for scatter/gather locality (reference:
+    # src/blocking/gpu.jl:130-139); values permute in, results permute out.
+    point_perm: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
+    point_perm_inv: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
 
     # --------------------------------------------------------------------
     @property
@@ -203,7 +208,7 @@ def PlanNUFFT(
     kernel_evalmode: EvaluationMode = None,
     ntransforms: int = 1,
     fftshift: bool = False,
-    spread_method: str = "reference",
+    spread_method: str = "auto",
     block_dims=None,
     sort_points: bool = False,
     point_transform: Callable = _identity,
@@ -226,7 +231,8 @@ def PlanNUFFT(
 
     ``spread_method`` selects the execution path: ``'reference'`` is the
     pure-jnp scatter/gather oracle; ``'blocked'`` is the TPU fast path
-    (bin-sorted points + block-owner Pallas kernels).
+    (bin-sorted points + block-owner Pallas kernels); ``'auto'`` (default)
+    picks per backend and expected density (``np_hint``).
     """
     if isinstance(shape, int):
         shape = (shape,)
@@ -286,6 +292,18 @@ def PlanNUFFT(
         )
         kvec_np.append(k)
         phinv_np.append(1.0 / ph)
+
+    if spread_method == "auto":
+        # Density-adaptive method selection (the analogue of the reference's
+        # gpu_method choice, docs/src/benchmarks.md:40-61, picked from our
+        # own sweep): on TPU the blocked Pallas path wins at every density
+        # the sweep covers (XLA lowers the reference path's scatter/gather
+        # serially on TPU), except for tiny problems where the slot
+        # machinery's fixed overhead dominates; elsewhere (CPU tests) the
+        # vectorised reference path is the sane default.
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        tiny = np_hint is not None and np_hint < 4096
+        spread_method = "blocked" if (on_tpu and not tiny) else "reference"
 
     if spread_method == "blocked":
         from .blocking import choose_geometry
@@ -452,6 +470,22 @@ def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     return pts_slotted, s2p, valid, point_slots, batch_starts
 
 
+@jax.jit
+def _spatial_sort_jit(plan: Plan, pts_f: jnp.ndarray):
+    """Cell-major sort permutation (and its inverse) for the reference path."""
+    from .blocking import cells_and_fracs
+
+    cells, _ = cells_and_fracs(plan.kernel_data, pts_f)
+    lin = cells[0]
+    for d in range(1, plan.ndim):
+        lin = lin * plan.kernel_data[d].n + cells[d]
+    np_ = pts_f.shape[1]
+    iota = jnp.arange(np_, dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(lin, iota)
+    _, perm_inv = jax.lax.sort_key_val(perm, iota)
+    return perm, perm_inv
+
+
 def set_points(plan: Plan, points) -> Plan:
     """Return a new plan with the non-uniform points set (folded; bin-sorted
     when the blocked method is active)."""
@@ -492,10 +526,23 @@ def set_points(plan: Plan, points) -> Plan:
             point_slots=slots,
             block_starts=batch_starts,
             num_points_static=np_,
+            point_perm=None,  # blocked path always sorts physically
+            point_perm_inv=None,
         )
+    pts_f = fold_points(pts, plan.point_transform)
+    perm = perm_inv = None
+    if plan.sort_points:
+        # Cell-major spatial sort for scatter/gather locality on the
+        # reference path (reference: src/blocking/gpu.jl:130-139 physically
+        # permutes point data when sort_points is on).  Values are permuted
+        # at exec time; type-2 results are un-permuted on output.
+        perm, perm_inv = _spatial_sort_jit(plan, pts_f)
+        pts_f = jnp.take(pts_f, perm, axis=1)
     return dataclasses.replace(
         plan,
-        points=fold_points(pts, plan.point_transform),
+        points=pts_f,
+        point_perm=perm,
+        point_perm_inv=perm_inv,
         points_slotted=None,
         slot_to_point=None,
         slot_valid=None,

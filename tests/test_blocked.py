@@ -177,3 +177,23 @@ def test_matmul_fft_standalone(rng):
         back = MF.backward_fft_matmul(spec, (ax,), real=False)
         gotb = np.asarray(back[:, 0] + 1j * back[:, 1])
         np.testing.assert_allclose(gotb, x * n, rtol=1e-10, atol=1e-8)  # bfft(fft(x)) = n x
+
+
+def test_blocked_ntransforms_32(rng):
+    """C=32 simultaneous transforms through the channel-stacked kernels
+    (CR=64): correctness vs the reference path.  The reference library fixed
+    C>=32 performance in v0.9.3/v0.9.4; our kernels fold CR into the matmul
+    M dimension, so compile time and efficiency are flat in C."""
+    C, Np = 32, 200
+    pts = rng.uniform(0, 2 * np.pi, (1, Np))
+    v = rng.standard_normal((C, Np)) + 1j * rng.standard_normal((C, Np))
+    kw = dict(m=4, sigma=2.0, ntransforms=C)
+    pb = nufft.PlanNUFFT(np.complex128, (64,), spread_method="blocked",
+                         interpret=True, fft_method="matmul", **kw)
+    pr = nufft.PlanNUFFT(np.complex128, (64,), spread_method="reference", **kw)
+    ub = np.asarray(nufft.exec_type1(nufft.set_points(pb, pts), v))
+    ur = np.asarray(nufft.exec_type1(nufft.set_points(pr, pts), v))
+    np.testing.assert_allclose(ub, ur, rtol=1e-10, atol=1e-12)
+    vb = np.asarray(nufft.exec_type2(nufft.set_points(pb, pts), ub))
+    vr = np.asarray(nufft.exec_type2(nufft.set_points(pr, pts), ur))
+    np.testing.assert_allclose(vb, vr, rtol=1e-10, atol=1e-12)

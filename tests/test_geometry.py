@@ -119,3 +119,28 @@ def test_plan_repr_geometry(rng):
     pts = rng.uniform(0, 2 * np.pi, (3, 50_000)).astype(np.float32)
     plan = nufft.set_points(plan, pts)
     assert "slot padding waste" in repr(plan)
+
+
+def test_sort_points_reference_path(rng):
+    """sort_points=True (cell-major physical sort, reference path) must be
+    output-equivalent to the unsorted path, type 1 and type 2."""
+    pts = rng.uniform(0, 2 * np.pi, (2, 300))
+    v = rng.standard_normal(300) + 1j * rng.standard_normal(300)
+    kw = dict(m=4, sigma=2.0, spread_method="reference")
+    p0 = nufft.set_points(nufft.PlanNUFFT(np.complex128, (32, 32), **kw), pts)
+    p1 = nufft.set_points(
+        nufft.PlanNUFFT(np.complex128, (32, 32), sort_points=True, **kw), pts
+    )
+    u0 = np.asarray(nufft.exec_type1(p0, v))
+    u1 = np.asarray(nufft.exec_type1(p1, v))
+    np.testing.assert_allclose(u1, u0, rtol=1e-12)
+    v0 = np.asarray(nufft.exec_type2(p0, u0))
+    v1 = np.asarray(nufft.exec_type2(p1, u0))
+    np.testing.assert_allclose(v1, v0, rtol=1e-12)
+    assert p1.point_perm is not None and p0.point_perm is None
+
+
+def test_auto_method_resolves():
+    # On the CPU test backend 'auto' resolves to the reference path.
+    plan = nufft.PlanNUFFT(np.complex64, (32, 32))
+    assert plan.spread_method == "reference"
