@@ -200,6 +200,88 @@ def _roll_last_forward(x):
     return jnp.moveaxis(x, -1, 1)
 
 
+def dft_axis(xr, xi, ax_dft: AxisDFT, axis: int, sign: float, prec: str):
+    """c2c DFT along an arbitrary axis (channel pair form)."""
+    xr = jnp.moveaxis(xr, axis, -1)
+    xi = jnp.moveaxis(xi, axis, -1)
+    xr, xi = _c2c_last(xr, xi, ax_dft, sign, prec)
+    return jnp.moveaxis(xr, -1, axis), jnp.moveaxis(xi, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# Deconvolution-fused drivers: truncate after each axis (forward) / pad
+# before each axis (backward), so later axes work on the smaller
+# non-oversampled extent — ~30% less DFT work at sigma = 1.5 — and the
+# separate truncate/pad passes disappear (reference fuses deconvolution
+# into its copy passes the same way, src/NonuniformFFTs.jl:350-480).
+# ---------------------------------------------------------------------------
+
+
+def forward_fft_deconv(
+    grid, axes_dft, index_ranges, phihat_inv, normfactor, *, real, prec
+):
+    """Forward DFT + truncation + deconvolution scaling, fused per axis.
+
+    ``grid``: real (C,) + shape_over (r2c plans) or channel (C, 2) +
+    shape_over.  Returns the channel-form non-oversampled spectrum
+    (C, 2) + spectral_shape, scaled by ``normfactor / prod phi_hat``.
+    """
+    from .deconvolve import truncate_axis
+
+    D = len(axes_dft)
+    if real:
+        xr, xi = _r2c_last(grid, axes_dft[-1], prec)
+    else:
+        xr, xi = grid[:, 0], grid[:, 1]
+        xr, xi = dft_axis(xr, xi, axes_dft[-1], 1 + (D - 1), 1.0, prec)
+    xr = truncate_axis(xr, 1 + (D - 1), index_ranges[D - 1])
+    xi = truncate_axis(xi, 1 + (D - 1), index_ranges[D - 1])
+    for d in range(D - 2, -1, -1):
+        xr, xi = dft_axis(xr, xi, axes_dft[d], 1 + d, 1.0, prec)
+        xr = truncate_axis(xr, 1 + d, index_ranges[d])
+        xi = truncate_axis(xi, 1 + d, index_ranges[d])
+    scale = jnp.asarray(normfactor, xr.dtype)
+    xr = xr * scale
+    xi = xi * scale
+    for d, ph in enumerate(phihat_inv):
+        shape = [1] * xr.ndim
+        shape[1 + d] = ph.shape[0]
+        xr = xr * ph.reshape(shape)
+        xi = xi * ph.reshape(shape)
+    return jnp.stack([xr, xi], axis=1)
+
+
+def backward_fft_pad(
+    spec_ch, axes_dft, index_ranges, shape_over, *, real, prec
+):
+    """Backward (bfft/brfft) DFT with per-axis zero-padding fused in.
+
+    ``spec_ch``: channel-form non-oversampled spectrum (C, 2) +
+    spectral_shape, already deconvolution-scaled by the caller.  Returns
+    the oversampled grid: real (C, ...) for r2c plans, channel (C, 2, ...)
+    otherwise.
+    """
+    from .deconvolve import pad_axis
+
+    D = len(axes_dft)
+    xr, xi = spec_ch[:, 0], spec_ch[:, 1]
+    for d in range(D - 1):
+        xr = pad_axis(xr, 1 + d, index_ranges[d], shape_over[d])
+        xi = pad_axis(xi, 1 + d, index_ranges[d], shape_over[d])
+        xr, xi = dft_axis(xr, xi, axes_dft[d], 1 + d, -1.0, prec)
+    dlast = D - 1
+    nlast_spec = shape_over[dlast] // 2 + 1 if real else shape_over[dlast]
+    xr = pad_axis(xr, 1 + dlast, index_ranges[dlast], nlast_spec)
+    xi = pad_axis(xi, 1 + dlast, index_ranges[dlast], nlast_spec)
+    if real:
+        xr = jnp.moveaxis(xr, 1 + dlast, -1)
+        xi = jnp.moveaxis(xi, 1 + dlast, -1)
+        out = _c2r_last(xr, xi, axes_dft[dlast], prec)
+        return jnp.moveaxis(out, -1, 1 + dlast)
+    xr, xi = dft_axis(xr, xi, axes_dft[dlast], 1 + dlast, -1.0, prec)
+    return jnp.stack([xr, xi], axis=1)
+
+
 def forward_fft_matmul(grid: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool, prec: str = "highest"):
     """Unnormalised forward DFT over all axes but the leading component axis.
 
