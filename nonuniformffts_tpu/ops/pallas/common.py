@@ -320,23 +320,35 @@ def overlap_add(
         # ppermute over ICI (the chip-level ghost-cell exchange; reference
         # merge arithmetic: src/spreading/cpu_blocked.jl:3-36).
         sharded = shard_axis is not None and d == 0
-        idx = [slice(None)] * arr.ndim
-        idx[p_ax] = slice(0, m)
         right_sh = (
             _shift_blockrows_from_prev(right, nb_ax, shard_axis)
             if sharded
             else jnp.roll(right, 1, axis=nb_ax)
         )
-        main = main.at[tuple(idx)].add(right_sh)
-        if m > 1:
-            idx[p_ax] = slice(B - (m - 1), B)
-            left_sh = (
-                _shift_blockrows_from_next(left, nb_ax, shard_axis)
-                if sharded
-                else jnp.roll(left, -1, axis=nb_ax)
-            )
-            main = main.at[tuple(idx)].add(left_sh)
-        arr = main
+        left_sh = (
+            _shift_blockrows_from_next(left, nb_ax, shard_axis)
+            if sharded
+            else jnp.roll(left, -1, axis=nb_ax)
+        )
+        if B >= 2 * m - 1:
+            # Build the merged block as one concat of three pieces: XLA
+            # lowers `.at[slice].add` as a full-operand dynamic-update-slice
+            # copy, doubling the pass traffic.
+            lo = jax.lax.slice_in_dim(arr, m - 1, 2 * m - 1, axis=p_ax) + right_sh
+            mid = jax.lax.slice_in_dim(arr, 2 * m - 1, B, axis=p_ax)
+            pieces = [lo, mid]
+            if m > 1:
+                hi = jax.lax.slice_in_dim(arr, B, m - 1 + B, axis=p_ax) + left_sh
+                pieces.append(hi)
+            arr = jnp.concatenate(pieces, axis=p_ax) if len(pieces) > 1 else pieces[0]
+        else:  # tiny blocks: halo regions overlap; scatter-add fallback
+            idx = [slice(None)] * arr.ndim
+            idx[p_ax] = slice(0, m)
+            main = main.at[tuple(idx)].add(right_sh)
+            if m > 1:
+                idx[p_ax] = slice(B - (m - 1), B)
+                main = main.at[tuple(idx)].add(left_sh)
+            arr = main
     return relayout_to_grid(arr, block_dims, interpret=interpret)
 
 
@@ -369,11 +381,14 @@ def halo_gather(
             )
             left, right = prev, nxt
         else:
-            left = jax.lax.slice_in_dim(
-                jnp.roll(arr, 1, axis=nb_ax), B - (m - 1), B, axis=p_ax
+            # Slice FIRST, roll the small halo slab (rolling the full array
+            # first would copy the whole buffer twice per dim).
+            left = jnp.roll(
+                jax.lax.slice_in_dim(arr, B - (m - 1), B, axis=p_ax), 1,
+                axis=nb_ax,
             )
-            right = jax.lax.slice_in_dim(
-                jnp.roll(arr, -1, axis=nb_ax), 0, m, axis=p_ax
+            right = jnp.roll(
+                jax.lax.slice_in_dim(arr, 0, m, axis=p_ax), -1, axis=nb_ax
             )
         pieces = [left, arr, right]
         pad = padded_dims[d] - (B + 2 * m - 1)
