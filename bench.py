@@ -40,6 +40,7 @@ SWEEP = os.environ.get("BENCH_SWEEP", "0") == "1"
 # cuFINUFFT H100 (global-memory), rho=0.1, ComplexF64: t1+t2 (BASELINE.md).
 BASELINE_PTS_PER_SEC = 1_677_722 / (0.0230 + 0.0074)
 
+REAL = os.environ.get("BENCH_REAL", "0") == "1"  # r2c/c2r fast path
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
 
@@ -93,7 +94,7 @@ def main():
 
     def make_plan(np_hint):
         return nufft.PlanNUFFT(
-            np.complex64,
+            np.float32 if REAL else np.complex64,
             shape,
             m=4,
             sigma=1.5,
@@ -110,7 +111,8 @@ def main():
     def bench_point(np_pts, *, measure_error=False, full_only=False):
         rng = np.random.default_rng(42)
         pts_np = rng.uniform(0, 2 * np.pi, (3, np_pts)).astype(np.float32)
-        v_np = rng.standard_normal((1, 2, np_pts)).astype(np.float32)
+        vshape = (1, np_pts) if REAL else (1, 2, np_pts)
+        v_np = rng.standard_normal(vshape).astype(np.float32)
         plan = make_plan(np_pts)
         pts_d = jax.device_put(pts_np)
         v_d = jax.device_put(v_np)
@@ -156,7 +158,8 @@ def main():
 
         if measure_error:
             row["err_type1"] = measure_t1_error(plan, pts_np, v_np, p_sorted)
-            row["err_type2"] = measure_t2_error(plan, pts_np, p_sorted)
+            if not REAL:
+                row["err_type2"] = measure_t2_error(plan, pts_np, p_sorted)
             # Edge-case certification on the COMPILED kernels (same plan and
             # shapes, so no recompile): near-2pi coordinates, a dense
             # cluster (single-block pileup -> many batches in one program)
@@ -177,12 +180,17 @@ def main():
     def measure_t1_error(plan, pts_np, v_np, p_sorted):
         """Device type-1 output vs exact f64 DFT sums at a mode subsample."""
         u_dev = np.asarray(_exec_type1_ch_impl(p_sorted, jnp.asarray(v_np), cbs))
-        u_dev = u_dev[0, 0] + 1j * u_dev[0, 1]  # (N, N, N) FFTW order
+        u_dev = u_dev[0, 0] + 1j * u_dev[0, 1]  # channel form, FFTW order
         rng = np.random.default_rng(7)
         N = N_GRID
         kidx = rng.integers(0, N, (ERR_MODES, 3))  # FFTW-order indices
+        if REAL:
+            kidx[:, 2] = rng.integers(0, N // 2 + 1, ERR_MODES)
         kval = np.where(kidx >= (N + 1) // 2, kidx - N, kidx).astype(np.float64)
-        v = (v_np[0, 0] + 1j * v_np[0, 1]).astype(np.complex128)
+        if REAL:
+            v = v_np[0].astype(np.complex128)
+        else:
+            v = (v_np[0, 0] + 1j * v_np[0, 1]).astype(np.complex128)
         x = pts_np.astype(np.float64)
         exact = np.zeros(ERR_MODES, np.complex128)
         chunk = 131072

@@ -144,3 +144,23 @@ def test_auto_method_resolves():
     # On the CPU test backend 'auto' resolves to the reference path.
     plan = nufft.PlanNUFFT(np.complex64, (32, 32))
     assert plan.spread_method == "reference"
+
+
+def test_exec_no_recompilation_across_calls(rng):
+    """TPU analogue of the reference's JET type-stability checks
+    (test/accuracy.jl:133-141): repeated execution with fresh data and a
+    fresh same-config plan must hit the jit cache (static plan metadata is
+    hashable and stable; no retraces)."""
+    from nonuniformffts_tpu.execution import _exec_type1_ch_impl
+
+    def run():
+        plan = nufft.PlanNUFFT(np.complex128, (32, 32), m=4, sigma=2.0)
+        plan = nufft.set_points(plan, rng.uniform(0, 2 * np.pi, (2, 128)))
+        v = rng.standard_normal(128) + 1j * rng.standard_normal(128)
+        nufft.exec_type1(plan, v)
+
+    run()
+    size0 = _exec_type1_ch_impl._cache_size()
+    run()
+    run()
+    assert _exec_type1_ch_impl._cache_size() == size0
