@@ -164,7 +164,16 @@ def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
 
 def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
     if plan.fft_method == "matmul":
-        # Deconvolution-fused driver: truncation interleaves with the
+        if plan.fft_variant == "pruned":
+            # Truncation + deconvolution are baked into the factor matrices
+            # (matmul_fft.make_pruned_axis_dft); only the scalar
+            # normalisation stays outside (it fuses into the epilogue and
+            # must respect normfactor_override on sharded local views).
+            spec = matmul_fft.forward_dft_pruned(
+                g, plan.fft_axes, real=plan.is_real, prec=plan.precision
+            )
+            return spec * jnp.asarray(plan.normfactor, spec.dtype)
+        # Deconvolution-fused split driver: truncation interleaves with the
         # per-axis DFTs (~30% less DFT work at sigma=1.5) and the scaling
         # rides along; _t1_deconv_stage then only applies the callback.
         return matmul_fft.forward_fft_deconv(
@@ -218,6 +227,13 @@ def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
 
 def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
     if plan.fft_method == "matmul":
+        if plan.fft_variant == "pruned":
+            # Zero-padding is baked into the (n_keep, n_over) backward
+            # factor rows; input is already deconvolution-scaled by
+            # _t2_pad_stage.
+            return matmul_fft.backward_dft_pruned(
+                spec_ch, plan.fft_axes, real=plan.is_real, prec=plan.precision
+            )
         return matmul_fft.backward_fft_pad(
             spec_ch, plan.fft_axes, plan.index_ranges, plan.shape_over,
             real=plan.is_real, prec=plan.precision,

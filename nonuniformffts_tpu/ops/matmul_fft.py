@@ -89,6 +89,15 @@ class AxisDFT:
     # c2r backward factors (n_half -> n).
     bcos_t: Optional[jnp.ndarray] = data_field(default=None)  # (n_half, n)
     bsin_t: Optional[jnp.ndarray] = data_field(default=None)
+    # pruned path (kind 'pruned_c2c' | 'pruned_r2c'): truncation +
+    # deconvolution fused into the factor matrices themselves (forward
+    # columns / backward rows are only the *kept* modes, in the plan's
+    # output spectral order, scaled by 1/phi_hat per axis and the
+    # normalisation on axis 0).  pcos_t/psin_t: (n_over, n_keep) forward;
+    # bcos_t/bsin_t are reused as the (n_keep, n_over) backward factors
+    # (unscaled except Hermitian weights for r2c).
+    pcos_t: Optional[jnp.ndarray] = data_field(default=None)
+    psin_t: Optional[jnp.ndarray] = data_field(default=None)
 
 
 def _dft_cos_sin(n: int):
@@ -135,6 +144,54 @@ def make_axis_dft(n: int, kind: str, dtype, *, use_split: bool = True) -> AxisDF
             sin_t=jnp.asarray(np.sin(ang), rd),
             bcos_t=jnp.asarray((w[:, None] * np.cos(angb)), rd),
             bsin_t=jnp.asarray((w[:, None] * np.sin(angb)), rd),
+        )
+    raise ValueError(kind)
+
+
+def make_pruned_axis_dft(
+    n_over: int, ranges, phinv, kind: str, dtype, *, scale: float = 1.0
+) -> AxisDFT:
+    """Pruned direct DFT factors for one axis: truncation to the kept modes
+    (``ranges``: (start, length) segments of the oversampled spectrum, in
+    output order — the plan's index map) and the deconvolution factor
+    ``phinv`` are baked into the matrices at plan time.  ``scale`` carries
+    the normalisation factor (folded into one axis only).
+
+    The TPU-shaped replacement for the reference's fused
+    copy_deconvolve_to_non_oversampled!/..._to_oversampled! passes
+    (src/NonuniformFFTs.jl:350-480): here the fusion happens inside the MXU
+    contraction itself, so the forward DFT at sigma=1.5 only ever computes
+    the (N/sigma-fraction of) output modes it keeps, and the separate
+    truncate/pad/scale passes disappear entirely.
+    """
+    rd = np.dtype(dtype)
+    ks = np.concatenate([np.arange(s, s + l) for s, l in ranges])
+    ph = np.asarray(phinv, dtype=np.float64)
+    j = np.arange(n_over)
+    ang = 2.0 * np.pi * np.outer(j, ks % n_over) / n_over  # (n_over, n_keep)
+    if kind == "pruned_c2c":
+        pcos = np.cos(ang) * (ph[None, :] * scale)
+        psin = np.sin(ang) * (ph[None, :] * scale)
+        # Backward factors (n_keep, n_over), unscaled: out = x @ e^{+i...}.
+        bcos = np.cos(ang).T
+        bsin = np.sin(ang).T
+        return AxisDFT(
+            kind="pruned_c2c", n=n_over,
+            pcos_t=jnp.asarray(pcos, rd), psin_t=jnp.asarray(psin, rd),
+            bcos_t=jnp.asarray(bcos, rd), bsin_t=jnp.asarray(bsin, rd),
+        )
+    if kind == "pruned_r2c":
+        # Kept modes are half-spectrum indices (0..N/2 of the non-oversampled
+        # grid); Hermitian weights for the c2r backward.
+        pcos = np.cos(ang) * (ph[None, :] * scale)
+        psin = np.sin(ang) * (ph[None, :] * scale)
+        w = np.where((ks > 0) & (ks < n_over - ks), 2.0, 1.0)
+        bcos = (w[:, None]) * np.cos(ang).T
+        bsin = (w[:, None]) * np.sin(ang).T
+        return AxisDFT(
+            kind="pruned_r2c", n=n_over,
+            pcos_t=jnp.asarray(pcos, rd), psin_t=jnp.asarray(psin, rd),
+            bcos_t=jnp.asarray(bcos, rd), bsin_t=jnp.asarray(bsin, rd),
         )
     raise ValueError(kind)
 
@@ -279,6 +336,92 @@ def backward_fft_pad(
         out = _c2r_last(xr, xi, axes_dft[dlast], prec)
         return jnp.moveaxis(out, -1, 1 + dlast)
     xr, xi = dft_axis(xr, xi, axes_dft[dlast], 1 + dlast, -1.0, prec)
+    return jnp.stack([xr, xi], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pruned direct drivers: one (n_over x n_keep) contraction per axis, with
+# truncation + deconvolution baked into the matrices (make_pruned_axis_dft).
+# The four-step split engine above digit-reverses / twiddles / swaps axes —
+# all HBM-bound relayout passes that dominate its runtime at 384^3; the
+# pruned engine spends ~5x more MXU MACs but runs ~2.5x faster wall-clock
+# because it touches the array exactly once per axis (measured on v5e,
+# scripts/exp_dft.py).
+# ---------------------------------------------------------------------------
+
+
+def _cplx_mm_last(ar, ai, cm, sm, sign, prec):
+    """(ar + i*ai) @ (cm - i*sign*sm) as three real matmuls (Karatsuba):
+    with s_eff = -sign*sm, re = t1 - ai@s_eff and im = t3 - t1 - ai@s_eff
+    where t3 = (ar+ai)@(cm+s_eff)."""
+    p = PRECISIONS[prec]
+    t1 = jnp.matmul(ar, cm, precision=p)
+    t2 = jnp.matmul(ai, sm, precision=p)
+    t3 = jnp.matmul(ar + ai, cm - sign * sm, precision=p)
+    return t1 + sign * t2, t3 - t1 + sign * t2
+
+
+def forward_dft_pruned(grid, axes_dft, *, real: bool, prec: str):
+    """Forward DFT + truncation + deconvolution in one fused pass per axis.
+
+    ``grid``: real (C,) + shape_over (r2c plans) or channel (C, 2) +
+    shape_over.  Returns the channel-form non-oversampled spectrum
+    (C, 2) + spectral_shape, already scaled by ``normfactor / prod phi_hat``
+    (baked into the matrices).
+    """
+    D = len(axes_dft)
+    dlast = D - 1
+    if real:
+        ax = axes_dft[dlast]
+        p = PRECISIONS[prec]
+        xr = jnp.matmul(grid, ax.pcos_t, precision=p)
+        xi = -jnp.matmul(grid, ax.psin_t, precision=p)
+    else:
+        xr, xi = grid[:, 0], grid[:, 1]
+        xr = jnp.moveaxis(xr, 1 + dlast, -1)
+        xi = jnp.moveaxis(xi, 1 + dlast, -1)
+        ax = axes_dft[dlast]
+        xr, xi = _cplx_mm_last(xr, xi, ax.pcos_t, ax.psin_t, 1.0, prec)
+        xr = jnp.moveaxis(xr, -1, 1 + dlast)
+        xi = jnp.moveaxis(xi, -1, 1 + dlast)
+    for d in range(D - 2, -1, -1):
+        ax = axes_dft[d]
+        xr = jnp.moveaxis(xr, 1 + d, -1)
+        xi = jnp.moveaxis(xi, 1 + d, -1)
+        xr, xi = _cplx_mm_last(xr, xi, ax.pcos_t, ax.psin_t, 1.0, prec)
+        xr = jnp.moveaxis(xr, -1, 1 + d)
+        xi = jnp.moveaxis(xi, -1, 1 + d)
+    return jnp.stack([xr, xi], axis=1)
+
+
+def backward_dft_pruned(spec_ch, axes_dft, *, real: bool, prec: str):
+    """Backward (bfft/brfft) DFT with zero-padding fused into the pruned
+    factor matrices.  ``spec_ch``: channel-form non-oversampled spectrum
+    (C, 2) + spectral_shape, already deconvolution-scaled by the caller.
+    Returns the oversampled grid: real (C, ...) for r2c plans, channel
+    (C, 2, ...) otherwise."""
+    D = len(axes_dft)
+    xr, xi = spec_ch[:, 0], spec_ch[:, 1]
+    for d in range(D - 1):
+        ax = axes_dft[d]
+        xr = jnp.moveaxis(xr, 1 + d, -1)
+        xi = jnp.moveaxis(xi, 1 + d, -1)
+        xr, xi = _cplx_mm_last(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, prec)
+        xr = jnp.moveaxis(xr, -1, 1 + d)
+        xi = jnp.moveaxis(xi, -1, 1 + d)
+    dlast = D - 1
+    ax = axes_dft[dlast]
+    xr = jnp.moveaxis(xr, 1 + dlast, -1)
+    xi = jnp.moveaxis(xi, 1 + dlast, -1)
+    if real:
+        p = PRECISIONS[prec]
+        out = jnp.matmul(xr, ax.bcos_t, precision=p) - jnp.matmul(
+            xi, ax.bsin_t, precision=p
+        )
+        return jnp.moveaxis(out, -1, 1 + dlast)
+    xr, xi = _cplx_mm_last(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, prec)
+    xr = jnp.moveaxis(xr, -1, 1 + dlast)
+    xi = jnp.moveaxis(xi, -1, 1 + dlast)
     return jnp.stack([xr, xi], axis=1)
 
 

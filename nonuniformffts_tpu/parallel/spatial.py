@@ -100,6 +100,11 @@ class SpatialNUFFT:
         self.capacity_factor = float(capacity_factor)
 
         plan_kw.setdefault("spread_method", "blocked")
+        # The distributed FFT interleaves truncation/padding with the
+        # collective transposes, so it is built from the *split-form*
+        # per-axis factors; the pruned variant bakes truncation into the
+        # matrices and does not decompose that way.
+        plan_kw.setdefault("fft_variant", "split")
         base = PlanNUFFT(dtype, shape, **plan_kw)
         if base.ndim < 2:
             raise ValueError("spatial sharding needs >= 2 dimensions")

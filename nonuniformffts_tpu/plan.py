@@ -65,6 +65,12 @@ class Plan:
     batch_size: int = static_field(default=128)  # points per Pallas batch
     interpret: bool = static_field(default=False)  # Pallas interpreter mode
     fft_method: str = static_field(default="xla")  # 'xla' | 'matmul'
+    # matmul-DFT engine variant: 'pruned' = one fused (deconvolution +
+    # truncation/padding baked in) direct contraction per axis; 'split' =
+    # four-step Cooley-Tukey factor matrices.  Resolved from 'auto' at plan
+    # time: pruned wins wall-clock for n_over <= ~1024 because the split
+    # engine's digit-reversal / twiddle / swapaxes passes are HBM-bound.
+    fft_variant: str = static_field(default="split")
     precision: str = static_field(default="highest")  # TPU matmul precision
     # Host-side per-stage Timer (utils.timer.Timer) or None.  When set, the
     # execution functions run stage-by-stage with device sync between stages
@@ -216,6 +222,7 @@ def PlanNUFFT(
     batch_size: int = 128,
     interpret: bool = False,
     fft_method: Optional[str] = None,
+    fft_variant: str = "auto",
     precision: str = "highest",
     np_hint: Optional[int] = None,
     timer=None,
@@ -358,14 +365,30 @@ def PlanNUFFT(
     if fft_method == "matmul":
         from .ops import matmul_fft
 
-        fft_axes = tuple(
-            matmul_fft.make_axis_dft(
-                n_over,
-                "r2c" if (is_real and d == D - 1) else "c2c",
-                real_dtype,
+        if fft_variant == "auto":
+            fft_variant = "pruned" if max(shape_over) <= 1024 else "split"
+        if fft_variant == "pruned":
+            fft_axes = tuple(
+                matmul_fft.make_pruned_axis_dft(
+                    n_over,
+                    iranges[d],
+                    phinv_np[d],
+                    "pruned_r2c" if (is_real and d == D - 1) else "pruned_c2c",
+                    real_dtype,
+                )
+                for d, n_over in enumerate(shape_over)
             )
-            for d, n_over in enumerate(shape_over)
-        )
+        else:
+            fft_axes = tuple(
+                matmul_fft.make_axis_dft(
+                    n_over,
+                    "r2c" if (is_real and d == D - 1) else "c2c",
+                    real_dtype,
+                )
+                for d, n_over in enumerate(shape_over)
+            )
+    else:
+        fft_variant = "split"
 
     return Plan(
         dtype=dtype,
@@ -385,6 +408,7 @@ def PlanNUFFT(
         batch_size=int(batch_size),
         interpret=bool(interpret),
         fft_method=fft_method,
+        fft_variant=fft_variant,
         fft_axes=fft_axes,
         precision=precision,
         timer=timer,

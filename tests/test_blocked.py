@@ -54,21 +54,45 @@ def test_blocked_matches_reference(shape, dtype, C, rng):
     assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < tol
 
 
+@pytest.mark.parametrize("variant", ["pruned", "split"])
 @pytest.mark.parametrize("shape,dtype,C", CASES[:4], ids=lambda c: str(c))
-def test_blocked_with_matmul_fft(shape, dtype, C, rng):
+def test_blocked_with_matmul_fft(shape, dtype, C, variant, rng):
     """Full TPU-path configuration (blocked spreading + matmul DFT), run via
-    the interpreter on CPU, against the plain XLA path."""
+    the interpreter on CPU, against the plain XLA path.  Covers both DFT
+    engine variants: 'pruned' (deconvolution/truncation baked into the
+    factor matrices) and 'split' (four-step Cooley-Tukey)."""
     pts, v = _make_inputs(shape, dtype, C, 400, rng)
     ref = nufft.PlanNUFFT(dtype, shape, ntransforms=C, sigma=2.0, fft_method="xla")
     blk = nufft.PlanNUFFT(
         dtype, shape, ntransforms=C, sigma=2.0,
         spread_method="blocked", interpret=True, fft_method="matmul",
+        fft_variant=variant,
     )
     u_ref, v2_ref = _roundtrip(ref, pts, v)
     u_blk, v2_blk = _roundtrip(blk, pts, v)
     tol = 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-12
     assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < tol
     assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < tol
+
+
+@pytest.mark.parametrize("fftshift", [False, True])
+@pytest.mark.parametrize("dtype", [np.complex128, np.float64])
+def test_pruned_fft_fftshift_and_r2c(dtype, fftshift, rng):
+    """Pruned DFT with fftshift ordering and the r2c half-spectrum layout
+    must match the XLA-FFT path exactly (the spectral column order is baked
+    into the pruned matrices)."""
+    shape = (18, 16)
+    pts, v = _make_inputs(shape, dtype, 1, 300, rng)
+    ref = nufft.PlanNUFFT(dtype, shape, sigma=2.0, fftshift=fftshift,
+                          fft_method="xla")
+    blk = nufft.PlanNUFFT(
+        dtype, shape, sigma=2.0, fftshift=fftshift, spread_method="blocked",
+        interpret=True, fft_method="matmul", fft_variant="pruned",
+    )
+    u_ref, v2_ref = _roundtrip(ref, pts, v)
+    u_blk, v2_blk = _roundtrip(blk, pts, v)
+    assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12
+    assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < 1e-12
 
 
 def test_blocked_point_distribution_edge_cases(rng):

@@ -27,9 +27,13 @@ def make_mesh(n):
 
 
 def _single_plan(dtype, shape, **kw):
+    # fft_variant pinned to 'split': SpatialNUFFT builds its distributed DFT
+    # from the split-form factors, and this oracle compares the *same*
+    # algorithm run distributed vs single-device (pruned-vs-split engine
+    # equivalence is covered separately in test_blocked.py).
     return nufft.PlanNUFFT(
         dtype, shape, m=4, sigma=1.5, spread_method="blocked",
-        interpret=True, fft_method="matmul", **kw,
+        interpret=True, fft_method="matmul", fft_variant="split", **kw,
     )
 
 
