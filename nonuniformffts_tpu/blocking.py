@@ -95,6 +95,21 @@ def geometry_cost(
         + 2 * batch * sum(pd) * 4
         + 24 * batch * 4
     )
+    # The relayout copy kernels (ops/pallas/common.py) are part of the same
+    # geometry: one program spans the full last block axis, so their
+    # double-buffered (in + out) blocks must also fit VMEM — at
+    # block_dims (48, 16, 128) on a 384^3 grid the relayout block pair is
+    # 18 MiB and Mosaic refuses to compile (observed on v5e).
+    D_ = len(shape_over)
+    if D_ >= 2:
+        nlast = shape_over[-1] // block_dims[-1]
+        prod_head = 1
+        for b in block_dims[:-1]:
+            prod_head *= b
+        vmem_relayout = 2 * 4 * cr * (
+            nlast * pd[0] * yz + prod_head * shape_over[-1]
+        )
+        vmem = max(vmem, vmem_relayout)
     return cost, vmem
 
 

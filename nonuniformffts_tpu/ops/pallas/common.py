@@ -154,19 +154,48 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int):
 
 
 # ---------------------------------------------------------------------------
-# Block-major <-> grid relayout (Pallas copy kernels)
+# Block-major <-> grid relayout
 # ---------------------------------------------------------------------------
 #
 # The grid layout (CR, N0, N1, ...) and the kernels' block-major layout
 # (CR, nb0, .., B0/p0, ..) differ by the classic block-interleave transpose.
-# XLA lowers that transpose (fused with the halo rolls) at ~20 GB/s on this
-# TPU (round-2 profile: 110 ms for the 0.8 GB merge), so the relayout is
-# done instead by a trivial Pallas copy kernel whose BlockSpecs express the
-# permutation as pipelined DMAs, and every halo merge/gather step operates
-# on matching-layout arrays (slices and rolls only, no transpose).
+# Measured on v5e (scripts/exp_bw2.py): a bare XLA transpose runs at
+# 209-239 GB/s while the BlockSpec-pipelined Pallas copy kernels top out at
+# ~110-140 GB/s (the Pallas DMA pipeline reaches ~40% of XLA's streaming
+# rate on this stack), so the relayout is a plain jnp.transpose; the Pallas
+# copy kernels are kept below only for interpret-mode parity testing and as
+# a fallback (`relayout_to_grid_pallas`).
 
 
 def relayout_to_grid(blocks_major: jnp.ndarray, block_dims, *, interpret=False):
+    """(CR, nb0, .., nbD-1, B0, .., BD-1) -> (CR, N0, .., ND-1) via one XLA
+    block-interleave transpose."""
+    D = len(block_dims)
+    CR = blocks_major.shape[0]
+    nb = tuple(blocks_major.shape[1 : 1 + D])
+    grid_shape = tuple(n * b for n, b in zip(nb, block_dims))
+    perm = (0,) + tuple(
+        x for d in range(D) for x in (1 + d, 1 + D + d)
+    )
+    return jnp.transpose(blocks_major, perm).reshape((CR,) + grid_shape)
+
+
+def relayout_to_blocks(grid: jnp.ndarray, block_dims, *, interpret=False):
+    """(CR, N0, .., ND-1) -> (CR, nb0, .., nbD-1, B0, .., BD-1), inverse of
+    :func:`relayout_to_grid`."""
+    D = len(block_dims)
+    CR = grid.shape[0]
+    nb = tuple(n // b for n, b in zip(grid.shape[1:], block_dims))
+    split = (CR,) + tuple(
+        x for nbd, b in zip(nb, block_dims) for x in (nbd, b)
+    )
+    perm = (0,) + tuple(1 + 2 * d for d in range(D)) + tuple(
+        2 + 2 * d for d in range(D)
+    )
+    return jnp.transpose(grid.reshape(split), perm)
+
+
+def relayout_to_grid_pallas(blocks_major: jnp.ndarray, block_dims, *, interpret=False):
     """(CR, nb0, .., nbD-1, B0, .., BD-1) -> (CR, N0, .., ND-1).
 
     One Pallas program per (nb0, .., nbD-2) position spans the FULL last
@@ -218,9 +247,9 @@ def relayout_to_grid(blocks_major: jnp.ndarray, block_dims, *, interpret=False):
     )(blocks_major)
 
 
-def relayout_to_blocks(grid: jnp.ndarray, block_dims, *, interpret=False):
+def relayout_to_blocks_pallas(grid: jnp.ndarray, block_dims, *, interpret=False):
     """(CR, N0, .., ND-1) -> (CR, nb0, .., nbD-1, B0, .., BD-1).  Same
-    full-last-axis program fattening as relayout_to_grid."""
+    full-last-axis program fattening as relayout_to_grid_pallas."""
     from jax.experimental import pallas as pl
 
     D = len(block_dims)

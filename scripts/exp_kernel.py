@@ -55,7 +55,7 @@ rng = np.random.default_rng(0)
 # --------------------------------------------------------------------------
 # 1. Trivial copy at varying granularity: total 0.9 GB moved each time.
 # --------------------------------------------------------------------------
-TOT_ROWS = 4608  # total sublane rows
+TOT_ROWS = 36864  # total sublane rows (2D layout: tile-clean)
 LANES = 4352
 
 
@@ -63,22 +63,22 @@ def copy_kernel(src_ref, dst_ref):
     dst_ref[...] = src_ref[...]
 
 
-x_big = jnp.asarray(rng.standard_normal((TOT_ROWS, 2, LANES)).astype(np.float32))
-for nprog in (36, 144, 576, 2304):
-    rows = TOT_ROWS // nprog
+x_big = jnp.asarray(rng.standard_normal((TOT_ROWS, LANES)).astype(np.float32))
+for rows in ():
+    nprog = TOT_ROWS // rows
 
     f = functools.partial(
         pl.pallas_call,
         copy_kernel,
         grid=(nprog,),
-        in_specs=[pl.BlockSpec((rows, 2, LANES), lambda b: (b, 0, 0))],
-        out_specs=pl.BlockSpec((rows, 2, LANES), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((TOT_ROWS, 2, LANES), jnp.float32),
+        in_specs=[pl.BlockSpec((rows, LANES), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec((rows, LANES), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((TOT_ROWS, LANES), jnp.float32),
     )()
     ms = timed(f, x_big)
-    blk_mb = rows * 2 * LANES * 4 / 1e6
+    blk_mb = rows * LANES * 4 / 1e6
     per_prog = ms * 1e3 / nprog
-    gbs = 2 * TOT_ROWS * 2 * LANES * 4 / ms / 1e6
+    gbs = 2 * TOT_ROWS * LANES * 4 / ms / 1e6
     report(
         f"copy nprog={nprog} blk={blk_mb:.2f}MB", ms,
         f"{per_prog:.2f} us/prog, {gbs:.0f} GB/s",
@@ -95,7 +95,7 @@ N = 256
 NP = 1_000_000
 plan = nufft.PlanNUFFT(
     np.complex64, (N, N, N), m=4, sigma=1.5, spread_method="blocked",
-    fft_method="matmul", np_hint=NP,
+    fft_method="matmul",
 )
 pts = rng.uniform(0, 2 * np.pi, (3, NP)).astype(np.float32)
 plan = nufft.set_points(plan, pts)
