@@ -134,7 +134,11 @@ def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P):
         )
         if d == 0 and valid is not None:
             vlist = [jnp.where(valid, v, 0.0) for v in vlist]
-        wts.append(common.build_wt_matrix(vlist, c, origins[d], plan.m, pd[d], P))
+        wts.append(
+            common.build_wt_matrix(
+                vlist, c, origins[d], plan.m, pd[d], P, plan.block_dims[d]
+            )
+        )
     return wts
 
 

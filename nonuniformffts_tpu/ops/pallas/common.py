@@ -135,21 +135,32 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
     raise ValueError(kd.kind)
 
 
-def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int):
-    """Build the transposed window matrix W^T (pd, P) for one dimension.
+def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
+    """Build the transposed window matrix W^T (pd, P) for one dimension, in
+    the **core-first** padded-block layout.
 
-    ``W^T[i, p] = vals[t][p]`` where ``i = lx[p] + t``; zero elsewhere.  Built
-    with 2M branchless compare-selects against a static sublane iota — no
-    gather, no scatter.  ``block_origin`` is the (traced) first *owned* cell
-    of the block, ``b * B``; local index 0 corresponds to global cell
-    ``b*B - (M-1)``, so the window of a point in cell ``c`` (global start
-    ``c - M + 1``) begins at local index ``lx = c - b*B``.
+    A point in cell ``c`` (block-local ``lx = c - b*B``, in ``[0, B)``)
+    touches nodes ``j = lx - M + 1 + t`` for ``t = 0..2M-1``,
+    ``j in [-(M-1), B+M-1]``.  Local row ``i``:
+
+    - ``j in [0, B)``      -> ``i = j``              (core rows, offset 0)
+    - ``j in [B, B+M)``    -> ``i = j``              (right halo, rows B..B+M)
+    - ``j in [-(M-1), 0)`` -> ``i = j + B + 2M - 1`` (left halo, after right)
+
+    i.e. ``i = j`` except negative ``j`` wrap to the tail.  Core-first puts
+    the core at aligned offset 0 and the full halo in one contiguous chunk
+    ``[B, B+2M-1)`` — which is what lets overlap_add extract the core with a
+    plain aligned slice + transpose (scripts/exp_bw2.py) instead of
+    relayouting the whole padded buffer.  Built with 2M branchless
+    compare-selects against a static sublane iota — no gather, no scatter.
     """
     lx = c - block_origin
     iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)
     w = jnp.zeros((pd, P), dtype=vals[0].dtype)
     for t, v in enumerate(vals):
-        w = w + jnp.where(iota == lx + t, v, 0.0)
+        j = lx - (m - 1) + t
+        i = jnp.where(j < 0, j + B + 2 * m - 1, j)
+        w = w + jnp.where(iota == i, v, 0.0)
     return w
 
 
@@ -323,62 +334,107 @@ def overlap_add(
 ) -> jnp.ndarray:
     """Merge padded per-block accumulators into the periodic grid.
 
-    ``blocks``: (CR, nb0, .., nbD-1, p0, .., pD-1) — the kernel's output
-    layout.  Local index i of a block maps to global row ``b*B - (M-1) + i``:
-    a left halo of M-1 rows belongs to the previous block and a right halo
-    of M rows (plus alignment padding, which is identically zero) to the
-    next, with periodic wrap via roll.  All merge passes stay in block-major
-    layout (slices + rolls along *distinct* axes — no transpose); the final
-    block->grid relayout is a Pallas copy.  Returns (CR, N0~, N1~, ...).
+    ``blocks``: (CR, nb0, .., nbD-1, p0, .., pD-1) — the kernel's output in
+    the **core-first** layout (build_wt_matrix): rows [0, B) are the core,
+    [B, B+M) the right halo (goes to the next block's head), [B+M, B+2M-1)
+    the left halo (previous block's tail), the rest alignment zeros.
+
+    Decomposition (replaces three full-buffer sequential merge passes,
+    ~3x the traffic of this version — scripts/exp_bw2.py):
+
+    1. core = aligned slice -> one XLA block-interleave transpose (0.45 GB
+       at the bench point, ~209 GB/s);
+    2. for each dim d, the halo slab (2M-1 rows, core extents in dims < d,
+       padded extents in dims > d) is first self-merged over its trailing
+       dims (small arrays), then split into right/left parts, rolled across
+       the block axis (ppermute over ICI when dim 0 is mesh-sharded —
+       reference ghost-cell arithmetic: src/spreading/cpu_blocked.jl:3-36),
+       transposed to a thin interleaved grid and zero-padded to stripe
+       width;
+    3. one fused elementwise sum adds core + 2D thin contributions.
+
+    Returns (CR, N0~, N1~, ...).
     """
     D = len(block_dims)
-    arr = blocks
+    H = 2 * m - 1
+    CR = blocks.shape[0]
+    nb = tuple(blocks.shape[1 : 1 + D])
+
+    # Peel: core (all dims [0, B)) and per-dim halo slabs.
+    core = blocks
+    slabs = []
     for d in range(D):
-        nb_ax = 1 + d
         p_ax = 1 + D + d
         B = block_dims[d]
-        main = jax.lax.slice_in_dim(arr, m - 1, m - 1 + B, axis=p_ax)
-        left = jax.lax.slice_in_dim(arr, 0, m - 1, axis=p_ax)
-        # Right halo is exactly M wide; any further columns are alignment
-        # padding and identically zero (windows never reach them), so they
-        # are dropped rather than folded.
-        right = jax.lax.slice_in_dim(arr, m - 1 + B, m - 1 + B + m, axis=p_ax)
-        # Right halo adds to the start of the next block; left halo (width
-        # M-1) to the end of the previous block.  Along a mesh-sharded dim 0
-        # the block-row roll crosses chips: the wrapped row travels by
-        # ppermute over ICI (the chip-level ghost-cell exchange; reference
-        # merge arithmetic: src/spreading/cpu_blocked.jl:3-36).
+        slabs.append(jax.lax.slice_in_dim(core, B, B + H, axis=p_ax))
+        core = jax.lax.slice_in_dim(core, 0, B, axis=p_ax)
+
+    contributions = [relayout_to_grid(core, block_dims, interpret=interpret)]
+    grid_shape = contributions[0].shape
+
+    for d in range(D):
+        slab = slabs[d]
+        # Self-merge the slab's trailing padded dims (e > d): its halo rows
+        # there belong to dim-e neighbours at the same dim-d halo position.
+        for e in range(d + 1, D):
+            p_ax_e = 1 + D + e
+            nb_ax_e = 1 + e
+            Be = block_dims[e]
+            right_e = jnp.roll(
+                jax.lax.slice_in_dim(slab, Be, Be + m, axis=p_ax_e), 1,
+                axis=nb_ax_e,
+            )
+            left_e = jnp.roll(
+                jax.lax.slice_in_dim(slab, Be + m, Be + H, axis=p_ax_e), -1,
+                axis=nb_ax_e,
+            )
+            slab = jax.lax.slice_in_dim(slab, 0, Be, axis=p_ax_e)
+            idx = [slice(None)] * slab.ndim
+            idx[p_ax_e] = slice(0, m)
+            slab = slab.at[tuple(idx)].add(right_e)
+            if m > 1:
+                idx[p_ax_e] = slice(Be - (m - 1), Be)
+                slab = slab.at[tuple(idx)].add(left_e)
+        # Split halo rows: right (m rows -> next block's head), left
+        # (m-1 rows -> previous block's tail).
+        p_ax_d = 1 + D + d
+        nb_ax_d = 1 + d
+        Bd = block_dims[d]
         sharded = shard_axis is not None and d == 0
-        right_sh = (
-            _shift_blockrows_from_prev(right, nb_ax, shard_axis)
+        right = jax.lax.slice_in_dim(slab, 0, m, axis=p_ax_d)
+        right = (
+            _shift_blockrows_from_prev(right, nb_ax_d, shard_axis)
             if sharded
-            else jnp.roll(right, 1, axis=nb_ax)
+            else jnp.roll(right, 1, axis=nb_ax_d)
         )
-        left_sh = (
-            _shift_blockrows_from_next(left, nb_ax, shard_axis)
-            if sharded
-            else jnp.roll(left, -1, axis=nb_ax)
-        )
-        if B >= 2 * m - 1:
-            # Build the merged block as one concat of three pieces: XLA
-            # lowers `.at[slice].add` as a full-operand dynamic-update-slice
-            # copy, doubling the pass traffic.
-            lo = jax.lax.slice_in_dim(arr, m - 1, 2 * m - 1, axis=p_ax) + right_sh
-            mid = jax.lax.slice_in_dim(arr, 2 * m - 1, B, axis=p_ax)
-            pieces = [lo, mid]
-            if m > 1:
-                hi = jax.lax.slice_in_dim(arr, B, m - 1 + B, axis=p_ax) + left_sh
-                pieces.append(hi)
-            arr = jnp.concatenate(pieces, axis=p_ax) if len(pieces) > 1 else pieces[0]
-        else:  # tiny blocks: halo regions overlap; scatter-add fallback
-            idx = [slice(None)] * arr.ndim
-            idx[p_ax] = slice(0, m)
-            main = main.at[tuple(idx)].add(right_sh)
-            if m > 1:
-                idx[p_ax] = slice(B - (m - 1), B)
-                main = main.at[tuple(idx)].add(left_sh)
-            arr = main
-    return relayout_to_grid(arr, block_dims, interpret=interpret)
+        parts = [(right, 0)]
+        if m > 1:
+            left = jax.lax.slice_in_dim(slab, m, H, axis=p_ax_d)
+            left = (
+                _shift_blockrows_from_next(left, nb_ax_d, shard_axis)
+                if sharded
+                else jnp.roll(left, -1, axis=nb_ax_d)
+            )
+            parts.append((left, Bd - (m - 1)))
+        for part, off in parts:
+            width = part.shape[p_ax_d]
+            # Interleave-transpose to a thin grid: block axes pair with
+            # their (core-extent) p axes; dim d keeps (nb_d, width) split so
+            # the stripe can be zero-padded to B_d at offset ``off``.
+            perm = [0]
+            for dd in range(D):
+                perm.extend([1 + dd, 1 + D + dd])
+            thin = jnp.transpose(part, perm)
+            # shape now (CR, nb0, l0, nb1, l1, ...); pad dim d's width.
+            pad_cfg = [(0, 0)] * thin.ndim
+            ax_w = 1 + 2 * d + 1
+            pad_cfg[ax_w] = (off, Bd - off - width)
+            thin = jnp.pad(thin, pad_cfg)
+            contributions.append(thin.reshape(grid_shape))
+    out = contributions[0]
+    for c in contributions[1:]:
+        out = out + c
+    return out
 
 
 def halo_gather(
@@ -419,7 +475,9 @@ def halo_gather(
             right = jnp.roll(
                 jax.lax.slice_in_dim(arr, 0, m, axis=p_ax), -1, axis=nb_ax
             )
-        pieces = [left, arr, right]
+        # Core-first layout: [core | right halo (next block's head, M) |
+        # left halo (previous block's tail, M-1) | alignment zeros].
+        pieces = [arr, right, left]
         pad = padded_dims[d] - (B + 2 * m - 1)
         if pad:
             zshape = list(arr.shape)
