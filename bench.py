@@ -41,6 +41,12 @@ SWEEP = os.environ.get("BENCH_SWEEP", "0") == "1"
 BASELINE_PTS_PER_SEC = 1_677_722 / (0.0230 + 0.0074)
 
 REAL = os.environ.get("BENCH_REAL", "0") == "1"  # r2c/c2r fast path
+# Accuracy knobs: any (m, sigma) pair achieving the ~1e-6 tolerance is a
+# legitimate operating point under the reference protocol (the baselines are
+# tolerance-matched, not parameter-matched); achieved error is measured and
+# reported either way.
+M_HS = int(os.environ.get("BENCH_M", 4))
+SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
 
@@ -96,8 +102,8 @@ def main():
         return nufft.PlanNUFFT(
             np.float32 if REAL else np.complex64,
             shape,
-            m=4,
-            sigma=1.5,
+            m=M_HS,
+            sigma=SIGMA,
             spread_method="blocked" if on_tpu else "reference",
             fft_method=None,  # auto: matmul-DFT on TPU, XLA FFT elsewhere
             chunk_size=None if on_tpu else 65536,
@@ -260,7 +266,7 @@ def main():
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_SWEEP.json"), "w") as f:
         json.dump(
             {
-                "protocol": f"N={N_GRID}^3 m=4 sigma=1.5 BKB c64 prec={PRECISION}; "
+                "protocol": f"N={N_GRID}^3 m={M_HS} sigma={SIGMA} BKB c64 prec={PRECISION}; "
                 "iteration = set_points + type1 + type2",
                 "rows": rows,
             },
@@ -271,7 +277,7 @@ def main():
     value = main_row["pts_per_sec"]
     result = {
         "metric": f"3D type-1+type-2 NUFFT points/sec (N={N_GRID}^3, Np={NP_MAIN}, "
-        f"tol~1e-6: m=4 sigma=1.5 BKB c64, achieved err1="
+        f"tol~1e-6: m={M_HS} sigma={SIGMA} BKB c64, achieved err1="
         f"{main_row.get('err_type1', float('nan')):.2e} err2="
         f"{main_row.get('err_type2', float('nan')):.2e}; "
         f"iteration = set_points+type1+type2)",

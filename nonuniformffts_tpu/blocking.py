@@ -51,7 +51,8 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
 def geometry_cost(
-    shape_over, block_dims, m: int, cr: int, np_pts: int, batch: int
+    shape_over, block_dims, m: int, cr: int, np_pts: int, batch: int,
+    n_keep=None,
 ):
     """Estimated seconds for one spread (or interpolation) pass, plus the
     kernel working-set VMEM bytes.  Returns (cost_s, vmem_bytes).
@@ -80,9 +81,25 @@ def geometry_cost(
     padded_bytes = nblocks * cr * pd[0] * yz * 4
     nslots = np_pts + nblocks * (batch - 1) / 2
     io_bytes = 2 * padded_bytes + nslots * (8 + max(8, cr)) * 4
+    # Block-form DFT inflation (matmul_fft.forward_dft_blockform): each
+    # axis contracts L_d = nb_d * pd_d rows instead of N_d, so the padded
+    # layout taxes the (cheap but not free) DFT MACs.  Estimated for the
+    # complex Karatsuba driver contracting axis 0 first.
+    if n_keep is None:
+        n_keep = tuple(int(n / 1.5) for n in shape_over)
+    L = [(n // b) * p for n, b, p in zip(shape_over, block_dims, pd)]
+    C_est = max(cr // 2, 1)
+    dft_macs = 0.0
+    for d in range(D):
+        rows = 1.0
+        for e in range(d + 1, D):
+            rows *= L[e]
+        for e in range(d):
+            rows *= n_keep[e]
+        dft_macs += 3.0 * C_est * rows * L[d] * n_keep[d]
     cost = (
         nblocks * _PROGRAM_OVERHEAD_S
-        + macs / _MXU_MACS_PER_S
+        + (macs + 2 * dft_macs) / _MXU_MACS_PER_S
         + io_bytes / _HBM_BYTES_PER_S
     )
     # VMEM working set: accumulator / halo block + double-buffered pipeline
@@ -95,21 +112,6 @@ def geometry_cost(
         + 2 * batch * sum(pd) * 4
         + 24 * batch * 4
     )
-    # The relayout copy kernels (ops/pallas/common.py) are part of the same
-    # geometry: one program spans the full last block axis, so their
-    # double-buffered (in + out) blocks must also fit VMEM — at
-    # block_dims (48, 16, 128) on a 384^3 grid the relayout block pair is
-    # 18 MiB and Mosaic refuses to compile (observed on v5e).
-    D_ = len(shape_over)
-    if D_ >= 2:
-        nlast = shape_over[-1] // block_dims[-1]
-        prod_head = 1
-        for b in block_dims[:-1]:
-            prod_head *= b
-        vmem_relayout = 2 * 4 * cr * (
-            nlast * pd[0] * yz + prod_head * shape_over[-1]
-        )
-        vmem = max(vmem, vmem_relayout)
     return cost, vmem
 
 
@@ -121,6 +123,7 @@ def choose_geometry(
     np_hint: int = None,
     batch_size: int = 128,
     vmem_budget: int = VMEM_BUDGET_BYTES,
+    n_keep=None,
 ):
     """Pick per-dimension block sizes by minimising the geometry cost model
     under the VMEM budget (the C9 component: the TPU analogue of
@@ -147,14 +150,13 @@ def choose_geometry(
     for d, n in enumerate(shape_over):
         lo = min(2 * m, n)
         cands = [b for b in _divisors(n) if lo <= b <= 512]
-        # Mosaic tiling constraints of the relayout copy kernels (the last
-        # two dims of a block spec must be (8, 128)-divisible or span the
-        # array): the last block dim must be a multiple of 128 (or the full
-        # axis), the second-to-last a multiple of 8 (or the full axis).
+        # The only hard tiling constraint left is inside the kernels (the
+        # padded dims are rounded to the 8-sublane granule and the DMA slot
+        # offsets are P-aligned by construction), so any divisor >= 2M is
+        # admissible.  Keep the last dim reasonably wide for lane
+        # utilisation of the (pd0, yz) layouts.
         if D >= 2 and d == D - 1:
-            cands = [b for b in cands if b % 128 == 0 or b == n]
-        elif D >= 2 and d == D - 2:
-            cands = [b for b in cands if b % 8 == 0 or b == n]
+            cands = [b for b in cands if b >= 64 or b == n]
         if not cands:
             cands = [n]
         # Keep the search tractable: at most ~10 divisors per dim.
@@ -169,7 +171,7 @@ def choose_geometry(
     best_cost = None
     feasible = False
     for dims in itertools.product(*per_dim):
-        cost, vmem = geometry_cost(shape_over, dims, m, cr, np_hint, batch_size)
+        cost, vmem = geometry_cost(shape_over, dims, m, cr, np_hint, batch_size, n_keep=n_keep)
         if vmem > vmem_budget:
             continue
         feasible = True

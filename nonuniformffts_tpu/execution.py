@@ -155,7 +155,25 @@ def _apply_nonuniform_ch(plan, vp_ch, callback):
 # Per-stage helpers (shared by the fused jit path and the staged/timed path)
 
 
+def _use_blockform(plan: Plan) -> bool:
+    """Single-chip blocked + pruned-matmul path: the halo merge / gather and
+    the block<->grid relayout are folded into the DFT factor matrices
+    (matmul_fft.forward_dft_blockform / backward_dft_blockform); there is no
+    overlap_add or halo_gather pass at all."""
+    return bool(plan.fft_axes_block)
+
+
 def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
+    if _use_blockform(plan):
+        from .ops.pallas import spread_blocked
+
+        if plan.is_real:
+            return spread_blocked(plan, vp_ch, raw_output=True)
+        buf = spread_blocked(
+            plan, vp_ch, channel_input=True, raw_output=True
+        )  # (2C,) + nb + pd
+        C = vp_ch.shape[0]
+        return buf.reshape((C, 2) + buf.shape[1:])
     if plan.fft_method == "matmul":
         return _spread(plan, vp_ch) if plan.is_real else _spread_ch(plan, vp_ch)
     vp = vp_ch if plan.is_real else _from_channels(vp_ch).astype(plan.dtype)
@@ -163,6 +181,11 @@ def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
 
 
 def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
+    if _use_blockform(plan):
+        spec = matmul_fft.forward_dft_blockform(
+            g, plan.fft_axes_block, real=plan.is_real, prec=plan.precision
+        )
+        return spec * jnp.asarray(plan.normfactor, spec.dtype)
     if plan.fft_method == "matmul":
         if plan.fft_variant == "pruned":
             # Truncation + deconvolution are baked into the factor matrices
@@ -226,6 +249,12 @@ def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
 
 
 def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
+    if _use_blockform(plan):
+        # Emits the halo-gathered padded block buffer directly (input is
+        # already deconvolution-scaled by _t2_pad_stage).
+        return matmul_fft.backward_dft_blockform(
+            spec_ch, plan.fft_axes_block, real=plan.is_real, prec=plan.precision
+        )
     if plan.fft_method == "matmul":
         if plan.fft_variant == "pruned":
             # Zero-padding is baked into the (n_keep, n_over) backward
@@ -243,6 +272,15 @@ def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
 
 
 def _t2_interp_stage(plan: Plan, grid):
+    if _use_blockform(plan):
+        from .ops.pallas import interpolate_blocked
+
+        if plan.is_real:
+            return interpolate_blocked(plan, None, halos_in=grid)
+        buf = grid.reshape((grid.shape[0] * 2,) + grid.shape[2:])
+        return interpolate_blocked(
+            plan, None, halos_in=buf, channel_output=True
+        )
     if plan.fft_method == "matmul":
         return _interpolate(plan, grid) if plan.is_real else _interpolate_ch(plan, grid)
     vp = _interpolate(plan, grid)

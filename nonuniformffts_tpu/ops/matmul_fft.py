@@ -425,6 +425,169 @@ def backward_dft_pruned(spec_ch, axes_dft, *, real: bool, prec: str):
     return jnp.stack([xr, xi], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Block-form drivers: the halo merge (overlap_add) / halo gather and the
+# block-interleave relayout are *linear* maps, so they fold into the DFT
+# factor matrices.  Every row (b, i) of the spread kernel's core-first padded
+# block buffer maps to a known global grid row g(b, i) (with alignment rows
+# mapping nowhere), hence
+#
+#   DFT(overlap_add(buf))  ==  contract(buf, F')   with
+#   F'[(b, i), k] = F[g(b, i) mod N, k]            (zero rows for alignment)
+#
+# and symmetrically halo_gather(bDFT(spec)) == contract(spec, F'^b).  The MXU
+# absorbs the entire merge + relayout for ~1.3-1.5x extra (cheap) MACs,
+# replacing the bandwidth-bound overlap_add / halo_gather passes that
+# dominated the type-1/type-2 profiles (51.7 / 22 ms at the 256^3 bench
+# point).  This is the TPU-native replacement for the reference's separate
+# block->global merge pass (src/spreading/cpu_blocked.jl:3-36) — there is no
+# merge pass at all.
+# ---------------------------------------------------------------------------
+
+
+def blockform_row_map(n_over: int, B: int, nb: int, pd: int, m: int) -> np.ndarray:
+    """Global grid row g(b, i) for each row of the core-first padded block
+    layout (ops/pallas/common.build_wt_matrix); -1 for alignment rows."""
+    g = np.full((nb, pd), -1, dtype=np.int64)
+    H = 2 * m - 1
+    for b in range(nb):
+        for i in range(pd):
+            if i < B + m:
+                off = i
+            elif i < B + H:
+                off = i - (B + H)
+            else:
+                continue  # alignment row: identically zero in the buffer
+            g[b, i] = (b * B + off) % n_over
+    return g
+
+
+@register_pytree_dataclass
+class BlockAxisDFT:
+    """Block-form factor matrices for one axis: forward (nb, pd, n_keep),
+    backward (n_keep, nb, pd); deconvolution + truncation baked in (built
+    from the pruned factors)."""
+
+    nb: int = static_field()
+    pd: int = static_field()
+    real_axis: bool = static_field(default=False)
+    pcos_t: Optional[jnp.ndarray] = data_field(default=None)
+    psin_t: Optional[jnp.ndarray] = data_field(default=None)
+    bcos_t: Optional[jnp.ndarray] = data_field(default=None)
+    bsin_t: Optional[jnp.ndarray] = data_field(default=None)
+
+
+def make_blockform_axis(ax: AxisDFT, B: int, nb: int, pd: int, m: int) -> BlockAxisDFT:
+    """Expand a pruned axis's factors to block-form via the row map."""
+    g = blockform_row_map(ax.n, B, nb, pd, m).reshape(-1)
+    valid = g >= 0
+    gc = np.where(valid, g, 0)
+
+    def fwd(mat):
+        out = np.asarray(mat)[gc, :].copy()
+        out[~valid] = 0.0
+        return jnp.asarray(out.reshape(nb, pd, -1), np.asarray(mat).dtype)
+
+    def bwd(mat):
+        out = np.asarray(mat)[:, gc].copy()
+        out[:, ~valid] = 0.0
+        k = out.shape[0]
+        return jnp.asarray(out.reshape(k, nb, pd), np.asarray(mat).dtype)
+
+    return BlockAxisDFT(
+        nb=nb, pd=pd, real_axis=(ax.kind == "pruned_r2c"),
+        pcos_t=fwd(ax.pcos_t), psin_t=fwd(ax.psin_t),
+        bcos_t=bwd(ax.bcos_t), bsin_t=bwd(ax.bsin_t),
+    )
+
+
+def _cplx_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
+    """(ar + i ai) contracted over ``lhs_dims`` with (cm - i*sign*sm) whose
+    contracting dims are the leading ones; Karatsuba (3 real dots).  The rhs
+    free dim (n_keep / (nb, pd)) is appended after the lhs free dims."""
+    p = PRECISIONS[prec]
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((lhs_dims, rdims), ((), ()))
+    t1 = jax.lax.dot_general(ar, cm, dn, precision=p)
+    t2 = jax.lax.dot_general(ai, sm, dn, precision=p)
+    t3 = jax.lax.dot_general(ar + ai, cm - sign * sm, dn, precision=p)
+    return t1 + sign * t2, t3 - t1 + sign * t2
+
+
+def forward_dft_blockform(buf, axes_block, *, real: bool, prec: str):
+    """Forward DFT + halo merge + relayout + truncation + deconvolution in
+    D fused contractions.
+
+    ``buf``: the spread kernel's padded block buffer, channel-split —
+    complex plans (C, 2, nb0..nbD-1, pd0..pdD-1), real plans
+    (C, nb0.., pd0..).  Returns the channel-form non-oversampled spectrum
+    (C, 2) + spectral_shape (unnormalised; caller applies normfactor).
+    """
+    D = len(axes_block)
+    if real:
+        ax = axes_block[D - 1]
+        p = PRECISIONS[prec]
+        dn = (((D, 2 * D), (0, 1)), ((), ()))
+        xr = jax.lax.dot_general(buf, ax.pcos_t, dn, precision=p)
+        xi = -jax.lax.dot_general(buf, ax.psin_t, dn, precision=p)
+        # now (C, nb0..nbD-2, pd0..pdD-2, k_{D-1}); contract remaining axes.
+        for d in range(D - 1):
+            lhs = (1, 1 + (D - 1 - d))
+            ax = axes_block[d]
+            xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec)
+        # layout (C, k_{D-1}, k_0, .., k_{D-2}) -> natural order.
+        perm = (0,) + tuple(range(2, D + 1)) + (1,)
+        return jnp.stack(
+            [jnp.transpose(xr, perm), jnp.transpose(xi, perm)], axis=1
+        )
+    xr, xi = buf[:, 0], buf[:, 1]
+    for d in range(D):
+        lhs = (1, 1 + (D - d))
+        ax = axes_block[d]
+        xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec)
+    return jnp.stack([xr, xi], axis=1)
+
+
+def backward_dft_blockform(spec_ch, axes_block, *, real: bool, prec: str):
+    """Backward (bfft/brfft) DFT emitting the halo-gathered padded block
+    buffer directly (zero-padding + halo gather + relayout fused into the
+    factors).
+
+    ``spec_ch``: channel-form non-oversampled spectrum (C, 2) +
+    spectral_shape, already deconvolution-scaled.  Returns the buffer in the
+    kernels' layout: complex (C, 2, nb0.., pd0..) — flattened by the caller
+    to (CR, nb.., pd..) — real (C, nb0.., pd0..).
+    """
+    D = len(axes_block)
+    xr, xi = spec_ch[:, 0], spec_ch[:, 1]
+    for d in range(D - 1):
+        ax = axes_block[d]
+        xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
+    ax = axes_block[D - 1]
+    if real:
+        p = PRECISIONS[prec]
+        dn = (((1,), (0,)), ((), ()))
+        out = jax.lax.dot_general(xr, ax.bcos_t, dn, precision=p) - (
+            jax.lax.dot_general(xi, ax.bsin_t, dn, precision=p)
+        )
+        # interleaved (C, nb0, pd0, .., nbD-1, pdD-1) -> kernel layout.
+        perm = (
+            (0,)
+            + tuple(1 + 2 * d for d in range(D))
+            + tuple(2 + 2 * d for d in range(D))
+        )
+        return jnp.transpose(out, perm)
+    xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
+    perm = (
+        (0,)
+        + tuple(1 + 2 * d for d in range(D))
+        + tuple(2 + 2 * d for d in range(D))
+    )
+    return jnp.stack(
+        [jnp.transpose(xr, perm), jnp.transpose(xi, perm)], axis=1
+    )
+
+
 def forward_fft_matmul(grid: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool, prec: str = "highest"):
     """Unnormalised forward DFT over all axes but the leading component axis.
 

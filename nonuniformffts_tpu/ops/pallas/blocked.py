@@ -265,6 +265,7 @@ def _spread_kernel(
 def spread_blocked(
     plan, vp: jnp.ndarray, *, channel_input: bool = False,
     channel_output: bool = False, block_offset=None, shard_axis=None,
+    raw_output: bool = False,
 ) -> jnp.ndarray:
     """Blocked type-1 spreading.  ``vp``: (C, Np) in *original* point order
     (scattered into the slot-aligned layout here), or the real channel form
@@ -334,6 +335,11 @@ def spread_blocked(
     )(plan.block_starts, block_offset, pts, vals, cs)
 
     blocks = blocks.reshape((CR,) + tuple(nb) + tuple(pd))  # free lane split
+    if raw_output:
+        # Block-form DFT path: the halo merge + relayout are folded into the
+        # DFT factor matrices (matmul_fft.forward_dft_blockform); hand the
+        # padded buffer over untouched.
+        return blocks
     grid = common.overlap_add(blocks, bdims, pd, m, interpret=plan.interpret, shard_axis=shard_axis)
     if channel_output and is_complex:
         return grid.reshape((C, 2) + grid.shape[1:])
@@ -459,15 +465,22 @@ def _interp_kernel(
 def interpolate_blocked(
     plan, grid: jnp.ndarray, *, channel_input: bool = False,
     channel_output: bool = False, block_offset=None, shard_axis=None,
+    halos_in: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Blocked type-2 interpolation.  ``grid``: (C,) + shape_over (or channel
     form (C, 2) + shape_over with ``channel_input``).  Returns (C, Np) in
     *original* point order with the cell-volume prefactor applied (channel
     form (C, 2, Np) with ``channel_output``)."""
     D, m, bdims, nb, pd, yz = _geometry(plan)
-    C = grid.shape[0]
     is_complex = not plan.is_real
-    CR = 2 * C if is_complex else C
+    if halos_in is not None:
+        # Block-form DFT path: the backward contraction already emitted the
+        # halo-gathered padded buffer (CR, nb.., pd..) directly.
+        CR = halos_in.shape[0]
+        C = CR // 2 if is_complex else CR
+    else:
+        C = grid.shape[0]
+        CR = 2 * C if is_complex else C
     P = plan.batch_size
     rdt = plan.real_dtype
 
@@ -477,11 +490,14 @@ def interpolate_blocked(
     nslots = pts.shape[1]
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
 
-    if channel_input and is_complex:
-        gp = grid.reshape((2 * C,) + grid.shape[2:]).astype(rdt)
+    if halos_in is not None:
+        halos = halos_in.astype(rdt)
     else:
-        gp = pack_components(grid, is_complex).astype(rdt)
-    halos = common.halo_gather(gp, bdims, pd, m, interpret=plan.interpret, shard_axis=shard_axis)  # (CR, nb.., pd..)
+        if channel_input and is_complex:
+            gp = grid.reshape((2 * C,) + grid.shape[2:]).astype(rdt)
+        else:
+            gp = pack_components(grid, is_complex).astype(rdt)
+        halos = common.halo_gather(gp, bdims, pd, m, interpret=plan.interpret, shard_axis=shard_axis)  # (CR, nb.., pd..)
     halos = halos.reshape((CR,) + tuple(nb) + (pd[0], yz))  # free lane merge
 
     nblocks = int(np.prod(nb))

@@ -87,6 +87,10 @@ class Plan:
     index_ranges: Tuple = static_field(default=())
     kvec: Tuple[jnp.ndarray, ...] = data_field(default=())  # output wavenumbers
     fft_axes: Tuple = data_field(default=())  # AxisDFT per dim (matmul FFT)
+    # Block-form factors (matmul_fft.BlockAxisDFT per dim): halo merge /
+    # gather + relayout folded into the DFT contractions (blocked + pruned
+    # single-chip path only; see matmul_fft.forward_dft_blockform).
+    fft_axes_block: Tuple = data_field(default=())
 
     # --- point state (set by set_points) --------------------------------
     points: Optional[jnp.ndarray] = data_field(default=None)  # (D, Np) folded
@@ -327,7 +331,8 @@ def PlanNUFFT(
         if block_dims is None:
             cr = ntransforms * (1 if is_real else 2)
             block_dims, geo_warnings = choose_geometry(
-                shape_over, m, cr=cr, np_hint=np_hint, batch_size=batch_size
+                shape_over, m, cr=cr, np_hint=np_hint, batch_size=batch_size,
+                n_keep=shape,
             )
             for w in geo_warnings:
                 warnings.warn(w, stacklevel=2)
@@ -343,19 +348,6 @@ def PlanNUFFT(
                         f"block dim {b} must be >= the kernel half-support M={m} "
                         "(halos may only touch immediate neighbour blocks)"
                     )
-                if not interpret and D >= 2:
-                    # Mosaic tiling constraint of the relayout copy kernels.
-                    if d == D - 1 and b % 128 != 0 and b != n_over:
-                        raise ValueError(
-                            f"last block dim {b} must be a multiple of 128 or "
-                            f"the full axis ({n_over}) on compiled TPU backends"
-                        )
-                    if d == D - 2 and b % 8 != 0 and b != n_over:
-                        raise ValueError(
-                            f"second-to-last block dim {b} must be a multiple "
-                            f"of 8 or the full axis ({n_over}) on compiled TPU "
-                            "backends"
-                        )
 
     # FFT engine: XLA's native FFT where available; MXU matmul-DFT on TPU
     # backends that do not implement the FFT op (ops/matmul_fft.py).
@@ -390,6 +382,23 @@ def PlanNUFFT(
     else:
         fft_variant = "split"
 
+    fft_axes_block = ()
+    if (
+        fft_method == "matmul"
+        and fft_variant == "pruned"
+        and spread_method == "blocked"
+    ):
+        from .ops import matmul_fft
+        from .ops.pallas.common import padded_block_dims
+
+        pd = padded_block_dims(block_dims, m)
+        fft_axes_block = tuple(
+            matmul_fft.make_blockform_axis(
+                ax, block_dims[d], shape_over[d] // block_dims[d], pd[d], m
+            )
+            for d, ax in enumerate(fft_axes)
+        )
+
     return Plan(
         dtype=dtype,
         shape=shape,
@@ -410,6 +419,7 @@ def PlanNUFFT(
         fft_method=fft_method,
         fft_variant=fft_variant,
         fft_axes=fft_axes,
+        fft_axes_block=fft_axes_block,
         precision=precision,
         timer=timer,
         kernel_data=kernel_data,

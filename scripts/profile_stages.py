@@ -198,36 +198,38 @@ blocks_buf = jnp.zeros((CR,) + tuple(nb) + tuple(pd), rdt)
 t_oadd = timed_scan(lambda b: common.overlap_add(b, bdims, pd, m), blocks_buf)
 report("overlap_add only", t_oadd)
 
-# --- forward matmul FFT ---
+# --- forward matmul FFT (pruned: deconvolution+truncation fused) ---
 grid_r = jnp.zeros((C, 2) + plan.shape_over, rdt)
-t_ffwd = timed_scan(
-    lambda g: matmul_fft.forward_fft_matmul(g, plan.fft_axes, real=False, prec=plan.precision),
-    grid_r,
-)
+pruned = plan.fft_axes[0].kind.startswith("pruned")
+if pruned:
+    t_ffwd = timed_scan(
+        lambda g: matmul_fft.forward_dft_pruned(
+            g, plan.fft_axes, real=False, prec=plan.precision),
+        grid_r,
+    )
+else:
+    t_ffwd = timed_scan(
+        lambda g: matmul_fft.forward_fft_matmul(
+            g, plan.fft_axes, real=False, prec=plan.precision),
+        grid_r,
+    )
 report(f"forward matmul-DFT ({plan.precision})", t_ffwd)
 
-spec_ch = jnp.zeros((C, 2) + plan.spectral_shape_over, rdt)
-
-t_deconv = timed_scan(
-    lambda s: deconvolve_truncate(
-        s.reshape((2 * C,) + s.shape[2:]), p.index_ranges, p.phihat_inv, p.normfactor
-    ),
-    spec_ch,
-)
-report("deconvolve_truncate", t_deconv)
+spec_ch = jnp.zeros((C, 2) + plan.shape, rdt)
 
 # --- type 2 stages ---
-uhat_ch = jnp.zeros((2 * C,) + plan.shape, rdt)
-t_pad = timed_scan(
-    lambda u: deconvolve_pad(u, plan.spectral_shape_over, p.index_ranges, p.phihat_inv),
-    uhat_ch,
-)
-report("deconvolve_pad", t_pad)
-
-t_fbwd = timed_scan(
-    lambda s: matmul_fft.backward_fft_matmul(s, plan.fft_axes, real=False, prec=plan.precision),
-    spec_ch,
-)
+if pruned:
+    t_fbwd = timed_scan(
+        lambda s: matmul_fft.backward_dft_pruned(
+            s, plan.fft_axes, real=False, prec=plan.precision),
+        spec_ch,
+    )
+else:
+    t_fbwd = timed_scan(
+        lambda s: matmul_fft.backward_fft_matmul(
+            s, plan.fft_axes, real=False, prec=plan.precision),
+        spec_ch,
+    )
 report(f"backward matmul-DFT ({plan.precision})", t_fbwd)
 
 grid_full = jnp.zeros((C, 2) + plan.shape_over, rdt)
@@ -250,6 +252,6 @@ t_take = timed_scan(
 report("slot un-permute (take)", t_take)
 
 print("\nsum t1 pieces: scatter+kernel+oadd+fft+deconv =",
-      f"{(t_scat+t_kernel+t_oadd+t_ffwd+t_deconv)*1e3:.1f} ms")
+      f"{(t_scat+t_kernel+t_oadd+t_ffwd)*1e3:.1f} ms")
 print("sum t2 pieces: pad+bfft+interp =",
-      f"{(t_pad+t_fbwd+t_interp_full)*1e3:.1f} ms")
+      f"{(t_fbwd+t_interp_full)*1e3:.1f} ms")
