@@ -24,15 +24,15 @@ def test_choose_geometry_divides_and_tiling():
     shape_over = (384, 384, 384)
     bd, w = choose_geometry(shape_over, 4, cr=2, np_hint=1_000_000)
     assert all(n % b == 0 for n, b in zip(shape_over, bd))
-    assert bd[-1] % 128 == 0 or bd[-1] == shape_over[-1]
-    assert bd[-2] % 8 == 0 or bd[-2] == shape_over[-2]
+    # Lane utilisation: the last block dim is kept wide (>= 64 or full axis).
+    assert bd[-1] >= 64 or bd[-1] == shape_over[-1]
     assert not w
     _, vmem = geometry_cost(shape_over, bd, 4, 2, 1_000_000, 128)
     assert vmem <= VMEM_BUDGET_BYTES
 
 
 def test_choose_geometry_small_grid_full_axis():
-    # 96 has no divisor that is a multiple of 128 -> last dim must be full.
+    # 96 has no divisor >= 64 other than the full axis itself.
     bd, _ = choose_geometry((96, 96, 96), 4, cr=2, np_hint=100_000)
     assert bd[-1] == 96
 
@@ -51,13 +51,19 @@ def test_choose_geometry_warns_when_infeasible():
     assert any("VMEM" in x for x in w)
 
 
-def test_plan_rejects_bad_tiling_compiled():
-    with pytest.raises(ValueError, match="multiple of 128"):
+def test_plan_rejects_bad_block_dims():
+    with pytest.raises(ValueError, match="must divide"):
         nufft.PlanNUFFT(
             np.complex64, (256, 256, 256), m=4, sigma=1.5,
-            spread_method="blocked", block_dims=(16, 24, 48),
+            spread_method="blocked", block_dims=(16, 24, 100),
         )
-    # Same dims are fine in interpret (emulation) mode.
+    with pytest.raises(ValueError, match="half-support"):
+        nufft.PlanNUFFT(
+            np.complex64, (256, 256, 256), m=4, sigma=1.5,
+            spread_method="blocked", block_dims=(2, 24, 128),
+        )
+    # Small blocks are fine (no Mosaic relayout-tiling restriction since the
+    # block-form DFT absorbed the relayout).
     nufft.PlanNUFFT(
         np.complex64, (64, 64, 64), m=4, sigma=1.5,
         spread_method="blocked", block_dims=(16, 16, 16), interpret=True,
