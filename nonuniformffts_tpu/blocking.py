@@ -77,7 +77,12 @@ def geometry_cost(
     # Expected batches: every point appears once, plus ~half a batch of
     # padding per non-empty block (slot quantisation).
     nbatches = np_pts / batch + 0.5 * min(nblocks, np_pts)
-    macs = nbatches * cr * pd[0] * yz * batch
+    # MXU output rows come in 128-tiles: a contraction with M = cr*pd0 rows
+    # costs ceil(M/128)*128 row-slots regardless of M (a CR=1 r2c plan with
+    # pd0=24 wastes 81% of the MXU unless pd0 grows).
+    m_eff = -(-(cr * pd[0]) // 128) * 128
+    yz_eff = -(-yz // 128) * 128  # lane-tile granularity of the N dim
+    macs = nbatches * m_eff * yz_eff * batch
     padded_bytes = nblocks * cr * pd[0] * yz * 4
     nslots = np_pts + nblocks * (batch - 1) / 2
     io_bytes = 2 * padded_bytes + nslots * (8 + max(8, cr)) * 4
@@ -153,10 +158,10 @@ def choose_geometry(
         # The only hard tiling constraint left is inside the kernels (the
         # padded dims are rounded to the 8-sublane granule and the DMA slot
         # offsets are P-aligned by construction), so any divisor >= 2M is
-        # admissible.  Keep the last dim reasonably wide for lane
-        # utilisation of the (pd0, yz) layouts.
-        if D >= 2 and d == D - 1:
-            cands = [b for b in cands if b >= 64 or b == n]
+        # admissible; the cost model's lane-tile rounding (yz_eff) penalises
+        # narrow trailing blocks by itself.  At high density small trailing
+        # blocks win: the per-point MXU floor is ~m_eff*yz/P MACs, so
+        # shrinking the padded block volume is the only densification lever.
         if not cands:
             cands = [n]
         # Keep the search tractable: at most ~10 divisors per dim.
