@@ -46,6 +46,7 @@ REAL = os.environ.get("BENCH_REAL", "0") == "1"  # r2c/c2r fast path
 # tolerance-matched, not parameter-matched); achieved error is measured and
 # reported either way.
 M_HS = int(os.environ.get("BENCH_M", 4))
+BLOCKS = tuple(int(x) for x in os.environ["BENCH_BLOCKS"].split(",")) if os.environ.get("BENCH_BLOCKS") else None
 SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
@@ -109,6 +110,7 @@ def main():
             chunk_size=None if on_tpu else 65536,
             precision=PRECISION,
             np_hint=np_hint,
+            block_dims=BLOCKS,
         )
 
     def eps_of(c, x):

@@ -81,8 +81,7 @@ def geometry_cost(
     # costs ceil(M/128)*128 row-slots regardless of M (a CR=1 r2c plan with
     # pd0=24 wastes 81% of the MXU unless pd0 grows).
     m_eff = -(-(cr * pd[0]) // 128) * 128
-    yz_eff = -(-yz // 128) * 128  # lane-tile granularity of the N dim
-    macs = nbatches * m_eff * yz_eff * batch
+    macs = nbatches * m_eff * yz * batch
     padded_bytes = nblocks * cr * pd[0] * yz * 4
     nslots = np_pts + nblocks * (batch - 1) / 2
     io_bytes = 2 * padded_bytes + nslots * (8 + max(8, cr)) * 4
@@ -153,15 +152,18 @@ def choose_geometry(
 
     per_dim = []
     for d, n in enumerate(shape_over):
-        lo = min(2 * m, n)
+        lo = min(max(2 * m, 16), n)  # sub-16 dims measured slower (sublane waste)
         cands = [b for b in _divisors(n) if lo <= b <= 512]
         # The only hard tiling constraint left is inside the kernels (the
         # padded dims are rounded to the 8-sublane granule and the DMA slot
         # offsets are P-aligned by construction), so any divisor >= 2M is
-        # admissible; the cost model's lane-tile rounding (yz_eff) penalises
-        # narrow trailing blocks by itself.  At high density small trailing
-        # blocks win: the per-point MXU floor is ~m_eff*yz/P MACs, so
-        # shrinking the padded block volume is the only densification lever.
+        # admissible.  The last dim is kept wide for lane utilisation:
+        # narrow trailing blocks measured strictly worse on v5e even at
+        # rho = 1 where the model prefers them ((48,16,24): 1629 ms vs
+        # (.., >=64): 1514 ms — the modelled MAC saving does not materialise
+        # against the narrow-lane/VPU overheads).
+        if D >= 2 and d == D - 1:
+            cands = [b for b in cands if b >= 64 or b == n]
         if not cands:
             cands = [n]
         # Keep the search tractable: at most ~10 divisors per dim.

@@ -159,10 +159,13 @@ def _qt_matrix(wts, yz, P):
 # ---------------------------------------------------------------------------
 
 
+NBUF = 4  # point/value DMA pipeline depth (see _spread_kernel)
+
+
 def _spread_kernel(
-    starts_ref, offset_ref, pts_hbm, vals_hbm, cs_ref, out_ref,
-    acc_ref, pts_buf, vals_buf, sem_p, sem_v,
-    *, plan, CR, nb, pd, yz, P,
+    starts_ref, offset_ref, pv_hbm, cs_ref, out_ref,
+    acc_ref, pv_buf, sem_pv,
+    *, plan, CR, DP, nb, pd, yz, P,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -177,24 +180,21 @@ def _spread_kernel(
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Double-buffered point/value DMA: batch i+1 streams in while batch i
-    # computes (the DMA wait latency dominated the round-2 kernel profile).
+    # NBUF-deep pipelined DMA of the combined (points ++ values) rows: one
+    # descriptor per batch (separate point/value copies doubled the ~1-2 us
+    # per-descriptor latency, which exceeds the ~1 us batch compute and
+    # dominated at high density — rho=1 profiling), with NBUF-1 batches in
+    # flight to cover the latency.
     def dma(slot, j):
         off = pl.multiple_of((start_b + j) * P, P)
-        return (
-            pltpu.make_async_copy(
-                pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
-            ),
-            pltpu.make_async_copy(
-                vals_hbm.at[:, pl.ds(off, P)], vals_buf.at[slot], sem_v.at[slot]
-            ),
+        return pltpu.make_async_copy(
+            pv_hbm.at[:, pl.ds(off, P)], pv_buf.at[slot], sem_pv.at[slot]
         )
 
-    @pl.when(nbatch > 0)
-    def _():
-        p0, v0 = dma(0, 0)
-        p0.start()
-        v0.start()
+    for j in range(NBUF - 1):
+        @pl.when(j < nbatch)
+        def _(j=j):
+            dma(j, j).start()
 
     # Row-expansion selector: B_sel[c*p0 + x, c'] = (c == c'), so
     # B_sel @ v expands per-channel rows to the stacked (CR*p0, P) layout
@@ -204,7 +204,9 @@ def _spread_kernel(
     col_c = jax.lax.broadcasted_iota(jnp.int32, (CR * pd[0], CR), 1)
     b_sel = (row_c == col_c).astype(acc_ref.dtype)
 
-    def compute(pts_b, vals_b):
+    def compute(pv_b):
+        pts_b = pv_b[:DP]
+        vals_b = pv_b[DP:]
         # Padding slots carry zero values: their rows of wv are identically
         # zero, so no masking is needed.
         wts = _build_batch_wts(plan, cs_ref, pts_b, origins, None, pd, P)
@@ -228,27 +230,20 @@ def _spread_kernel(
         acc_ref[...] = acc_ref[...] + prod
 
     def body(i, carry):
-        slot = i % 2
+        slot = i % NBUF
 
-        @pl.when(i + 1 < nbatch)
+        @pl.when(i + NBUF - 1 < nbatch)
         def _():
-            pn, vn = dma((i + 1) % 2, i + 1)
-            pn.start()
-            vn.start()
+            dma((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
 
-        pc, vc = dma(slot, i)
-        pc.wait()
-        vc.wait()
+        dma(slot, i).wait()
         # Mosaic cannot load a VMEM value at a traced leading index; the
         # slot choice is branched statically instead (DMAs/semaphores above
         # *do* take traced .at[slot] indices).
-        @pl.when(slot == 0)
-        def _():
-            compute(pts_buf[0], vals_buf[0])
-
-        @pl.when(slot == 1)
-        def _():
-            compute(pts_buf[1], vals_buf[1])
+        for s in range(NBUF):
+            @pl.when(slot == s)
+            def _(s=s):
+                compute(pv_buf[s])
 
         return carry
 
@@ -297,6 +292,8 @@ def spread_blocked(
     vals = gather_slots(
         vals_in.astype(rdt), plan.slot_to_point, plan.slot_valid, rows=CRP
     )
+    # Combined rows [points ; values] so each batch is ONE DMA descriptor.
+    pv = jnp.concatenate([pts.astype(rdt), vals], axis=0)
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
 
     nblocks = int(np.prod(nb))
@@ -308,31 +305,28 @@ def spread_blocked(
         num_scalar_prefetch=2,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # points (D, Np_pad)
-            pl.BlockSpec(memory_space=pltpu.HBM),  # values (CR, Np_pad)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # points++values (DP+CRP, Nslots)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
         ],
         out_specs=pl.BlockSpec(blk_shape, out_index),
         scratch_shapes=[
             pltpu.VMEM((CR * pd[0], yz), rdt),
-            pltpu.VMEM((2, DP, P), rdt),
-            pltpu.VMEM((2, CRP, P), rdt),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, DP + CRP, P), rdt),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
     if block_offset is None:
         block_offset = jnp.zeros((D,), jnp.int32)
     kernel = functools.partial(
-        _spread_kernel, plan=plan, CR=CR, nb=nb, pd=pd, yz=yz, P=P
+        _spread_kernel, plan=plan, CR=CR, DP=DP, nb=nb, pd=pd, yz=yz, P=P
     )
     blocks = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
         interpret=plan.interpret,
-    )(plan.block_starts, block_offset, pts, vals, cs)
+    )(plan.block_starts, block_offset, pv, cs)
 
     blocks = blocks.reshape((CR,) + tuple(nb) + tuple(pd))  # free lane split
     if raw_output:
@@ -382,9 +376,18 @@ def _interp_kernel(
             pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
         )
 
-    @pl.when(nbatch > 0)
-    def _():
-        dma_p(0, 0).start()
+    def res_dma(slot, j):
+        off = pl.multiple_of((start_b + j) * P, P)
+        return pltpu.make_async_copy(
+            res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off, P)], sem_r.at[slot]
+        )
+
+    # NBUF-deep point prefetch (per-descriptor latency exceeds the batch
+    # compute; 2 slots could not cover it — see _spread_kernel).
+    for j in range(NBUF - 1):
+        @pl.when(j < nbatch)
+        def _(j=j):
+            dma_p(j, j).start()
 
     def compute(pts_b, res_slot_ref):
         wts = _build_batch_wts(plan, cs_ref, pts_b, origins, None, pd, P)
@@ -407,59 +410,36 @@ def _interp_kernel(
         )
 
     def body(i, carry):
-        slot = i % 2
+        slot = i % NBUF
 
-        @pl.when(i + 1 < nbatch)
+        @pl.when(i + NBUF - 1 < nbatch)
         def _():
-            dma_p((i + 1) % 2, i + 1).start()
+            dma_p((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
 
         dma_p(slot, i).wait()
-        # Wait for the result DMA of batch i-2 (same slot) before
+        # Wait for the result DMA of batch i-NBUF (same slot) before
         # overwriting its buffer; static-slot branches (Mosaic cannot load
         # VMEM values at traced leading indices).
-        @pl.when(i >= 2)
+        @pl.when(i >= NBUF)
         def _():
-            off_p = pl.multiple_of((start_b + i - 2) * P, P)
-            pltpu.make_async_copy(
-                res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off_p, P)],
-                sem_r.at[slot],
-            ).wait()
+            res_dma(slot, i - NBUF).wait()
 
-        @pl.when(slot == 0)
-        def _():
-            compute(pts_buf[0], res_buf.at[0])
+        for s in range(NBUF):
+            @pl.when(slot == s)
+            def _(s=s):
+                compute(pts_buf[s], res_buf.at[s])
 
-        @pl.when(slot == 1)
-        def _():
-            compute(pts_buf[1], res_buf.at[1])
-
-        off = pl.multiple_of((start_b + i) * P, P)
-        pltpu.make_async_copy(
-            res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off, P)],
-            sem_r.at[slot],
-        ).start()
+        res_dma(slot, i).start()
         return carry
 
     jax.lax.fori_loop(0, nbatch, body, 0)
 
-    # Drain the last (up to two) in-flight result DMAs.
-    @pl.when(nbatch > 0)
-    def _():
-        i = nbatch - 1
-        off_l = pl.multiple_of((start_b + i) * P, P)
-        pltpu.make_async_copy(
-            res_buf.at[i % 2, :, :], out_ref.at[:, pl.ds(off_l, P)],
-            sem_r.at[i % 2],
-        ).wait()
-
-    @pl.when(nbatch > 1)
-    def _():
-        i = nbatch - 2
-        off_l = pl.multiple_of((start_b + i) * P, P)
-        pltpu.make_async_copy(
-            res_buf.at[i % 2, :, :], out_ref.at[:, pl.ds(off_l, P)],
-            sem_r.at[i % 2],
-        ).wait()
+    # Drain the last (up to NBUF) in-flight result DMAs.
+    for k in range(NBUF):
+        @pl.when(nbatch > k)
+        def _(k=k):
+            i = nbatch - 1 - k
+            res_dma(i % NBUF, i).wait()
 
 
 def interpolate_blocked(
@@ -514,10 +494,10 @@ def interpolate_blocked(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # (CR, Np_pad)
         scratch_shapes=[
-            pltpu.VMEM((2, DP, P), rdt),
-            pltpu.VMEM((2, CRP, P), rdt),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, DP, P), rdt),
+            pltpu.VMEM((NBUF, CRP, P), rdt),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 

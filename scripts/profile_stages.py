@@ -162,6 +162,7 @@ cs = common.coefficient_stack(p.kernel_data).astype(rdt)
 
 def kernel_only(args):
     pts_k, vals_k = args
+    pv = jnp.concatenate([pts_k.astype(rdt), vals_k], axis=0)
     nblocks = int(np.prod(nb))
     out_shape = blocked._blocks_buffer_shape(CR, nb, pd, yz)
     blk_shape = blocked._block_shape(CR, nb, pd, yz)
@@ -171,23 +172,20 @@ def kernel_only(args):
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(blk_shape, out_index),
         scratch_shapes=[
             pltpu.VMEM((CR * pd[0], yz), rdt),
-            pltpu.VMEM((2, DP, plan.batch_size), rdt),
-            pltpu.VMEM((2, CRP, plan.batch_size), rdt),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((blocked.NBUF, DP + CRP, plan.batch_size), rdt),
+            pltpu.SemaphoreType.DMA((blocked.NBUF,)),
         ],
     )
-    kern = functools.partial(blocked._spread_kernel, plan=p, CR=CR, nb=nb, pd=pd, yz=yz, P=plan.batch_size)
+    kern = functools.partial(blocked._spread_kernel, plan=p, CR=CR, DP=DP, nb=nb, pd=pd, yz=yz, P=plan.batch_size)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
-    )(p.block_starts, jnp.zeros((D,), jnp.int32), pts_k, vals_k, cs)
+    )(p.block_starts, jnp.zeros((D,), jnp.int32), pv, cs)
 
 t_kernel = timed_scan(kernel_only, (pts_pad, vals_slotted))
 nbl = int(np.prod(nb))
