@@ -293,7 +293,8 @@ def sort_points_into_blocks(plan, points: jnp.ndarray):
     return slot_layout(bid, nblocks, P)
 
 
-def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0):
+def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
+                with_inverse: bool = False):
     """Scatter-free slot-aligned layout from per-point block ids.
 
     ``virtual`` extra trailing block ids (``nblocks .. nblocks+virtual-1``)
@@ -338,10 +339,16 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0):
     slot_to_point = jnp.take(perm, sidx)
 
     # Inverse map via a second sort (not a scatter): sorting (perm ->
-    # slot_sorted) pairs by perm yields the per-original-point slot.
-    rank = iota - jnp.take(pstarts, sorted_bid)
-    slot_sorted = jnp.take(batch_starts, sorted_bid) * P + rank
-    _, point_slots = jax.lax.sort_key_val(perm, slot_sorted)
+    # slot_sorted) pairs by perm yields the per-original-point slot.  The
+    # transforms themselves no longer need it (type-2 un-permutes its
+    # results with a masked sort over slot_to_point, which measured 2x
+    # faster than the gather on v5e) — it is kept behind a flag for callers
+    # that want the explicit inverse.
+    point_slots = None
+    if with_inverse:
+        rank = iota - jnp.take(pstarts, sorted_bid)
+        slot_sorted = jnp.take(batch_starts, sorted_bid) * P + rank
+        _, point_slots = jax.lax.sort_key_val(perm, slot_sorted)
 
     return slot_to_point, slot_valid, point_slots, batch_starts
 

@@ -514,7 +514,29 @@ def interpolate_blocked(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(plan.block_starts, block_offset, halos, pts, cs)
 
-    vals = jnp.take(slot_vals[:CR], plan.point_slots, axis=1)
+    if plan.point_slots is not None:
+        # Routed (spatial) layouts carry an explicit inverse map — their
+        # valid-slot keys are NOT a bijection onto 0..Np-1 (invalid receives
+        # are masked out of slot_valid), so the sort trick below would
+        # misplace values after the holes.
+        vals = jnp.take(slot_vals[:CR], plan.point_slots, axis=1)
+    else:
+        # Un-permute slot results to original point order with ONE masked
+        # sort (invalid slots key to the Np sentinel and fall off the
+        # tail): 2x faster than a point_slots gather on v5e (XLA's gather
+        # runs ~7 ns per index regardless of axis) and removes the second
+        # set_points sort that built the inverse map.  Valid slots are a
+        # bijection onto 0..Np-1 on the single-chip path, so the first Np
+        # sorted entries are exactly the points in original order.
+        # Reference analogue: interpolation/gpu.jl:196-203.
+        np_ = plan.num_points
+        keys = jnp.where(
+            plan.slot_valid, plan.slot_to_point, jnp.int32(nslots)
+        ).astype(jnp.int32)
+        sorted_ops = jax.lax.sort(
+            (keys,) + tuple(slot_vals[c] for c in range(CR)), num_keys=1
+        )
+        vals = jnp.stack([o[:np_] for o in sorted_ops[1:]], axis=0)
     vals = vals * jnp.asarray(plan.normfactor, rdt)
     if channel_output and is_complex:
         return vals.reshape(C, 2, vals.shape[1])

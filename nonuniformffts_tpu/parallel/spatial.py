@@ -354,8 +354,11 @@ def _route_and_sort(plan: Plan, pts_l, n, cap, nb0_local, nblocks_local, ax):
     in_range = (bid_l >= 0) & (bid_l < nblocks_local) & recv_valid
     bid_l = jnp.where(in_range, bid_l, nblocks_local)
 
+    # with_inverse: the routed layout keeps the explicit receive-slot map
+    # (used by the all-to-all unroute bookkeeping), unlike the single-chip
+    # path whose type-2 un-permute is a masked sort.
     s2p, svalid, pslots, bstarts = slot_layout(
-        bid_l, nblocks_local, plan.batch_size, virtual=1
+        bid_l, nblocks_local, plan.batch_size, virtual=1, with_inverse=True
     )
     svalid = svalid & jnp.take(recv_valid, s2p)
     DP = -(-(2 * D) // 8) * 8

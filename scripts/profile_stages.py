@@ -243,11 +243,13 @@ t_hgather = timed_scan(
 )
 report("halo_gather only", t_hgather)
 
-t_take = timed_scan(
-    lambda sv: jnp.take(sv, p.point_slots, axis=1),
-    jnp.zeros((CR, nslots), rdt),
-)
-report("slot un-permute (take)", t_take)
+def sort_unperm(sv):
+    keys = jnp.where(p.slot_valid, p.slot_to_point, jnp.int32(nslots)).astype(jnp.int32)
+    ops = jax.lax.sort((keys, sv[0], sv[1]), num_keys=1)
+    return jnp.stack([o[:NP_PTS] for o in ops[1:]], axis=0)
+
+t_take = timed_scan(sort_unperm, jnp.zeros((CR, nslots), rdt))
+report("slot un-permute (masked sort)", t_take)
 
 print("\nsum t1 pieces: scatter+kernel+oadd+fft+deconv =",
       f"{(t_scat+t_kernel+t_oadd+t_ffwd)*1e3:.1f} ms")
