@@ -285,48 +285,64 @@ def spread_blocked(
     # the slot layout is built with one gather (TPU scatters are serial).
     from ...blocking import gather_slots
 
-    CRP = common.round_up(CR, 8)
     pts = plan.points_slotted
     DP = pts.shape[0]
     nslots = pts.shape[1]
-    vals = gather_slots(
-        vals_in.astype(rdt), plan.slot_to_point, plan.slot_valid, rows=CRP
-    )
-    # Combined rows [points ; values] so each batch is ONE DMA descriptor.
-    pv = jnp.concatenate([pts.astype(rdt), vals], axis=0)
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
-
-    nblocks = int(np.prod(nb))
-    out_shape = _blocks_buffer_shape(CR, nb, pd, yz)
-    blk_shape = _block_shape(CR, nb, pd, yz)
-    out_index = _block_index_map(D, nb)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # points++values (DP+CRP, Nslots)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
-        ],
-        out_specs=pl.BlockSpec(blk_shape, out_index),
-        scratch_shapes=[
-            pltpu.VMEM((CR * pd[0], yz), rdt),
-            pltpu.VMEM((NBUF, DP + CRP, P), rdt),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
-    )
-
     if block_offset is None:
         block_offset = jnp.zeros((D,), jnp.int32)
-    kernel = functools.partial(
-        _spread_kernel, plan=plan, CR=CR, DP=DP, nb=nb, pd=pd, yz=yz, P=P
-    )
-    blocks = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
-        interpret=plan.interpret,
-    )(plan.block_starts, block_offset, pv, cs)
+
+    nblocks = int(np.prod(nb))
+    out_index = _block_index_map(D, nb)
+
+    def run_chunk(vals_chunk):
+        """One Pallas pass over a channel chunk (CRc rows of values)."""
+        CRc = vals_chunk.shape[0]
+        CRPc = common.round_up(CRc, 8)
+        vals = gather_slots(
+            vals_chunk.astype(rdt), plan.slot_to_point, plan.slot_valid,
+            rows=CRPc,
+        )
+        # Combined rows [points ; values]: each batch is ONE DMA descriptor.
+        pv = jnp.concatenate([pts.astype(rdt), vals], axis=0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # pts++vals (DP+CRPc, Ns)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
+            ],
+            out_specs=pl.BlockSpec(_block_shape(CRc, nb, pd, yz), out_index),
+            scratch_shapes=[
+                pltpu.VMEM((CRc * pd[0], yz), rdt),
+                pltpu.VMEM((NBUF, DP + CRPc, P), rdt),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        )
+        kernel = functools.partial(
+            _spread_kernel, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd, yz=yz, P=P
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                _blocks_buffer_shape(CRc, nb, pd, yz), rdt
+            ),
+            interpret=plan.interpret,
+        )(plan.block_starts, block_offset, pv, cs)
+
+    # Channel chunking (large ntransforms): the VMEM accumulator scales with
+    # CR, so components are processed in plan.cr_chunk-sized groups — the
+    # counterpart of the reference's serial component loop in its
+    # shared-memory method (src/spreading/gpu.jl:293).
+    chunk = getattr(plan, "cr_chunk", None) or CR
+    if CR <= chunk:
+        blocks = run_chunk(vals_in)
+    else:
+        blocks = jnp.concatenate(
+            [run_chunk(vals_in[s : s + chunk]) for s in range(0, CR, chunk)],
+            axis=0,
+        )
 
     blocks = blocks.reshape((CR,) + tuple(nb) + tuple(pd))  # free lane split
     if raw_output:
@@ -464,7 +480,6 @@ def interpolate_blocked(
     P = plan.batch_size
     rdt = plan.real_dtype
 
-    CRP = common.round_up(CR, 8)
     pts = plan.points_slotted
     DP = pts.shape[0]
     nslots = pts.shape[1]
@@ -481,38 +496,49 @@ def interpolate_blocked(
     halos = halos.reshape((CR,) + tuple(nb) + (pd[0], yz))  # free lane merge
 
     nblocks = int(np.prod(nb))
-    blk_shape = _block_shape(CR, nb, pd, yz)
     in_index = _block_index_map(D, nb)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(blk_shape, in_index),  # halo-gathered padded block
-            pl.BlockSpec(memory_space=pltpu.HBM),  # points (D, Np_pad)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # (CR, Np_pad)
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, DP, P), rdt),
-            pltpu.VMEM((NBUF, CRP, P), rdt),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
-    )
-
     if block_offset is None:
         block_offset = jnp.zeros((D,), jnp.int32)
-    kernel = functools.partial(
-        _interp_kernel, plan=plan, CR=CR, nb=nb, pd=pd, yz=yz, P=P
-    )
-    slot_vals = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((CRP, nslots), rdt),
-        interpret=plan.interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(plan.block_starts, block_offset, halos, pts, cs)
+
+    def run_chunk(halos_chunk):
+        CRc = halos_chunk.shape[0]
+        CRPc = common.round_up(CRc, 8)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # points (DP, Nslots)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # (CRPc, Nslots)
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, DP, P), rdt),
+                pltpu.VMEM((NBUF, CRPc, P), rdt),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        )
+        kernel = functools.partial(
+            _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((CRPc, nslots), rdt),
+            interpret=plan.interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(plan.block_starts, block_offset, halos_chunk, pts, cs)[:CRc]
+
+    # Channel chunking for large ntransforms (see spread_blocked).
+    chunk = getattr(plan, "cr_chunk", None) or CR
+    if CR <= chunk:
+        slot_vals = run_chunk(halos)
+    else:
+        slot_vals = jnp.concatenate(
+            [run_chunk(halos[s : s + chunk]) for s in range(0, CR, chunk)],
+            axis=0,
+        )
 
     if plan.point_slots is not None:
         # Routed (spatial) layouts carry an explicit inverse map — their

@@ -78,6 +78,12 @@ class Plan:
     # src/NonuniformFFTs.jl:157-185, src/plan.jl:453-454).
     timer: Optional[Any] = static_field(default=None)
     normfactor_override: Optional[float] = static_field(default=None)
+    # Channel-chunk size for the blocked kernels (in CR = real-channel
+    # units): large ntransforms are processed cr_chunk components at a time
+    # so the VMEM accumulator fits — the counterpart of the reference's
+    # serial component loop in its shared-memory method
+    # (src/spreading/gpu.jl:293).  None/0 = all channels in one pass.
+    cr_chunk: Optional[int] = static_field(default=None)
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
@@ -316,6 +322,7 @@ def PlanNUFFT(
         tiny = np_hint is not None and np_hint < 4096
         spread_method = "blocked" if (on_tpu and not tiny) else "reference"
 
+    cr_chunk = None
     if spread_method == "blocked":
         from .blocking import choose_geometry
 
@@ -328,12 +335,22 @@ def PlanNUFFT(
                 "blocked method on TPU (DMA lane-tile alignment); use "
                 "interpret=True for emulation with smaller batches"
             )
+        cr_total = ntransforms * (1 if is_real else 2)
+        cr_step = 1 if is_real else 2  # keep a component's re/im together
         if block_dims is None:
-            cr = ntransforms * (1 if is_real else 2)
-            block_dims, geo_warnings = choose_geometry(
-                shape_over, m, cr=cr, np_hint=np_hint, batch_size=batch_size,
-                n_keep=shape,
-            )
+            # Find the largest channel chunk whose geometry fits VMEM
+            # (halving until feasible; the kernels then loop over chunks —
+            # reference: serial component loop, src/spreading/gpu.jl:293).
+            cr = cr_total
+            while True:
+                block_dims, geo_warnings = choose_geometry(
+                    shape_over, m, cr=cr, np_hint=np_hint,
+                    batch_size=batch_size, n_keep=shape,
+                )
+                if not any("VMEM" in w for w in geo_warnings) or cr <= cr_step:
+                    break
+                cr = max(cr_step, (cr // 2 + cr_step - 1) // cr_step * cr_step)
+            cr_chunk = cr if cr < cr_total else None
             for w in geo_warnings:
                 warnings.warn(w, stacklevel=2)
         else:
@@ -422,6 +439,7 @@ def PlanNUFFT(
         fft_axes_block=fft_axes_block,
         precision=precision,
         timer=timer,
+        cr_chunk=cr_chunk,
         kernel_data=kernel_data,
         phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
         index_ranges=tuple(iranges),

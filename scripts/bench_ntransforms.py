@@ -65,13 +65,20 @@ for C in (1, 2, 4, 8):
     v = jax.device_put(v_np)
 
     def full(a):
-        pts_a, v_a = a
+        pts_a, v_a = a[0]
         p = nufft.set_points(plan, pts_a)
         u = _exec_type1_ch_impl(p, v_a, cbs)
         v2 = _exec_type2_ch_impl(p, u, cbs)
         return jnp.sum(u) + jnp.sum(v2)
 
-    t = timeit(full, (pts, v))
+    try:
+        t = timeit(full, (pts, v))
+    except Exception as e:  # HBM limit: C=8 at 256^3 needs ~7 GB of padded
+        # block buffers alone; run large C at a smaller grid, or exec in
+        # component groups against the same (sorted) plan.
+        print(f"C={C}: failed ({type(e).__name__}) — grid too large for this "
+              f"C on one chip; rerun with N=128", flush=True)
+        continue
     print(
         f"C={C}: blocks={plan.block_dims} full={t*1e3:8.1f} ms  "
         f"{C * NP_PTS / t / 1e6:6.2f} Mvals/s  "

@@ -221,3 +221,29 @@ def test_blocked_ntransforms_32(rng):
     vb = np.asarray(nufft.exec_type2(nufft.set_points(pb, pts), ub))
     vr = np.asarray(nufft.exec_type2(nufft.set_points(pr, pts), ur))
     np.testing.assert_allclose(vb, vr, rtol=1e-10, atol=1e-12)
+
+
+def test_blocked_channel_chunking(rng):
+    """cr_chunk splits large ntransforms into several kernel passes
+    (reference: serial component loop, src/spreading/gpu.jl:293); results
+    must match the single-pass path exactly."""
+    import dataclasses
+
+    Np, shape, C = 800, (16, 16, 24), 4
+    pts = rng.uniform(0, 2 * np.pi, (3, Np)).astype(np.float32)
+    vp = (
+        rng.standard_normal((C, Np)) + 1j * rng.standard_normal((C, Np))
+    ).astype(np.complex64)
+    plan = nufft.PlanNUFFT(
+        np.complex64, shape, m=4, sigma=1.5, ntransforms=C,
+        spread_method="blocked", fft_method="matmul", fft_variant="pruned",
+        interpret=True,
+    )
+    p1 = nufft.set_points(plan, pts)
+    p2 = nufft.set_points(dataclasses.replace(plan, cr_chunk=2), pts)
+    u1 = np.asarray(nufft.exec_type1(p1, vp))
+    u2 = np.asarray(nufft.exec_type1(p2, vp))
+    np.testing.assert_allclose(u2, u1, rtol=2e-6, atol=1e-6)
+    v1 = np.asarray(nufft.exec_type2(p1, u1))
+    v2 = np.asarray(nufft.exec_type2(p2, u1))
+    np.testing.assert_allclose(v2, v1, rtol=2e-6, atol=1e-6)
