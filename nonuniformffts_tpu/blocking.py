@@ -294,13 +294,24 @@ def sort_points_into_blocks(plan, points: jnp.ndarray):
 
 
 def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
-                with_inverse: bool = False):
+                with_inverse: bool = False, sub_lx: jnp.ndarray = None,
+                sub_range: int = 1, window: Tuple[int, int, int] = None):
     """Scatter-free slot-aligned layout from per-point block ids.
 
     ``virtual`` extra trailing block ids (``nblocks .. nblocks+virtual-1``)
     may be used as parking bins for invalid/padding points (the spatially
     sharded path routes all-to-all padding there); their slots exist in the
     layout but no kernel program ever reads them.
+
+    ``sub_lx`` (optional, values in [0, sub_range)) sub-sorts points within
+    each block — used with the per-point dim-0 cell so each batch's points
+    span a narrow x-window, which is what enables the kernels' windowed
+    accumulation (``window = (m, W, pd0)`` then also returns per-batch
+    8-aligned window row starts ``batch_r0``; -1 marks batches that must
+    take the full-accumulator fallback: left-edge wrap or span > W).
+
+    Returns ``(slot_to_point, slot_valid, point_slots, batch_starts,
+    batch_r0)``.
     """
     np_ = bid.shape[0]
     ntot = nblocks + virtual
@@ -308,12 +319,18 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     nbatches = nslots // P
 
     iota = jnp.arange(np_, dtype=jnp.int32)
-    sorted_bid, perm = jax.lax.sort_key_val(bid, iota)
+    if sub_lx is not None:
+        key = bid * jnp.int32(sub_range) + sub_lx.astype(jnp.int32)
+    else:
+        key = bid
+    sorted_key, perm = jax.lax.sort_key_val(key, iota)
 
     # Per-block point ranges from the sorted keys (binary search, no
     # histogram): pstarts[b] = first sorted position with bid >= b.
     pstarts = jnp.searchsorted(
-        sorted_bid, jnp.arange(ntot + 1, dtype=jnp.int32), side="left"
+        sorted_key,
+        jnp.arange(ntot + 1, dtype=jnp.int32) * jnp.int32(sub_range),
+        side="left",
     ).astype(jnp.int32)
     counts = pstarts[1:] - pstarts[:-1]
     batches = -(-counts // P)  # cdiv
@@ -335,6 +352,11 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     lane = jnp.arange(P, dtype=jnp.int32)
     sidx = first_sorted[:, None] + lane[None, :]  # (nbatches, P)
     slot_valid = (sidx < limit_sorted[:, None]).reshape(-1)
+    # Padding slots duplicate their segment's LAST point (not an arbitrary
+    # neighbour): the windowed kernels rely on lane P-1 carrying the batch's
+    # max sub-key, and duplicated coordinates are harmless (their values are
+    # masked to zero).
+    sidx = jnp.minimum(sidx, jnp.maximum(limit_sorted[:, None] - 1, 0))
     sidx = jnp.clip(sidx.reshape(-1), 0, max(np_ - 1, 0))
     slot_to_point = jnp.take(perm, sidx)
 
@@ -346,11 +368,25 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     # that want the explicit inverse.
     point_slots = None
     if with_inverse:
+        sorted_bid = sorted_key // jnp.int32(sub_range) if sub_lx is not None else sorted_key
         rank = iota - jnp.take(pstarts, sorted_bid)
         slot_sorted = jnp.take(batch_starts, sorted_bid) * P + rank
         _, point_slots = jax.lax.sort_key_val(perm, slot_sorted)
 
-    return slot_to_point, slot_valid, point_slots, batch_starts
+    batch_r0 = None
+    if window is not None:
+        m_, W, pd0 = window
+        cap = max(np_ - 1, 0)
+        first_c = jnp.take(sorted_key, jnp.clip(first_sorted, 0, cap)) % jnp.int32(sub_range)
+        last_i = jnp.clip(jnp.minimum(first_sorted + P, limit_sorted) - 1, 0, cap)
+        last_c = jnp.take(sorted_key, last_i) % jnp.int32(sub_range)
+        i_min = first_c - (m_ - 1)  # lowest row: j = lx - M + 1 (t = 0)
+        i_max = last_c + m_  # highest row: j = lx + M (t = 2M - 1)
+        r0 = jnp.clip((i_min // 8) * 8, 0, pd0 - W)
+        ok = (first_c >= m_ - 1) & (i_max < r0 + W)
+        batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
+
+    return slot_to_point, slot_valid, point_slots, batch_starts, batch_r0
 
 
 def gather_slots(x: jnp.ndarray, slot_to_point, slot_valid, *, rows: int = None,

@@ -120,10 +120,13 @@ def _block_index_map(D, nb):
     return index_map
 
 
-def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P):
+def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P,
+                     window=None):
     """Per-dimension transposed window matrices for one point batch.
     ``pts_buf`` rows: D cell-index rows (exact floats) then D fraction
-    rows (the set_points high-accuracy split layout)."""
+    rows (the set_points high-accuracy split layout).  With ``window =
+    (W, r0)`` the dim-0 matrix is the (W, P) windowed form
+    (common.build_wt_matrix_window)."""
     D = plan.ndim
     wts = []
     for d in range(D):
@@ -134,12 +137,31 @@ def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P):
         )
         if d == 0 and valid is not None:
             vlist = [jnp.where(valid, v, 0.0) for v in vlist]
-        wts.append(
-            common.build_wt_matrix(
-                vlist, c, origins[d], plan.m, pd[d], P, plan.block_dims[d]
+        if d == 0 and window is not None:
+            W, r0 = window
+            wts.append(
+                common.build_wt_matrix_window(
+                    vlist, c, origins[0], plan.m, W, P, r0
+                )
             )
-        )
+        else:
+            wts.append(
+                common.build_wt_matrix(
+                    vlist, c, origins[d], plan.m, pd[d], P, plan.block_dims[d]
+                )
+            )
     return wts
+
+
+def _channel_selector(CR: int, rows_per_c: int, dtype):
+    """0/1 row-expansion selector B[c*rows + x, c'] = (c == c') — expands
+    per-channel rows to the channel-stacked layout with an exact matmul
+    (Mosaic rejects the boundary-crossing reshape/broadcast forms)."""
+    row_c = jax.lax.broadcasted_iota(
+        jnp.int32, (CR * rows_per_c, CR), 0
+    ) // rows_per_c
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (CR * rows_per_c, CR), 1)
+    return (row_c == col_c).astype(dtype)
 
 
 def _qt_matrix(wts, yz, P):
@@ -163,9 +185,9 @@ NBUF = 4  # point/value DMA pipeline depth (see _spread_kernel)
 
 
 def _spread_kernel(
-    starts_ref, offset_ref, pv_hbm, cs_ref, out_ref,
+    starts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
     acc_ref, pv_buf, sem_pv,
-    *, plan, CR, DP, nb, pd, yz, P,
+    *, plan, CR, DP, nb, pd, yz, P, W,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -200,9 +222,8 @@ def _spread_kernel(
     # B_sel @ v expands per-channel rows to the stacked (CR*p0, P) layout
     # with an exact 0/1 matmul — Mosaic rejects the boundary-crossing
     # (CR, p0, P) reshape/broadcast forms as unsupported gathers.
-    row_c = jax.lax.broadcasted_iota(jnp.int32, (CR * pd[0], CR), 0) // pd[0]
-    col_c = jax.lax.broadcasted_iota(jnp.int32, (CR * pd[0], CR), 1)
-    b_sel = (row_c == col_c).astype(acc_ref.dtype)
+    b_sel = _channel_selector(CR, pd[0], acc_ref.dtype)
+    b_sel_w = _channel_selector(CR, W, acc_ref.dtype) if W else None
 
     def compute(pv_b):
         pts_b = pv_b[:DP]
@@ -229,6 +250,36 @@ def _spread_kernel(
         )
         acc_ref[...] = acc_ref[...] + prod
 
+    def compute_win(pv_b, r0):
+        # Windowed path: this batch's points only touch rows [r0, r0+W) of
+        # the padded block (sub-sorted by dim-0 cell; slot_layout certified
+        # no left-edge wrap), so the contraction runs with M = CR*W rows
+        # and accumulates at a dynamic 8-aligned sublane offset.
+        pts_b = pv_b[:DP]
+        vals_b = pv_b[DP:]
+        wts = _build_batch_wts(
+            plan, cs_ref, pts_b, origins, None, pd, P, window=(W, r0)
+        )
+        qt = _qt_matrix(wts, yz, P)
+        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*W, P)
+        v_rows = jax.lax.dot_general(
+            b_sel_w, vals_b[:CR, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        wv = w_tiled * v_rows
+        prod = jax.lax.dot_general(
+            wv, qt, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=_PRECS[plan.precision],
+        )  # (CR*W, yz)
+        for c in range(CR):
+            off = pl.multiple_of(c * pd[0] + r0, 8)  # r0 is 8-aligned
+            win = acc_ref[pl.ds(off, W), :]
+            acc_ref[pl.ds(off, W), :] = win + jax.lax.slice_in_dim(
+                prod, c * W, (c + 1) * W, axis=0
+            )
+
     def body(i, carry):
         slot = i % NBUF
 
@@ -240,10 +291,21 @@ def _spread_kernel(
         # Mosaic cannot load a VMEM value at a traced leading index; the
         # slot choice is branched statically instead (DMAs/semaphores above
         # *do* take traced .at[slot] indices).
-        for s in range(NBUF):
-            @pl.when(slot == s)
-            def _(s=s):
-                compute(pv_buf[s])
+        if W:
+            r0 = r0s_ref[start_b + i]
+            for s in range(NBUF):
+                @pl.when((slot == s) & (r0 >= 0))
+                def _(s=s):
+                    compute_win(pv_buf[s], r0)
+
+                @pl.when((slot == s) & (r0 < 0))
+                def _(s=s):
+                    compute(pv_buf[s])
+        else:
+            for s in range(NBUF):
+                @pl.when(slot == s)
+                def _(s=s):
+                    compute(pv_buf[s])
 
         return carry
 
@@ -295,6 +357,11 @@ def spread_blocked(
     nblocks = int(np.prod(nb))
     out_index = _block_index_map(D, nb)
 
+    W = plan.window_rows if plan.batch_r0 is not None else None
+    r0s = (
+        plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
+    )
+
     def run_chunk(vals_chunk):
         """One Pallas pass over a channel chunk (CRc rows of values)."""
         CRc = vals_chunk.shape[0]
@@ -306,7 +373,7 @@ def spread_blocked(
         # Combined rows [points ; values]: each batch is ONE DMA descriptor.
         pv = jnp.concatenate([pts.astype(rdt), vals], axis=0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # pts++vals (DP+CRPc, Ns)
@@ -320,7 +387,8 @@ def spread_blocked(
             ],
         )
         kernel = functools.partial(
-            _spread_kernel, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd, yz=yz, P=P
+            _spread_kernel, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd, yz=yz,
+            P=P, W=W,
         )
         return pl.pallas_call(
             kernel,
@@ -329,7 +397,7 @@ def spread_blocked(
                 _blocks_buffer_shape(CRc, nb, pd, yz), rdt
             ),
             interpret=plan.interpret,
-        )(plan.block_starts, block_offset, pv, cs)
+        )(plan.block_starts, block_offset, r0s, pv, cs)
 
     # Channel chunking (large ntransforms): the VMEM accumulator scales with
     # CR, so components are processed in plan.cr_chunk-sized groups — the
@@ -362,9 +430,9 @@ def spread_blocked(
 
 
 def _interp_kernel(
-    starts_ref, offset_ref, blk_ref, pts_hbm, cs_ref, out_ref,
-    pts_buf, res_buf, sem_p, sem_r,
-    *, plan, CR, nb, pd, yz, P,
+    starts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref, out_ref,
+    pts_buf, res_buf, gblk_ref, sem_p, sem_r,
+    *, plan, CR, nb, pd, yz, P, W,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -374,10 +442,12 @@ def _interp_kernel(
     start_b = starts_ref[b]  # in units of P (slot layout)
     nbatch = starts_ref[b + 1] - start_b
 
-    # Channel-stacked block (CR*p0, YZ), hoisted out of the batch loop
-    # (static per-channel loads + sublane concat; a merging reshape would
-    # be a boundary-crossing relayout Mosaic rejects).
-    gblk = jnp.concatenate(
+    # Channel-stacked block (CR*p0, YZ), hoisted out of the batch loop into
+    # a VMEM scratch (static per-channel loads + sublane concat; a merging
+    # reshape would be a boundary-crossing relayout Mosaic rejects).  A ref,
+    # not a value, so the windowed path can slice it at a dynamic sublane
+    # offset.
+    gblk_ref[...] = jnp.concatenate(
         [blk_ref[(c,) + (0,) * len(nb)] for c in range(CR)], axis=0
     )
     # Channel-summing selector: A_sel[c, c'*p0 + x] = (c == c') so that
@@ -385,6 +455,10 @@ def _interp_kernel(
     a_row = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0]), 0)
     a_col = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0]), 1) // pd[0]
     a_sel = (a_row == a_col).astype(res_buf.dtype)
+    if W:
+        a_row_w = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * W), 0)
+        a_col_w = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * W), 1) // W
+        a_sel_w = (a_row_w == a_col_w).astype(res_buf.dtype)
 
     def dma_p(slot, j):
         off = pl.multiple_of((start_b + j) * P, P)
@@ -411,7 +485,7 @@ def _interp_kernel(
         # T (CR*p0, P) = sum_yz G[cx, yz] * QT[yz, p]: one matmul with
         # M = CR*p0 (no Python channel loop; MXU rows scale with CR).
         t = jax.lax.dot_general(
-            gblk, qt, (((1,), (0,)), ((), ())),
+            gblk_ref[...], qt, (((1,), (0,)), ((), ())),
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )
@@ -421,6 +495,32 @@ def _interp_kernel(
         w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*p0, P)
         res_slot_ref[:CR, :] = jax.lax.dot_general(
             a_sel, t * w_tiled, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def compute_win(pts_b, res_slot_ref, r0):
+        # Windowed gather: only rows [r0, r0+W) of each channel's padded
+        # block contribute to this batch (see _spread_kernel.compute_win).
+        wts = _build_batch_wts(
+            plan, cs_ref, pts_b, origins, None, pd, P, window=(W, r0)
+        )
+        qt = _qt_matrix(wts, yz, P)
+        g_w = jnp.concatenate(
+            [
+                gblk_ref[pl.ds(pl.multiple_of(c * pd[0] + r0, 8), W), :]
+                for c in range(CR)
+            ],
+            axis=0,
+        )  # (CR*W, yz)
+        t = jax.lax.dot_general(
+            g_w, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=_PRECS[plan.precision],
+        )
+        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*W, P)
+        res_slot_ref[:CR, :] = jax.lax.dot_general(
+            a_sel_w, t * w_tiled, (((1,), (0,)), ((), ())),
             preferred_element_type=res_buf.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -440,10 +540,21 @@ def _interp_kernel(
         def _():
             res_dma(slot, i - NBUF).wait()
 
-        for s in range(NBUF):
-            @pl.when(slot == s)
-            def _(s=s):
-                compute(pts_buf[s], res_buf.at[s])
+        if W:
+            r0 = r0s_ref[start_b + i]
+            for s in range(NBUF):
+                @pl.when((slot == s) & (r0 >= 0))
+                def _(s=s):
+                    compute_win(pts_buf[s], res_buf.at[s], r0)
+
+                @pl.when((slot == s) & (r0 < 0))
+                def _(s=s):
+                    compute(pts_buf[s], res_buf.at[s])
+        else:
+            for s in range(NBUF):
+                @pl.when(slot == s)
+                def _(s=s):
+                    compute(pts_buf[s], res_buf.at[s])
 
         res_dma(slot, i).start()
         return carry
@@ -500,11 +611,14 @@ def interpolate_blocked(
     if block_offset is None:
         block_offset = jnp.zeros((D,), jnp.int32)
 
+    W = plan.window_rows if plan.batch_r0 is not None else None
+    r0s = plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
+
     def run_chunk(halos_chunk):
         CRc = halos_chunk.shape[0]
         CRPc = common.round_up(CRc, 8)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index),
@@ -515,12 +629,13 @@ def interpolate_blocked(
             scratch_shapes=[
                 pltpu.VMEM((NBUF, DP, P), rdt),
                 pltpu.VMEM((NBUF, CRPc, P), rdt),
+                pltpu.VMEM((CRc * pd[0], yz), rdt),
                 pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.SemaphoreType.DMA((NBUF,)),
             ],
         )
         kernel = functools.partial(
-            _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P
+            _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P, W=W
         )
         return pl.pallas_call(
             kernel,
@@ -528,7 +643,7 @@ def interpolate_blocked(
             out_shape=jax.ShapeDtypeStruct((CRPc, nslots), rdt),
             interpret=plan.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(plan.block_starts, block_offset, halos_chunk, pts, cs)[:CRc]
+        )(plan.block_starts, block_offset, r0s, halos_chunk, pts, cs)[:CRc]
 
     # Channel chunking for large ntransforms (see spread_blocked).
     chunk = getattr(plan, "cr_chunk", None) or CR

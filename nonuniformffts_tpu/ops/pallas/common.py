@@ -164,6 +164,19 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
     return w
 
 
+def build_wt_matrix_window(vals, c, block_origin, m: int, W: int, P: int, r0):
+    """Windowed W0^T (W, P) for batches whose points span rows
+    [r0, r0 + W) of the padded block (slot_layout's per-batch window
+    metadata guarantees no left-edge wrap: j = lx - M + 1 + t >= 0)."""
+    lx = c - block_origin
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0)
+    w = jnp.zeros((W, P), dtype=vals[0].dtype)
+    for t, v in enumerate(vals):
+        i = lx - (m - 1) + t - r0
+        w = w + jnp.where(iota == i, v, 0.0)
+    return w
+
+
 # ---------------------------------------------------------------------------
 # Block-major <-> grid relayout
 # ---------------------------------------------------------------------------

@@ -156,6 +156,10 @@ class SpatialNUFFT:
             slot_valid=st.slot_valid,
             point_slots=st.point_slots,
             block_starts=st.batch_starts,
+            # The routed layout is not sub-sorted: disable the windowed
+            # kernel path on local plan views.
+            window_rows=None,
+            batch_r0=None,
             num_points_static=int(st.slot_to_point.shape[0]),
             # shape_over above is the local slab; keep the GLOBAL FFT
             # normalisation (the slab view would inflate it by n).
@@ -357,7 +361,7 @@ def _route_and_sort(plan: Plan, pts_l, n, cap, nb0_local, nblocks_local, ax):
     # with_inverse: the routed layout keeps the explicit receive-slot map
     # (used by the all-to-all unroute bookkeeping), unlike the single-chip
     # path whose type-2 un-permute is a masked sort.
-    s2p, svalid, pslots, bstarts = slot_layout(
+    s2p, svalid, pslots, bstarts, _ = slot_layout(
         bid_l, nblocks_local, plan.batch_size, virtual=1, with_inverse=True
     )
     svalid = svalid & jnp.take(recv_valid, s2p)

@@ -84,6 +84,14 @@ class Plan:
     # serial component loop in its shared-memory method
     # (src/spreading/gpu.jl:293).  None/0 = all channels in one pass.
     cr_chunk: Optional[int] = static_field(default=None)
+    # Windowed accumulation (blocked kernels): with points sub-sorted by
+    # their dim-0 cell inside each block, a point batch spans a narrow
+    # x-window, and the kernels accumulate into only ``window_rows`` rows of
+    # the padded block at a per-batch dynamic (8-aligned) offset instead of
+    # all pd0 rows — cutting the dominant dense-contraction MACs by
+    # ~pd0/window_rows for dense blocks.  None disables (sparse geometries
+    # where batches span whole blocks anyway).
+    window_rows: Optional[int] = static_field(default=None)
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
@@ -111,6 +119,9 @@ class Plan:
     # src/blocking/gpu.jl:130-139); values permute in, results permute out.
     point_perm: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
     point_perm_inv: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
+    # Per-batch accumulator window row starts (windowed kernels); -1 marks
+    # full-accumulator fallback batches (left-edge wrap or span > W).
+    batch_r0: Optional[jnp.ndarray] = data_field(default=None)  # (nbatches,)
 
     # --------------------------------------------------------------------
     @property
@@ -366,6 +377,32 @@ def PlanNUFFT(
                         "(halos may only touch immediate neighbour blocks)"
                     )
 
+    # Windowed accumulation: choose the per-batch accumulator window W from
+    # the expected x-span of a batch_size-point batch (points sub-sorted by
+    # dim-0 cell within blocks).  Enabled when W meaningfully undercuts the
+    # full padded extent pd0; fallback batches (span > W, left-edge wrap)
+    # use the full accumulator, so W is a tuning knob, not a correctness
+    # bound.
+    window_rows = None
+    if spread_method == "blocked":
+        from .ops.pallas.common import padded_block_dims, round_up
+
+        pd0_ = padded_block_dims(block_dims, m)[0]
+        nblocks_ = 1
+        for n_over, b in zip(shape_over, block_dims):
+            nblocks_ *= n_over // b
+        total_ = 1
+        for n_over in shape_over:
+            total_ *= n_over
+        avg = (np_hint if np_hint else max(int(0.05 * total_), 1)) / nblocks_
+        # Expected dim-0 cell span of one batch + the 2M window rows + up to
+        # 7 rows of 8-alignment slack on r0; batches exceeding W take the
+        # full-accumulator fallback, so this is a tuning knob.
+        span = block_dims[0] * min(1.0, batch_size / max(avg, 1.0))
+        window_rows = round_up(int(span) + 2 * m + 8, 8)
+        if window_rows >= pd0_:
+            window_rows = None
+
     # FFT engine: XLA's native FFT where available; MXU matmul-DFT on TPU
     # backends that do not implement the FFT op (ops/matmul_fft.py).
     if fft_method is None:
@@ -440,6 +477,7 @@ def PlanNUFFT(
         precision=precision,
         timer=timer,
         cr_chunk=cr_chunk,
+        window_rows=window_rows,
         kernel_data=kernel_data,
         phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
         index_ranges=tuple(iranges),
@@ -510,8 +548,22 @@ def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     cells, fracs = cells_and_fracs(plan.kernel_data, pts)
     bid = block_ids_from_cells(cells, plan.kernel_data, plan.block_dims)
     nblocks = int(_np.prod(num_blocks(plan.shape_over, plan.block_dims)))
-    s2p, valid, point_slots, batch_starts = slot_layout(
-        bid.astype(jnp.int32), nblocks, plan.batch_size
+    # Sub-sort within blocks by the dim-0 cell so each batch spans a narrow
+    # x-window; window = per-batch 8-aligned accumulator row starts for the
+    # kernels' windowed path (plan.window_rows rows instead of pd0).
+    window = None
+    sub_lx = None
+    B0 = plan.block_dims[0]
+    if plan.window_rows is not None:
+        from .ops.pallas.common import padded_block_dims
+
+        pd0 = padded_block_dims(plan.block_dims, plan.m)[0]
+        window = (plan.m, plan.window_rows, pd0)
+        sub_lx = cells[0] % jnp.int32(B0)
+    s2p, valid, point_slots, batch_starts, batch_r0 = slot_layout(
+        bid.astype(jnp.int32), nblocks, plan.batch_size,
+        sub_lx=sub_lx, sub_range=B0 if sub_lx is not None else 1,
+        window=window,
     )
     comb = jnp.concatenate([cells.astype(plan.real_dtype), fracs], axis=0)
     # Rows padded to the sublane granule for the kernels' DMA slices;
@@ -519,7 +571,7 @@ def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     # *values* are masked to zero.
     DP = -(-(2 * plan.ndim) // 8) * 8
     pts_slotted = gather_slots(comb, s2p, valid, rows=DP, mask=False)
-    return pts_slotted, s2p, valid, point_slots, batch_starts
+    return pts_slotted, s2p, valid, point_slots, batch_starts, batch_r0
 
 
 @jax.jit
@@ -555,7 +607,7 @@ def set_points(plan: Plan, points) -> Plan:
         else:
             out = _sort_points_jit(plan, pts_t)
         pts = fold_points(pts, plan.point_transform)
-        pts_slotted, s2p, valid, slots, batch_starts = out
+        pts_slotted, s2p, valid, slots, batch_starts, batch_r0 = out
         # Geometry diagnostic (reference warns on degenerate shared-memory
         # geometry, src/gpu_common.jl:66-77): slot padding waste is known
         # statically here because nslots is a static shape.
@@ -577,6 +629,7 @@ def set_points(plan: Plan, points) -> Plan:
             slot_valid=valid,
             point_slots=slots,
             block_starts=batch_starts,
+            batch_r0=batch_r0,
             num_points_static=np_,
             point_perm=None,  # blocked path always sorts physically
             point_perm_inv=None,

@@ -168,7 +168,7 @@ def kernel_only(args):
     blk_shape = blocked._block_shape(CR, nb, pd, yz)
     out_index = blocked._block_index_map(D, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -181,11 +181,13 @@ def kernel_only(args):
             pltpu.SemaphoreType.DMA((blocked.NBUF,)),
         ],
     )
-    kern = functools.partial(blocked._spread_kernel, plan=p, CR=CR, DP=DP, nb=nb, pd=pd, yz=yz, P=plan.batch_size)
+    Wk = p.window_rows if p.batch_r0 is not None else None
+    r0s = p.batch_r0 if Wk else jnp.zeros((1,), jnp.int32)
+    kern = functools.partial(blocked._spread_kernel, plan=p, CR=CR, DP=DP, nb=nb, pd=pd, yz=yz, P=plan.batch_size, W=Wk)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, rdt),
-    )(p.block_starts, jnp.zeros((D,), jnp.int32), pv, cs)
+    )(p.block_starts, jnp.zeros((D,), jnp.int32), r0s, pv, cs)
 
 t_kernel = timed_scan(kernel_only, (pts_pad, vals_slotted))
 nbl = int(np.prod(nb))

@@ -247,3 +247,36 @@ def test_blocked_channel_chunking(rng):
     v1 = np.asarray(nufft.exec_type2(p1, u1))
     v2 = np.asarray(nufft.exec_type2(p2, u1))
     np.testing.assert_allclose(v2, v1, rtol=2e-6, atol=1e-6)
+
+
+def test_windowed_accumulation_engages(rng):
+    """Dense uniform points must produce mostly windowed (non-fallback)
+    batches, and the result must match the reference path (windowed and
+    fallback compute paths agree)."""
+    Np, shape = 60_000, (32, 32, 32)
+    pts = rng.uniform(0, 2 * np.pi, (3, Np)).astype(np.float32)
+    v = (rng.standard_normal(Np) + 1j * rng.standard_normal(Np)).astype(
+        np.complex64
+    )
+    plan = nufft.PlanNUFFT(
+        np.complex64, shape, m=4, sigma=1.5, spread_method="blocked",
+        fft_method="matmul", fft_variant="pruned", interpret=True,
+        np_hint=Np,
+    )
+    assert plan.window_rows is not None
+    p = nufft.set_points(plan, pts)
+    r0 = np.asarray(p.batch_r0)
+    frac_windowed = float((r0 >= 0).mean())
+    assert frac_windowed > 0.5, frac_windowed
+    pref = nufft.set_points(
+        nufft.PlanNUFFT(np.complex64, shape, m=4, sigma=1.5,
+                        spread_method="reference", fft_method="xla"), pts
+    )
+    u_ref = np.asarray(nufft.exec_type1(pref, v))
+    u_b = np.asarray(nufft.exec_type1(p, v))
+    err = np.linalg.norm(u_b - u_ref) / np.linalg.norm(u_ref)
+    assert err < 2e-5, err
+    v_ref = np.asarray(nufft.exec_type2(pref, u_ref))
+    v_b = np.asarray(nufft.exec_type2(p, u_ref))
+    err2 = np.linalg.norm(v_b - v_ref) / np.linalg.norm(v_ref)
+    assert err2 < 2e-5, err2
