@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import warnings
 from typing import Any, Callable, Optional, Tuple
 
@@ -400,6 +401,9 @@ def PlanNUFFT(
         # full-accumulator fallback, so this is a tuning knob.
         span = block_dims[0] * min(1.0, batch_size / max(avg, 1.0))
         window_rows = round_up(int(span) + 2 * m + 8, 8)
+        env_w = os.environ.get("NUFFT_WINDOW_ROWS")
+        if env_w:
+            window_rows = int(env_w) if int(env_w) > 0 else None
         if window_rows >= pd0_:
             window_rows = None
 
