@@ -155,12 +155,21 @@ def _apply_nonuniform_ch(plan, vp_ch, callback):
 # Per-stage helpers (shared by the fused jit path and the staged/timed path)
 
 
+import os as _os
+
+_BLOCKFORM_T2 = _os.environ.get("NUFFT_BLOCKFORM_T2", "1") == "1"
+
+
 def _use_blockform(plan: Plan) -> bool:
     """Single-chip blocked + pruned-matmul path: the halo merge / gather and
     the block<->grid relayout are folded into the DFT factor matrices
     (matmul_fft.forward_dft_blockform / backward_dft_blockform); there is no
     overlap_add or halo_gather pass at all."""
     return bool(plan.fft_axes_block)
+
+
+def _use_blockform_t2(plan: Plan) -> bool:
+    return _use_blockform(plan) and _BLOCKFORM_T2
 
 
 def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
@@ -249,7 +258,7 @@ def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
 
 
 def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
-    if _use_blockform(plan):
+    if _use_blockform_t2(plan):
         # Emits the halo-gathered padded block buffer directly (input is
         # already deconvolution-scaled by _t2_pad_stage).
         return matmul_fft.backward_dft_blockform(
@@ -272,7 +281,7 @@ def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
 
 
 def _t2_interp_stage(plan: Plan, grid):
-    if _use_blockform(plan):
+    if _use_blockform_t2(plan):
         from .ops.pallas import interpolate_blocked
 
         if plan.is_real:
