@@ -155,11 +155,6 @@ def _apply_nonuniform_ch(plan, vp_ch, callback):
 # Per-stage helpers (shared by the fused jit path and the staged/timed path)
 
 
-import os as _os
-
-_BLOCKFORM_T2 = _os.environ.get("NUFFT_BLOCKFORM_T2", "1") == "1"
-
-
 def _use_blockform(plan: Plan) -> bool:
     """Single-chip blocked + pruned-matmul path: the halo merge / gather and
     the block<->grid relayout are folded into the DFT factor matrices
@@ -169,7 +164,7 @@ def _use_blockform(plan: Plan) -> bool:
 
 
 def _use_blockform_t2(plan: Plan) -> bool:
-    return _use_blockform(plan) and _BLOCKFORM_T2
+    return _use_blockform(plan)
 
 
 def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):

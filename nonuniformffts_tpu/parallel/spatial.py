@@ -104,7 +104,12 @@ class SpatialNUFFT:
         # collective transposes, so it is built from the *split-form*
         # per-axis factors; the pruned variant bakes truncation into the
         # matrices and does not decompose that way.
-        plan_kw.setdefault("fft_variant", "split")
+        if plan_kw.setdefault("fft_variant", "split") != "split":
+            raise ValueError(
+                "SpatialNUFFT requires fft_variant='split': the distributed "
+                "DFT interleaves truncation/padding with the collective "
+                f"transposes (got fft_variant={plan_kw['fft_variant']!r})"
+            )
         base = PlanNUFFT(dtype, shape, **plan_kw)
         if base.ndim < 2:
             raise ValueError("spatial sharding needs >= 2 dimensions")

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import os
 import warnings
 from typing import Any, Callable, Optional, Tuple
 
@@ -247,6 +246,7 @@ def PlanNUFFT(
     fft_variant: str = "auto",
     precision: str = "highest",
     np_hint: Optional[int] = None,
+    window_rows: Optional[int] = "auto",
     timer=None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
@@ -383,29 +383,34 @@ def PlanNUFFT(
     # dim-0 cell within blocks).  Enabled when W meaningfully undercuts the
     # full padded extent pd0; fallback batches (span > W, left-edge wrap)
     # use the full accumulator, so W is a tuning knob, not a correctness
-    # bound.
-    window_rows = None
+    # bound.  ``window_rows``: 'auto' (default) picks W from the expected
+    # density; an explicit value is rounded up to the 8-sublane granule;
+    # None/0 disables the windowed path.
     if spread_method == "blocked":
         from .ops.pallas.common import padded_block_dims, round_up
 
         pd0_ = padded_block_dims(block_dims, m)[0]
-        nblocks_ = 1
-        for n_over, b in zip(shape_over, block_dims):
-            nblocks_ *= n_over // b
-        total_ = 1
-        for n_over in shape_over:
-            total_ *= n_over
-        avg = (np_hint if np_hint else max(int(0.05 * total_), 1)) / nblocks_
-        # Expected dim-0 cell span of one batch + the 2M window rows + up to
-        # 7 rows of 8-alignment slack on r0; batches exceeding W take the
-        # full-accumulator fallback, so this is a tuning knob.
-        span = block_dims[0] * min(1.0, batch_size / max(avg, 1.0))
-        window_rows = round_up(int(span) + 2 * m + 8, 8)
-        env_w = os.environ.get("NUFFT_WINDOW_ROWS")
-        if env_w:
-            window_rows = int(env_w) if int(env_w) > 0 else None
-        if window_rows >= pd0_:
+        if window_rows == "auto":
+            nblocks_ = 1
+            for n_over, b in zip(shape_over, block_dims):
+                nblocks_ *= n_over // b
+            total_ = 1
+            for n_over in shape_over:
+                total_ *= n_over
+            avg = (np_hint if np_hint else max(int(0.05 * total_), 1)) / nblocks_
+            # Expected dim-0 cell span of one batch + the 2M window rows +
+            # up to 7 rows of 8-alignment slack on r0; batches exceeding W
+            # take the full-accumulator fallback, so this is a tuning knob.
+            span = block_dims[0] * min(1.0, batch_size / max(avg, 1.0))
+            window_rows = round_up(int(span) + 2 * m + 8, 8)
+        elif window_rows:
+            window_rows = round_up(int(window_rows), 8)
+        else:
             window_rows = None
+        if window_rows is not None and window_rows >= pd0_:
+            window_rows = None
+    else:
+        window_rows = None
 
     # FFT engine: XLA's native FFT where available; MXU matmul-DFT on TPU
     # backends that do not implement the FFT op (ops/matmul_fft.py).

@@ -65,3 +65,35 @@ def test_wrong_dimension_count():
         nufft.set_points(plan, (np.zeros(5),))
     with pytest.raises(ValueError):
         nufft.PlanNUFFT(np.complex128, (8, 8, 8, 8))
+
+
+def test_window_rows_kwarg_validation():
+    """window_rows plan kwarg: 0/None disables, explicit values round up to
+    the 8-sublane granule, >= pd0 disables (advisor round-1 findings)."""
+    import nonuniformffts_tpu as nufft
+
+    kw = dict(m=4, sigma=1.5, spread_method="blocked", interpret=True)
+    p0 = nufft.PlanNUFFT(np.complex64, (64, 64), window_rows=0, **kw)
+    assert p0.window_rows is None
+    p_none = nufft.PlanNUFFT(np.complex64, (64, 64), window_rows=None, **kw)
+    assert p_none.window_rows is None
+    p13 = nufft.PlanNUFFT(np.complex64, (64, 64), window_rows=13, **kw)
+    assert p13.window_rows in (16, None)  # rounded up (or pd0 too small)
+    if p13.window_rows is not None:
+        from nonuniformffts_tpu.ops.pallas.common import padded_block_dims
+
+        assert p13.window_rows < padded_block_dims(p13.block_dims, p13.m)[0]
+
+
+def test_spatial_rejects_non_split_fft_variant():
+    import jax
+
+    from nonuniformffts_tpu.parallel.spatial import SpatialNUFFT
+
+    devs = jax.devices("cpu")[:2]
+    mesh = jax.sharding.Mesh(np.array(devs), ("x",))
+    with pytest.raises(ValueError, match="split"):
+        SpatialNUFFT(
+            np.complex64, (32, 32), mesh=mesh, fft_variant="pruned",
+            interpret=True,
+        )
