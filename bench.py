@@ -136,8 +136,10 @@ def main():
 
         def set_body(c, pts_a):
             p = nufft.set_points(plan, eps_of(c, pts_a))
-            return jnp.sum(p.points_slotted if plan.spread_method == "blocked"
-                           else p.points)
+            if plan.spread_method != "blocked":
+                return jnp.sum(p.points)
+            arr = p.points_packed if p.layout == "packed" else p.points_slotted
+            return jnp.sum(arr)
 
         def t1_body(c, ps, v_a):
             u = _exec_type1_ch_impl(ps, eps_of(c, v_a), cbs)

@@ -186,7 +186,12 @@ def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
 
 def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
     if _use_blockform(plan):
-        spec = matmul_fft.forward_dft_blockform(
+        fwd = (
+            matmul_fft.forward_dft_blockform_z
+            if plan.kernel_form == "z"
+            else matmul_fft.forward_dft_blockform
+        )
+        spec = fwd(
             g, plan.fft_axes_block, real=plan.is_real, prec=plan.precision
         )
         return spec * jnp.asarray(plan.normfactor, spec.dtype)
@@ -256,7 +261,12 @@ def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
     if _use_blockform_t2(plan):
         # Emits the halo-gathered padded block buffer directly (input is
         # already deconvolution-scaled by _t2_pad_stage).
-        return matmul_fft.backward_dft_blockform(
+        bwd = (
+            matmul_fft.backward_dft_blockform_z
+            if plan.kernel_form == "z"
+            else matmul_fft.backward_dft_blockform
+        )
+        return bwd(
             spec_ch, plan.fft_axes_block, real=plan.is_real, prec=plan.precision
         )
     if plan.fft_method == "matmul":

@@ -477,8 +477,15 @@ class BlockAxisDFT:
     bsin_t: Optional[jnp.ndarray] = data_field(default=None)
 
 
-def make_blockform_axis(ax: AxisDFT, B: int, nb: int, pd: int, m: int) -> BlockAxisDFT:
-    """Expand a pruned axis's factors to block-form via the row map."""
+def make_blockform_axis(
+    ax: AxisDFT, B: int, nb: int, pd: int, m: int, *, merged: bool = False
+) -> BlockAxisDFT:
+    """Expand a pruned axis's factors to block-form via the row map.
+
+    ``merged=True`` stores the factors with the (nb, pd) pair flattened to
+    one L = nb*pd axis — used for the LAST axis in the z-form kernel layout
+    (CR, nb0, pd0, .., L_last), whose last dim is merged so the kernels'
+    lane dimension is the padded block z extent directly."""
     g = blockform_row_map(ax.n, B, nb, pd, m).reshape(-1)
     valid = g >= 0
     gc = np.where(valid, g, 0)
@@ -486,13 +493,15 @@ def make_blockform_axis(ax: AxisDFT, B: int, nb: int, pd: int, m: int) -> BlockA
     def fwd(mat):
         out = np.asarray(mat)[gc, :].copy()
         out[~valid] = 0.0
-        return jnp.asarray(out.reshape(nb, pd, -1), np.asarray(mat).dtype)
+        shape = (nb * pd, -1) if merged else (nb, pd, -1)
+        return jnp.asarray(out.reshape(shape), np.asarray(mat).dtype)
 
     def bwd(mat):
         out = np.asarray(mat)[:, gc].copy()
         out[:, ~valid] = 0.0
         k = out.shape[0]
-        return jnp.asarray(out.reshape(k, nb, pd), np.asarray(mat).dtype)
+        shape = (k, nb * pd) if merged else (k, nb, pd)
+        return jnp.asarray(out.reshape(shape), np.asarray(mat).dtype)
 
     return BlockAxisDFT(
         nb=nb, pd=pd, real_axis=(ax.kind == "pruned_r2c"),
@@ -586,6 +595,69 @@ def backward_dft_blockform(spec_ch, axes_block, *, real: bool, prec: str):
     return jnp.stack(
         [jnp.transpose(xr, perm), jnp.transpose(xi, perm)], axis=1
     )
+
+
+def forward_dft_blockform_z(buf, axes_block, *, real: bool, prec: str):
+    """Z-form forward DFT + halo merge + relayout + truncation +
+    deconvolution.
+
+    ``buf``: the z-form spread kernel's buffer — complex plans
+    (C, 2, nb0, pd0, .., nb_{D-2}, pd_{D-2}, L_last), real plans without the
+    channel-2 axis; the last axis is the MERGED (nb_last * pd_last) extent
+    (the kernels' lane dim is pd_last directly, so no relayout exists in
+    either direction).  Returns the channel-form non-oversampled spectrum
+    (C, 2) + spectral_shape (unnormalised)."""
+    D = len(axes_block)
+    if real:
+        ax = axes_block[D - 1]
+        p = PRECISIONS[prec]
+        nd = buf.ndim
+        dn = (((nd - 1,), (0,)), ((), ()))
+        xr = jax.lax.dot_general(buf, ax.pcos_t, dn, precision=p)
+        xi = -jax.lax.dot_general(buf, ax.psin_t, dn, precision=p)
+        # (C, nb0, pd0, .., k_last); contract the (nb, pd) pairs.
+        for d in range(D - 1):
+            lhs = (1, 2)
+            ax = axes_block[d]
+            xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec)
+        # layout (C, k_{D-1}, k_0, .., k_{D-2}) -> natural order.
+        perm = (0,) + tuple(range(2, D + 1)) + (1,)
+        return jnp.stack(
+            [jnp.transpose(xr, perm), jnp.transpose(xi, perm)], axis=1
+        )
+    xr, xi = buf[:, 0], buf[:, 1]
+    for d in range(D - 1):
+        lhs = (1, 2)
+        ax = axes_block[d]
+        xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec)
+    # now (C, L_last, k_0, .., k_{D-2}); contract the merged last axis.
+    ax = axes_block[D - 1]
+    xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, (1,), prec)
+    return jnp.stack([xr, xi], axis=1)
+
+
+def backward_dft_blockform_z(spec_ch, axes_block, *, real: bool, prec: str):
+    """Z-form backward (bfft/brfft) DFT emitting the halo-gathered buffer in
+    the kernels' layout (C[,2], nb0, pd0, .., L_last) directly — no
+    transpose: the dot_general output dims already interleave as (nb, pd)
+    pairs with the merged last axis trailing.
+
+    ``spec_ch``: channel-form non-oversampled spectrum (C, 2) +
+    spectral_shape, already deconvolution-scaled."""
+    D = len(axes_block)
+    xr, xi = spec_ch[:, 0], spec_ch[:, 1]
+    for d in range(D - 1):
+        ax = axes_block[d]
+        xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
+    ax = axes_block[D - 1]
+    if real:
+        p = PRECISIONS[prec]
+        dn = (((1,), (0,)), ((), ()))
+        return jax.lax.dot_general(xr, ax.bcos_t, dn, precision=p) - (
+            jax.lax.dot_general(xi, ax.bsin_t, dn, precision=p)
+        )
+    xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
+    return jnp.stack([xr, xi], axis=1)
 
 
 def forward_fft_matmul(grid: jnp.ndarray, axes_dft: Tuple[AxisDFT, ...], *, real: bool, prec: str = "highest"):

@@ -78,7 +78,11 @@ def _geometry(plan):
     m = plan.m
     bdims = plan.block_dims
     nb = num_blocks(plan.shape_over, bdims)
-    pd = common.padded_block_dims(bdims, m)
+    pd = (
+        plan.padded_dims
+        if plan.padded_dims is not None
+        else common.padded_block_dims(bdims, m)
+    )
     yz = 1
     for p in pd[1:]:
         yz *= p
@@ -120,20 +124,21 @@ def _block_index_map(D, nb):
     return index_map
 
 
-def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P,
-                     window=None):
+def _build_wts_from_cells(plan, cells, fracs_rows, cs_ref, valid, pd, P,
+                          window=None):
     """Per-dimension transposed window matrices for one point batch.
-    ``pts_buf`` rows: D cell-index rows (exact floats) then D fraction
-    rows (the set_points high-accuracy split layout).  With ``window =
-    (W, r0)`` the dim-0 matrix is the (W, P) windowed form
+
+    ``cells``: list of D (1, P) int32 *block-local* cell indices;
+    ``fracs_rows``: list of D (1, P) in-cell fractions.  ``valid`` (optional
+    (1, P) bool) zeroes the dim-0 weights of masked lanes (packed-layout
+    edge batches; the counterpart of the slot layout's zero-value padding).
+    With ``window = (W, r0)`` the dim-0 matrix is the (W, P) windowed form
     (common.build_wt_matrix_window)."""
     D = plan.ndim
     wts = []
     for d in range(D):
-        c_row = pts_buf[d : d + 1, :]  # (1, P) cells as floats
-        X = pts_buf[D + d : D + d + 1, :]  # (1, P) fractions
-        c, vlist = common.window_values_lanes(
-            plan.kernel_data[d], plan.evalmode, c_row, X, cs_ref[d]
+        vlist = common.window_weights(
+            plan.kernel_data[d], plan.evalmode, fracs_rows[d], cs_ref[d]
         )
         if d == 0 and valid is not None:
             vlist = [jnp.where(valid, v, 0.0) for v in vlist]
@@ -141,16 +146,54 @@ def _build_batch_wts(plan, cs_ref, pts_buf, origins, valid, pd, P,
             W, r0 = window
             wts.append(
                 common.build_wt_matrix_window(
-                    vlist, c, origins[0], plan.m, W, P, r0
+                    vlist, cells[0], 0, plan.m, W, P, r0
                 )
             )
         else:
             wts.append(
                 common.build_wt_matrix(
-                    vlist, c, origins[d], plan.m, pd[d], P, plan.block_dims[d]
+                    vlist, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
                 )
             )
     return wts
+
+
+def _decode_slots(plan, pts_b, origins):
+    """Slot layout: rows [c0.., cD-1, f0.., fD-1] with global cells as exact
+    floats; localise against the program's block origin."""
+    D = plan.ndim
+    cells = [
+        pts_b[d : d + 1, :].astype(jnp.int32) - origins[d] for d in range(D)
+    ]
+    fracs = [pts_b[D + d : D + d + 1, :] for d in range(D)]
+    return cells, fracs, None
+
+
+def _decode_packed(plan, pts_b):
+    """Packed layout: rows [key_bits, f0.., fD-1, idx_bits].  The key carries
+    bid * prod(B) + linear local cell; local cells decode with one divmod
+    chain (edge lanes from neighbour blocks decode to in-range local cells
+    of *their* block — harmless, they are masked)."""
+    D = plan.ndim
+    if pts_b.dtype == jnp.float64:
+        key = pts_b[0:1, :].astype(jnp.int32)
+        idx = pts_b[1 + D : 2 + D, :].astype(jnp.int32)
+    else:
+        key = jax.lax.bitcast_convert_type(pts_b[0:1, :], jnp.int32)
+        idx = jax.lax.bitcast_convert_type(pts_b[1 + D : 2 + D, :], jnp.int32)
+    sub = 1
+    for b in plan.block_dims:
+        sub *= int(b)
+    rem = jax.lax.rem(key, jnp.int32(sub))
+    cells = []
+    for d in range(D):
+        stride = 1
+        for b in plan.block_dims[d + 1 :]:
+            stride *= int(b)
+        cells.append(rem // jnp.int32(stride))
+        rem = jax.lax.rem(rem, jnp.int32(stride))
+    fracs = [pts_b[1 + d : 2 + d, :] for d in range(D)]
+    return cells, fracs, idx
 
 
 def _channel_selector(CR: int, rows_per_c: int, dtype):
@@ -177,6 +220,63 @@ def _qt_matrix(wts, yz, P):
 
 
 # ---------------------------------------------------------------------------
+# Z-form layout helpers: buffer (CR, nb0, pd0, [nb1, pd1,] nb_last*pd_last)
+# with ONLY the last padded dim in lanes (128-aligned); all other padded
+# dims live in MXU rows.  The blockform DFT contracts this layout natively
+# in both directions (matmul_fft.forward_dft_blockform_z), so there is no
+# relayout transpose anywhere between the kernels and the DFT.
+# ---------------------------------------------------------------------------
+
+
+def _z_buffer_shape(CR, nb, pd):
+    shape = [CR]
+    for d in range(len(nb) - 1):
+        shape += [nb[d], pd[d]]
+    shape.append(nb[-1] * pd[-1])
+    return tuple(shape)
+
+
+def _z_block_shape(CR, nb, pd):
+    shape = [CR]
+    for d in range(len(nb) - 1):
+        shape += [1, pd[d]]
+    shape.append(pd[-1])
+    return tuple(shape)
+
+
+def _z_index_map(D, nb):
+    def index_map(b, *prefetch_refs):
+        bids = _decompose_block(b, nb)
+        out = [0]
+        for d in range(D - 1):
+            out += [bids[d], 0]
+        out.append(bids[-1])
+        return tuple(out)
+
+    return index_map
+
+
+def _rows_mid(pd):
+    rm = 1
+    for p in pd[1:-1]:
+        rm *= p
+    return rm
+
+
+def _z_wrows(w0, mids, P):
+    """Khatri-Rao stack of the dim-0 window (W0, P) with the full middle-dim
+    windows [(pd_d, P)...] into the z-form row matrix (W0*prod(pd_mid), P).
+    Leading-dim merges only — tile-aligned because the middle padded dims
+    are 8-multiples."""
+    w = w0
+    for wm in mids:
+        w = (w[:, None, :] * wm[None, :, :]).reshape(
+            w.shape[0] * wm.shape[0], P
+        )
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Spreading (type 1)
 # ---------------------------------------------------------------------------
 
@@ -185,9 +285,9 @@ NBUF = 4  # point/value DMA pipeline depth (see _spread_kernel)
 
 
 def _spread_kernel(
-    starts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
     acc_ref, pv_buf, sem_pv,
-    *, plan, CR, DP, nb, pd, yz, P, W,
+    *, plan, CR, DP, nb, pd, yz, P, W, layout,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -197,8 +297,15 @@ def _spread_kernel(
     origins = [
         (offset_ref[d] + bids[d]) * plan.block_dims[d] for d in range(plan.ndim)
     ]
-    start_b = starts_ref[b]  # segment boundaries in units of P (slot layout)
+    start_b = starts_ref[b]  # segment boundaries in units of P
     nbatch = starts_ref[b + 1] - start_b
+    if layout == "packed":
+        # Packed layout: batches are 128-aligned windows of the SORTED point
+        # array covering this block's range [s0, s1); edge lanes belonging
+        # to neighbour blocks are masked via ``valid`` below.
+        s0 = pstarts_ref[b]
+        s1 = pstarts_ref[b + 1]
+        base = (s0 // P) * P
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -208,7 +315,10 @@ def _spread_kernel(
     # dominated at high density — rho=1 profiling), with NBUF-1 batches in
     # flight to cover the latency.
     def dma(slot, j):
-        off = pl.multiple_of((start_b + j) * P, P)
+        if layout == "packed":
+            off = pl.multiple_of(base + j * P, P)
+        else:
+            off = pl.multiple_of((start_b + j) * P, P)
         return pltpu.make_async_copy(
             pv_hbm.at[:, pl.ds(off, P)], pv_buf.at[slot], sem_pv.at[slot]
         )
@@ -225,12 +335,23 @@ def _spread_kernel(
     b_sel = _channel_selector(CR, pd[0], acc_ref.dtype)
     b_sel_w = _channel_selector(CR, W, acc_ref.dtype) if W else None
 
-    def compute(pv_b):
+    def decode(pv_b, i):
         pts_b = pv_b[:DP]
+        if layout == "packed":
+            cells, fracs, _ = _decode_packed(plan, pts_b)
+            pos = base + i * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            valid = (pos >= s0) & (pos < s1)
+        else:
+            cells, fracs, _ = _decode_slots(plan, pts_b, origins)
+            valid = None
+        return cells, fracs, valid
+
+    def compute(pv_b, i):
+        cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
-        # Padding slots carry zero values: their rows of wv are identically
-        # zero, so no masking is needed.
-        wts = _build_batch_wts(plan, cs_ref, pts_b, origins, None, pd, P)
+        # Slot layout: padding slots carry zero values, no masking needed.
+        # Packed layout: edge lanes are masked out of the dim-0 weights.
+        wts = _build_wts_from_cells(plan, cells, fracs, cs_ref, valid, pd, P)
         qt = _qt_matrix(wts, yz, P)
         # Channel-stacked contraction: Wv[c*p0 + x, p] = W0T[x, p] * v[c, p],
         # acc (CR*p0, YZ) += sum_p Wv[cx, p] qt[yz, p].  One matmul with
@@ -250,15 +371,15 @@ def _spread_kernel(
         )
         acc_ref[...] = acc_ref[...] + prod
 
-    def compute_win(pv_b, r0):
+    def compute_win(pv_b, i, r0):
         # Windowed path: this batch's points only touch rows [r0, r0+W) of
-        # the padded block (sub-sorted by dim-0 cell; slot_layout certified
+        # the padded block (sub-sorted by dim-0 cell; the layout certified
         # no left-edge wrap), so the contraction runs with M = CR*W rows
         # and accumulates at a dynamic 8-aligned sublane offset.
-        pts_b = pv_b[:DP]
+        cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
-        wts = _build_batch_wts(
-            plan, cs_ref, pts_b, origins, None, pd, P, window=(W, r0)
+        wts = _build_wts_from_cells(
+            plan, cells, fracs, cs_ref, valid, pd, P, window=(W, r0)
         )
         qt = _qt_matrix(wts, yz, P)
         w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*W, P)
@@ -296,16 +417,16 @@ def _spread_kernel(
             for s in range(NBUF):
                 @pl.when((slot == s) & (r0 >= 0))
                 def _(s=s):
-                    compute_win(pv_buf[s], r0)
+                    compute_win(pv_buf[s], i, r0)
 
                 @pl.when((slot == s) & (r0 < 0))
                 def _(s=s):
-                    compute(pv_buf[s])
+                    compute(pv_buf[s], i)
         else:
             for s in range(NBUF):
                 @pl.when(slot == s)
                 def _(s=s):
-                    compute(pv_buf[s])
+                    compute(pv_buf[s], i)
 
         return carry
 
@@ -317,6 +438,177 @@ def _spread_kernel(
         out_ref[(c,) + (0,) * len(nb)] = jax.lax.slice_in_dim(
             acc_ref[...], c * pd[0], (c + 1) * pd[0], axis=0
         )
+
+
+def _spread_kernel_z(
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
+    acc_ref, pv_buf, sem_pv,
+    *, plan, CR, DP, nb, pd, P, W, layout,
+):
+    """Z-form spreading: accumulator (CR*pd0*prod(pd_mid), pd_last); the
+    x-window lives in MXU rows (M = CR*W0*prod(pd_mid)), the contraction's
+    lane width is only pd_last.  Per-point dense-window MACs drop from
+    CR*W0*prod(pd[1:]) to CR*W0*prod(pd_mid)*pd_last == the same...
+    crucially with pd_mid in the cheap M dimension instead of lanes, and
+    the buffer layout needs zero relayout against the blockform DFT."""
+    D = plan.ndim
+    b = pl.program_id(0)
+    start_b = starts_ref[b]
+    nbatch = starts_ref[b + 1] - start_b
+    if layout == "packed":
+        s0 = pstarts_ref[b]
+        s1 = pstarts_ref[b + 1]
+        base = (s0 // P) * P
+    rm = _rows_mid(pd)
+    pdL = pd[-1]
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def dma(slot, j):
+        if layout == "packed":
+            off = pl.multiple_of(base + j * P, P)
+        else:
+            off = pl.multiple_of((start_b + j) * P, P)
+        return pltpu.make_async_copy(
+            pv_hbm.at[:, pl.ds(off, P)], pv_buf.at[slot], sem_pv.at[slot]
+        )
+
+    for j in range(NBUF - 1):
+        @pl.when(j < nbatch)
+        def _(j=j):
+            dma(j, j).start()
+
+    b_sel = _channel_selector(CR, pd[0] * rm, acc_ref.dtype)
+    b_sel_w = _channel_selector(CR, W * rm, acc_ref.dtype) if W else None
+
+    def decode(pv_b, i):
+        pts_b = pv_b[:DP]
+        if layout == "packed":
+            cells, fracs, _ = _decode_packed(plan, pts_b)
+            pos = base + i * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            valid = (pos >= s0) & (pos < s1)
+        else:
+            bids = _decompose_block(b, nb)
+            origins = [
+                (offset_ref[d] + bids[d]) * plan.block_dims[d]
+                for d in range(D)
+            ]
+            cells, fracs, _ = _decode_slots(plan, pts_b, origins)
+            valid = None
+        return cells, fracs, valid
+
+    def weights(cells, fracs, valid, window):
+        vl0 = common.window_weights(
+            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0]
+        )
+        if valid is not None:
+            vl0 = [jnp.where(valid, v, 0.0) for v in vl0]
+        if window is None:
+            w0 = common.build_wt_matrix(
+                vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0]
+            )
+        else:
+            w0 = common.build_wt_matrix_window(
+                vl0, cells[0], 0, plan.m, W, P, window
+            )
+        mids = []
+        for d in range(1, D - 1):
+            vl = common.window_weights(
+                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d]
+            )
+            mids.append(
+                common.build_wt_matrix(
+                    vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+                )
+            )
+        vl = common.window_weights(
+            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1], cs_ref[D - 1]
+        )
+        wlast = common.build_wt_matrix(
+            vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
+        )
+        return _z_wrows(w0, mids, P), wlast
+
+    def compute(pv_b, i):
+        cells, fracs, valid = decode(pv_b, i)
+        vals_b = pv_b[DP:]
+        wr, wlast = weights(cells, fracs, valid, None)  # (pd0*rm, P), (pdL, P)
+        w_tiled = jnp.concatenate([wr] * CR, axis=0)
+        v_rows = jax.lax.dot_general(
+            b_sel, vals_b[:CR, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        wv = w_tiled * v_rows
+        prod = jax.lax.dot_general(
+            wv, wlast, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=_PRECS[plan.precision],
+        )
+        acc_ref[...] = acc_ref[...] + prod
+
+    def compute_win(pv_b, i, r0):
+        cells, fracs, valid = decode(pv_b, i)
+        vals_b = pv_b[DP:]
+        wr, wlast = weights(cells, fracs, valid, r0)  # (W*rm, P), (pdL, P)
+        w_tiled = jnp.concatenate([wr] * CR, axis=0)
+        v_rows = jax.lax.dot_general(
+            b_sel_w, vals_b[:CR, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        wv = w_tiled * v_rows
+        prod = jax.lax.dot_general(
+            wv, wlast, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=_PRECS[plan.precision],
+        )  # (CR*W*rm, pdL)
+        for c in range(CR):
+            # Offset is a multiple of rm (pd1, an 8-multiple) for D=3; for
+            # D=2 rm=1 and r0 itself is 8-aligned.
+            off = pl.multiple_of((c * pd[0] + r0) * rm, 8)
+            win = acc_ref[pl.ds(off, W * rm), :]
+            acc_ref[pl.ds(off, W * rm), :] = win + jax.lax.slice_in_dim(
+                prod, c * W * rm, (c + 1) * W * rm, axis=0
+            )
+
+    def body(i, carry):
+        slot = i % NBUF
+
+        @pl.when(i + NBUF - 1 < nbatch)
+        def _():
+            dma((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
+
+        dma(slot, i).wait()
+        if W:
+            r0 = r0s_ref[start_b + i]
+            for s in range(NBUF):
+                @pl.when((slot == s) & (r0 >= 0))
+                def _(s=s):
+                    compute_win(pv_buf[s], i, r0)
+
+                @pl.when((slot == s) & (r0 < 0))
+                def _(s=s):
+                    compute(pv_buf[s], i)
+        else:
+            for s in range(NBUF):
+                @pl.when(slot == s)
+                def _(s=s):
+                    compute(pv_buf[s], i)
+
+        return carry
+
+    jax.lax.fori_loop(0, nbatch, body, 0)
+    # Write the block: split the row dim (c, i0[, i1]) with leading-dim /
+    # 8-aligned-sublane reshapes only.
+    for c in range(CR):
+        rows = jax.lax.slice_in_dim(
+            acc_ref[...], c * pd[0] * rm, (c + 1) * pd[0] * rm, axis=0
+        )
+        if D == 2:
+            out_ref[c, 0] = rows
+        else:
+            out_ref[(c, 0, slice(None), 0)] = rows.reshape(pd[0], rm, pdL)
 
 
 def spread_blocked(
@@ -344,10 +636,12 @@ def spread_blocked(
     rdt = plan.real_dtype
 
     # Leading (sublane) dims of DMA-sliced arrays must be tile-aligned;
-    # the slot layout is built with one gather (TPU scatters are serial).
+    # the slot layout is built with one gather (TPU scatters are serial);
+    # the packed layout reads the sorted array directly.
     from ...blocking import gather_slots
 
-    pts = plan.points_slotted
+    layout = plan.layout
+    pts = plan.points_packed if layout == "packed" else plan.points_slotted
     DP = pts.shape[0]
     nslots = pts.shape[1]
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
@@ -361,43 +655,72 @@ def spread_blocked(
     r0s = (
         plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
     )
+    pstarts = (
+        plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
+    )
 
     def run_chunk(vals_chunk):
         """One Pallas pass over a channel chunk (CRc rows of values)."""
         CRc = vals_chunk.shape[0]
         CRPc = common.round_up(CRc, 8)
-        vals = gather_slots(
-            vals_chunk.astype(rdt), plan.slot_to_point, plan.slot_valid,
-            rows=CRPc,
-        )
+        if layout == "packed":
+            # Values permute to sorted order with one gather; edge/tail
+            # lanes are masked in-kernel (no zeroing pass needed).
+            vals = jnp.take(vals_chunk.astype(rdt), plan.sort_perm, axis=1)
+            if CRPc != CRc:
+                vals = jnp.pad(vals, ((0, CRPc - CRc), (0, 0)))
+        else:
+            vals = gather_slots(
+                vals_chunk.astype(rdt), plan.slot_to_point, plan.slot_valid,
+                rows=CRPc,
+            )
         # Combined rows [points ; values]: each batch is ONE DMA descriptor.
         pv = jnp.concatenate([pts.astype(rdt), vals], axis=0)
+        if plan.kernel_form == "z":
+            rm = _rows_mid(pd)
+            out_specs = pl.BlockSpec(
+                _z_block_shape(CRc, nb, pd), _z_index_map(D, nb)
+            )
+            out_shape = jax.ShapeDtypeStruct(_z_buffer_shape(CRc, nb, pd), rdt)
+            scratch = [
+                pltpu.VMEM((CRc * pd[0] * rm, pd[-1]), rdt),
+                pltpu.VMEM((NBUF, DP + CRPc, P), rdt),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ]
+            kernel = functools.partial(
+                _spread_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
+                P=P, W=W, layout=layout,
+            )
+        else:
+            out_specs = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), out_index)
+            out_shape = jax.ShapeDtypeStruct(
+                _blocks_buffer_shape(CRc, nb, pd, yz), rdt
+            )
+            scratch = [
+                pltpu.VMEM((CRc * pd[0], yz), rdt),
+                pltpu.VMEM((NBUF, DP + CRPc, P), rdt),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ]
+            kernel = functools.partial(
+                _spread_kernel, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd, yz=yz,
+                P=P, W=W, layout=layout,
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # pts++vals (DP+CRPc, Ns)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
             ],
-            out_specs=pl.BlockSpec(_block_shape(CRc, nb, pd, yz), out_index),
-            scratch_shapes=[
-                pltpu.VMEM((CRc * pd[0], yz), rdt),
-                pltpu.VMEM((NBUF, DP + CRPc, P), rdt),
-                pltpu.SemaphoreType.DMA((NBUF,)),
-            ],
-        )
-        kernel = functools.partial(
-            _spread_kernel, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd, yz=yz,
-            P=P, W=W,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                _blocks_buffer_shape(CRc, nb, pd, yz), rdt
-            ),
+            out_shape=out_shape,
             interpret=plan.interpret,
-        )(plan.block_starts, block_offset, r0s, pv, cs)
+        )(plan.block_starts, pstarts, block_offset, r0s, pv, cs)
 
     # Channel chunking (large ntransforms): the VMEM accumulator scales with
     # CR, so components are processed in plan.cr_chunk-sized groups — the
@@ -411,6 +734,12 @@ def spread_blocked(
             [run_chunk(vals_in[s : s + chunk]) for s in range(0, CR, chunk)],
             axis=0,
         )
+
+    if plan.kernel_form == "z":
+        # Z-form buffers only exist on the blockform-DFT path, which
+        # consumes the kernel layout directly.
+        assert raw_output, "z-form kernels require the blockform DFT path"
+        return blocks
 
     blocks = blocks.reshape((CR,) + tuple(nb) + tuple(pd))  # free lane split
     if raw_output:
@@ -430,9 +759,9 @@ def spread_blocked(
 
 
 def _interp_kernel(
-    starts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref, out_ref,
-    pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, nb, pd, yz, P, W,
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref,
+    out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
+    *, plan, CR, nb, pd, yz, P, W, layout,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -441,6 +770,10 @@ def _interp_kernel(
     ]
     start_b = starts_ref[b]  # in units of P (slot layout)
     nbatch = starts_ref[b + 1] - start_b
+    if layout == "packed":
+        s0 = pstarts_ref[b]
+        s1 = pstarts_ref[b + 1]
+        base = (s0 // P) * P
 
     # Channel-stacked block (CR*p0, YZ), hoisted out of the batch loop into
     # a VMEM scratch (static per-channel loads + sublane concat; a merging
@@ -461,12 +794,17 @@ def _interp_kernel(
         a_sel_w = (a_row_w == a_col_w).astype(res_buf.dtype)
 
     def dma_p(slot, j):
-        off = pl.multiple_of((start_b + j) * P, P)
+        if layout == "packed":
+            off = pl.multiple_of(base + j * P, P)
+        else:
+            off = pl.multiple_of((start_b + j) * P, P)
         return pltpu.make_async_copy(
             pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
         )
 
     def res_dma(slot, j):
+        # Results always land in the batch-slot layout (the packed input
+        # windows of neighbouring blocks overlap; outputs must not).
         off = pl.multiple_of((start_b + j) * P, P)
         return pltpu.make_async_copy(
             res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off, P)], sem_r.at[slot]
@@ -479,8 +817,31 @@ def _interp_kernel(
         def _(j=j):
             dma_p(j, j).start()
 
-    def compute(pts_b, res_slot_ref):
-        wts = _build_batch_wts(plan, cs_ref, pts_b, origins, None, pd, P)
+    def decode(pts_b, i):
+        if layout == "packed":
+            cells, fracs, idx = _decode_packed(plan, pts_b)
+            pos = base + i * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            valid = (pos >= s0) & (pos < s1)
+        else:
+            cells, fracs, idx = _decode_slots(plan, pts_b, origins)
+            valid = None
+        return cells, fracs, idx, valid
+
+    def emit_keys(res_slot_ref, idx, valid):
+        # Packed layout: row CR carries the original point index of each
+        # lane (sentinel INT32_MAX on masked lanes) for the masked-sort
+        # un-permute; travels bit-cast in the f32 result buffer.
+        key = jnp.where(valid, idx, jnp.int32(2**31 - 1))
+        if res_buf.dtype == jnp.float64:
+            res_slot_ref[CR : CR + 1, :] = key.astype(res_buf.dtype)
+        else:
+            res_slot_ref[CR : CR + 1, :] = jax.lax.bitcast_convert_type(
+                key, jnp.float32
+            )
+
+    def compute(pts_b, res_slot_ref, i):
+        cells, fracs, idx, valid = decode(pts_b, i)
+        wts = _build_wts_from_cells(plan, cells, fracs, cs_ref, None, pd, P)
         qt = _qt_matrix(wts, yz, P)
         # T (CR*p0, P) = sum_yz G[cx, yz] * QT[yz, p]: one matmul with
         # M = CR*p0 (no Python channel loop; MXU rows scale with CR).
@@ -498,12 +859,15 @@ def _interp_kernel(
             preferred_element_type=res_buf.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if layout == "packed":
+            emit_keys(res_slot_ref, idx, valid)
 
-    def compute_win(pts_b, res_slot_ref, r0):
+    def compute_win(pts_b, res_slot_ref, i, r0):
         # Windowed gather: only rows [r0, r0+W) of each channel's padded
         # block contribute to this batch (see _spread_kernel.compute_win).
-        wts = _build_batch_wts(
-            plan, cs_ref, pts_b, origins, None, pd, P, window=(W, r0)
+        cells, fracs, idx, valid = decode(pts_b, i)
+        wts = _build_wts_from_cells(
+            plan, cells, fracs, cs_ref, None, pd, P, window=(W, r0)
         )
         qt = _qt_matrix(wts, yz, P)
         g_w = jnp.concatenate(
@@ -524,6 +888,8 @@ def _interp_kernel(
             preferred_element_type=res_buf.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if layout == "packed":
+            emit_keys(res_slot_ref, idx, valid)
 
     def body(i, carry):
         slot = i % NBUF
@@ -545,16 +911,16 @@ def _interp_kernel(
             for s in range(NBUF):
                 @pl.when((slot == s) & (r0 >= 0))
                 def _(s=s):
-                    compute_win(pts_buf[s], res_buf.at[s], r0)
+                    compute_win(pts_buf[s], res_buf.at[s], i, r0)
 
                 @pl.when((slot == s) & (r0 < 0))
                 def _(s=s):
-                    compute(pts_buf[s], res_buf.at[s])
+                    compute(pts_buf[s], res_buf.at[s], i)
         else:
             for s in range(NBUF):
                 @pl.when(slot == s)
                 def _(s=s):
-                    compute(pts_buf[s], res_buf.at[s])
+                    compute(pts_buf[s], res_buf.at[s], i)
 
         res_dma(slot, i).start()
         return carry
@@ -562,6 +928,208 @@ def _interp_kernel(
     jax.lax.fori_loop(0, nbatch, body, 0)
 
     # Drain the last (up to NBUF) in-flight result DMAs.
+    for k in range(NBUF):
+        @pl.when(nbatch > k)
+        def _(k=k):
+            i = nbatch - 1 - k
+            res_dma(i % NBUF, i).wait()
+
+
+def _interp_kernel_z(
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref,
+    out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
+    *, plan, CR, DP, nb, pd, P, W, layout,
+):
+    """Z-form interpolation: gblk (CR*pd0*prod(pd_mid), pd_last); per batch
+    t = G_window @ Wlast (M = CR*W0*prod(pd_mid), K = pd_last, N = P), then
+    the (x [, y]) windows reduce via the elementwise Khatri-Rao weights and
+    an exact 0/1 channel-sum selector matmul."""
+    D = plan.ndim
+    b = pl.program_id(0)
+    start_b = starts_ref[b]
+    nbatch = starts_ref[b + 1] - start_b
+    if layout == "packed":
+        s0 = pstarts_ref[b]
+        s1 = pstarts_ref[b + 1]
+        base = (s0 // P) * P
+    rm = _rows_mid(pd)
+    pdL = pd[-1]
+
+    # Channel-stacked z-form block, hoisted into VMEM scratch (leading-dim
+    # merges only).
+    pieces = []
+    for c in range(CR):
+        if D == 2:
+            pieces.append(blk_ref[c, 0])
+        else:
+            pieces.append(
+                blk_ref[(c, 0, slice(None), 0)].reshape(pd[0] * rm, pdL)
+            )
+    gblk_ref[...] = jnp.concatenate(pieces, axis=0) if CR > 1 else pieces[0]
+
+    a_row = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0] * rm), 0)
+    a_col = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0] * rm), 1) // (
+        pd[0] * rm
+    )
+    a_sel = (a_row == a_col).astype(res_buf.dtype)
+    if W:
+        a_row_w = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * W * rm), 0)
+        a_col_w = jax.lax.broadcasted_iota(
+            jnp.int32, (CR, CR * W * rm), 1
+        ) // (W * rm)
+        a_sel_w = (a_row_w == a_col_w).astype(res_buf.dtype)
+
+    def dma_p(slot, j):
+        if layout == "packed":
+            off = pl.multiple_of(base + j * P, P)
+        else:
+            off = pl.multiple_of((start_b + j) * P, P)
+        return pltpu.make_async_copy(
+            pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
+        )
+
+    def res_dma(slot, j):
+        off = pl.multiple_of((start_b + j) * P, P)
+        return pltpu.make_async_copy(
+            res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off, P)], sem_r.at[slot]
+        )
+
+    for j in range(NBUF - 1):
+        @pl.when(j < nbatch)
+        def _(j=j):
+            dma_p(j, j).start()
+
+    def decode(pts_b, i):
+        if layout == "packed":
+            cells, fracs, idx = _decode_packed(plan, pts_b)
+            pos = base + i * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            valid = (pos >= s0) & (pos < s1)
+        else:
+            bids = _decompose_block(b, nb)
+            origins = [
+                (offset_ref[d] + bids[d]) * plan.block_dims[d]
+                for d in range(D)
+            ]
+            cells, fracs, idx = _decode_slots(plan, pts_b, origins)
+            valid = None
+        return cells, fracs, idx, valid
+
+    def emit_keys(res_slot_ref, idx, valid):
+        key = jnp.where(valid, idx, jnp.int32(2**31 - 1))
+        if res_buf.dtype == jnp.float64:
+            res_slot_ref[CR : CR + 1, :] = key.astype(res_buf.dtype)
+        else:
+            res_slot_ref[CR : CR + 1, :] = jax.lax.bitcast_convert_type(
+                key, jnp.float32
+            )
+
+    def weights(cells, fracs, window):
+        vl0 = common.window_weights(
+            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0]
+        )
+        if window is None:
+            w0 = common.build_wt_matrix(
+                vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0]
+            )
+        else:
+            w0 = common.build_wt_matrix_window(
+                vl0, cells[0], 0, plan.m, W, P, window
+            )
+        mids = []
+        for d in range(1, D - 1):
+            vl = common.window_weights(
+                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d]
+            )
+            mids.append(
+                common.build_wt_matrix(
+                    vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+                )
+            )
+        vl = common.window_weights(
+            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1], cs_ref[D - 1]
+        )
+        wlast = common.build_wt_matrix(
+            vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
+        )
+        return _z_wrows(w0, mids, P), wlast
+
+    def compute(pts_b, res_slot_ref, i):
+        cells, fracs, idx, valid = decode(pts_b, i)
+        wr, wlast = weights(cells, fracs, None)
+        t = jax.lax.dot_general(
+            gblk_ref[...], wlast, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=_PRECS[plan.precision],
+        )  # (CR*pd0*rm, P)
+        w_tiled = jnp.concatenate([wr] * CR, axis=0)
+        res_slot_ref[:CR, :] = jax.lax.dot_general(
+            a_sel, t * w_tiled, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if layout == "packed":
+            emit_keys(res_slot_ref, idx, valid)
+
+    def compute_win(pts_b, res_slot_ref, i, r0):
+        cells, fracs, idx, valid = decode(pts_b, i)
+        wr, wlast = weights(cells, fracs, r0)
+        g_w = jnp.concatenate(
+            [
+                gblk_ref[
+                    pl.ds(pl.multiple_of((c * pd[0] + r0) * rm, 8), W * rm), :
+                ]
+                for c in range(CR)
+            ],
+            axis=0,
+        )  # (CR*W*rm, pdL)
+        t = jax.lax.dot_general(
+            g_w, wlast, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=_PRECS[plan.precision],
+        )
+        w_tiled = jnp.concatenate([wr] * CR, axis=0)
+        res_slot_ref[:CR, :] = jax.lax.dot_general(
+            a_sel_w, t * w_tiled, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if layout == "packed":
+            emit_keys(res_slot_ref, idx, valid)
+
+    def body(i, carry):
+        slot = i % NBUF
+
+        @pl.when(i + NBUF - 1 < nbatch)
+        def _():
+            dma_p((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
+
+        dma_p(slot, i).wait()
+
+        @pl.when(i >= NBUF)
+        def _():
+            res_dma(slot, i - NBUF).wait()
+
+        if W:
+            r0 = r0s_ref[start_b + i]
+            for s in range(NBUF):
+                @pl.when((slot == s) & (r0 >= 0))
+                def _(s=s):
+                    compute_win(pts_buf[s], res_buf.at[s], i, r0)
+
+                @pl.when((slot == s) & (r0 < 0))
+                def _(s=s):
+                    compute(pts_buf[s], res_buf.at[s], i)
+        else:
+            for s in range(NBUF):
+                @pl.when(slot == s)
+                def _(s=s):
+                    compute(pts_buf[s], res_buf.at[s], i)
+
+        res_dma(slot, i).start()
+        return carry
+
+    jax.lax.fori_loop(0, nbatch, body, 0)
+
     for k in range(NBUF):
         @pl.when(nbatch > k)
         def _(k=k):
@@ -591,20 +1159,33 @@ def interpolate_blocked(
     P = plan.batch_size
     rdt = plan.real_dtype
 
-    pts = plan.points_slotted
+    layout = plan.layout
+    pts = plan.points_packed if layout == "packed" else plan.points_slotted
     DP = pts.shape[0]
-    nslots = pts.shape[1]
+    if layout == "packed":
+        from ...blocking import max_packed_batches
+
+        nblocks_ = int(np.prod(nb))
+        nslots = max_packed_batches(
+            plan.num_points, nblocks_, P
+        ) * P  # batch-slot output layout
+    else:
+        nslots = pts.shape[1]
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
 
     if halos_in is not None:
         halos = halos_in.astype(rdt)
     else:
+        assert plan.kernel_form != "z", (
+            "z-form interpolation requires the blockform DFT (halos_in)"
+        )
         if channel_input and is_complex:
             gp = grid.reshape((2 * C,) + grid.shape[2:]).astype(rdt)
         else:
             gp = pack_components(grid, is_complex).astype(rdt)
         halos = common.halo_gather(gp, bdims, pd, m, interpret=plan.interpret, shard_axis=shard_axis)  # (CR, nb.., pd..)
-    halos = halos.reshape((CR,) + tuple(nb) + (pd[0], yz))  # free lane merge
+    if plan.kernel_form != "z":
+        halos = halos.reshape((CR,) + tuple(nb) + (pd[0], yz))  # free lane merge
 
     nblocks = int(np.prod(nb))
     in_index = _block_index_map(D, nb)
@@ -613,15 +1194,37 @@ def interpolate_blocked(
 
     W = plan.window_rows if plan.batch_r0 is not None else None
     r0s = plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
+    pstarts = (
+        plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
+    )
 
     def run_chunk(halos_chunk):
         CRc = halos_chunk.shape[0]
-        CRPc = common.round_up(CRc, 8)
+        # Packed layout: one extra output row carries the un-permute keys.
+        nrows = CRc + 1 if layout == "packed" else CRc
+        CRPc = common.round_up(nrows, 8)
+        if plan.kernel_form == "z":
+            rm = _rows_mid(pd)
+            in_spec0 = pl.BlockSpec(
+                _z_block_shape(CRc, nb, pd), _z_index_map(D, nb)
+            )
+            gblk_scratch = pltpu.VMEM((CRc * pd[0] * rm, pd[-1]), rdt)
+            kernel = functools.partial(
+                _interp_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
+                P=P, W=W, layout=layout,
+            )
+        else:
+            in_spec0 = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index)
+            gblk_scratch = pltpu.VMEM((CRc * pd[0], yz), rdt)
+            kernel = functools.partial(
+                _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P,
+                W=W, layout=layout,
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(nblocks,),
             in_specs=[
-                pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index),
+                in_spec0,
                 pl.BlockSpec(memory_space=pltpu.HBM),  # points (DP, Nslots)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
             ],
@@ -629,13 +1232,10 @@ def interpolate_blocked(
             scratch_shapes=[
                 pltpu.VMEM((NBUF, DP, P), rdt),
                 pltpu.VMEM((NBUF, CRPc, P), rdt),
-                pltpu.VMEM((CRc * pd[0], yz), rdt),
+                gblk_scratch,
                 pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.SemaphoreType.DMA((NBUF,)),
             ],
-        )
-        kernel = functools.partial(
-            _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P, W=W
         )
         return pl.pallas_call(
             kernel,
@@ -643,19 +1243,42 @@ def interpolate_blocked(
             out_shape=jax.ShapeDtypeStruct((CRPc, nslots), rdt),
             interpret=plan.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(plan.block_starts, block_offset, r0s, halos_chunk, pts, cs)[:CRc]
+        )(plan.block_starts, pstarts, block_offset, r0s, halos_chunk, pts, cs)[
+            : nrows
+        ]
 
     # Channel chunking for large ntransforms (see spread_blocked).
     chunk = getattr(plan, "cr_chunk", None) or CR
     if CR <= chunk:
-        slot_vals = run_chunk(halos)
+        outs = [run_chunk(halos)]
     else:
-        slot_vals = jnp.concatenate(
-            [run_chunk(halos[s : s + chunk]) for s in range(0, CR, chunk)],
-            axis=0,
-        )
+        outs = [run_chunk(halos[s : s + chunk]) for s in range(0, CR, chunk)]
+    if layout == "packed":
+        keys_row = outs[0][-1]  # identical across chunks
+        slot_vals = jnp.concatenate([o[:-1] for o in outs], axis=0)
+    else:
+        slot_vals = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
-    if plan.point_slots is not None:
+    np_ = plan.num_points
+    if layout == "packed":
+        # Un-permute with ONE masked sort over the kernel-emitted key row
+        # (original point index per lane; INT32_MAX on masked/edge lanes and,
+        # below, on never-written tail slots).  The valid lanes are a
+        # bijection onto 0..Np-1, so the first Np sorted entries are the
+        # points in original order.
+        if rdt == jnp.float64:
+            keys = keys_row.astype(jnp.int32)
+        else:
+            keys = jax.lax.bitcast_convert_type(keys_row, jnp.int32)
+        written = jnp.arange(nslots, dtype=jnp.int32) < (
+            plan.block_starts[-1] * P
+        )
+        keys = jnp.where(written, keys, jnp.int32(2**31 - 1))
+        sorted_ops = jax.lax.sort(
+            (keys,) + tuple(slot_vals[c] for c in range(CR)), num_keys=1
+        )
+        vals = jnp.stack([o[:np_] for o in sorted_ops[1:]], axis=0)
+    elif plan.point_slots is not None:
         # Routed (spatial) layouts carry an explicit inverse map — their
         # valid-slot keys are NOT a bijection onto 0..Np-1 (invalid receives
         # are masked out of slot_valid), so the sort trick below would
@@ -670,7 +1293,6 @@ def interpolate_blocked(
         # bijection onto 0..Np-1 on the single-chip path, so the first Np
         # sorted entries are exactly the points in original order.
         # Reference analogue: interpolation/gpu.jl:196-203.
-        np_ = plan.num_points
         keys = jnp.where(
             plan.slot_valid, plan.slot_to_point, jnp.int32(nslots)
         ).astype(jnp.int32)

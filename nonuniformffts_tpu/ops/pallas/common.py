@@ -50,6 +50,17 @@ def padded_block_dims(block_dims: Sequence[int], m: int) -> Tuple[int, ...]:
     return tuple(round_up(b + 2 * m - 1, 8) for b in block_dims)
 
 
+def padded_block_dims_z(block_dims: Sequence[int], m: int) -> Tuple[int, ...]:
+    """Padded block sizes for the z-form kernel layout: the LAST dim (the
+    kernels' lane dimension) rounds up to the 128-lane granule, so the
+    buffer layout (CR, nb0, pd0, .., L_last) is physically unpadded, every
+    merge/split reshape around it is free, and the blockform DFT reads /
+    writes the kernels' layout with no relayout transpose."""
+    pads = [round_up(b + 2 * m - 1, 8) for b in block_dims[:-1]]
+    pads.append(round_up(block_dims[-1] + 2 * m - 1, 128))
+    return tuple(pads)
+
+
 def coefficient_stack(kernel_data: Sequence[KernelData]) -> jnp.ndarray:
     """Stack the per-dim window coefficient arrays into one (D, ncoef, 2M)
     input for the kernels (dummy zeros when a kernel family needs none)."""
@@ -74,6 +85,16 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
     from VMEM).  Returns ``(c, vals)`` with ``c`` the (1, P) int32 cells and
     ``vals`` a list of 2M (1, P) arrays; ``vals[t]`` is the weight of grid
     node ``c - M + 1 + t``.
+    """
+    return c_row.astype(jnp.int32), window_weights(kd, evalmode, X, cs)
+
+
+def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray):
+    """Per-node window weights from in-cell fractions only.
+
+    ``X``: (1, P) in-cell fractions; ``cs``: (ncoef, 2M) coefficient array
+    for this dim.  Returns 2M (1, P) arrays; entry ``t`` is the weight of
+    grid node ``c - M + 1 + t``.
 
     Same math as ops.windows.eval_window_frac, restructured as per-node
     lane vectors (no trailing 2M axis) so everything stays in natural TPU
@@ -81,7 +102,6 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
     """
     m, n = kd.m, kd.n
     dt = X.dtype
-    c = c_row.astype(jnp.int32)
     fast = isinstance(evalmode, FastApproximation)
     two_m = 2 * m
 
@@ -94,7 +114,7 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
             for q in range(ncoef - 2, -1, -1):
                 v = v * z + cs[q, t]
             vals.append(v)
-        return c, vals
+        return vals
 
     if kd.kind == "kb":  # direct
         beta = jnp.asarray(kd.beta, dt)
@@ -103,7 +123,7 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
             y = (m - 1.0 - t + X) / m
             s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
             vals.append(windows.besseli0(beta * s))
-        return c, vals
+        return vals
 
     if kd.kind == "bkb":  # direct: sinh via one exp
         beta = jnp.asarray(kd.beta, dt)
@@ -117,7 +137,7 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
             sinh = 0.5 * (e - 1.0 / e)
             ratio = jnp.where(bs == 0.0, 1.0, sinh / jnp.where(bs == 0.0, 1.0, bs))
             vals.append(ratio * pref)
-        return c, vals
+        return vals
 
     if kd.kind == "gaussian":
         # One exp per node; the Greengard-Lee ladder saves nothing on the VPU.
@@ -127,10 +147,10 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
         for t in range(two_m):
             y = (m - 1.0 - t + X) * dx
             vals.append(jnp.exp(-(y * y) * inv_tau))
-        return c, vals
+        return vals
 
     if kd.kind == "bspline":
-        return c, windows.bspline_values_list(1.0 - X, two_m)
+        return windows.bspline_values_list(1.0 - X, two_m)
 
     raise ValueError(kd.kind)
 

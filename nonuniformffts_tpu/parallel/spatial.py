@@ -156,6 +156,13 @@ class SpatialNUFFT:
         return dataclasses.replace(
             self.base,
             shape_over=self.local_shape_over,
+            # Routed points carry invalid (capacity-padding) lanes, which
+            # the slot layout parks in virtual bins — the packed layout has
+            # no parking, so local views pin layout='slots'.
+            layout="slots",
+            points_packed=None,
+            pstarts=None,
+            sort_perm=None,
             points_slotted=st.pts_slotted,
             slot_to_point=st.slot_to_point,
             slot_valid=st.slot_valid,

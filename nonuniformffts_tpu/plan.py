@@ -106,9 +106,29 @@ class Plan:
     # single-chip path only; see matmul_fft.forward_dft_blockform).
     fft_axes_block: Tuple = data_field(default=())
 
+    # Point layout for the blocked kernels: 'packed' (default — ONE
+    # multi-operand sort, kernels read 128-aligned windows of the sorted
+    # array with in-kernel edge masking) or 'slots' (slot-expanded layout
+    # with a gathered copy per block segment; used by the spatially-sharded
+    # path whose routed points carry invalid lanes).
+    layout: str = static_field(default="packed")
+    # Kernel buffer form: 'yz' = accumulator (CR*pd0, pd1*..*pd_last) with
+    # all trailing dims in lanes; 'z' = (CR*pd0*..*pd_{D-2}, pd_last) with
+    # only the last dim in lanes (pd_last 128-aligned) — trailing-dim window
+    # cost moves to MXU rows (cheap) and the blockform DFT exchanges buffers
+    # with the kernels with zero relayout.
+    kernel_form: str = static_field(default="yz")
+    padded_dims: Optional[Tuple[int, ...]] = static_field(default=None)
+
     # --- point state (set by set_points) --------------------------------
     points: Optional[jnp.ndarray] = data_field(default=None)  # (D, Np) folded
     points_slotted: Optional[jnp.ndarray] = data_field(default=None)  # (DP, Nslots)
+    # Packed layout state: sorted point rows (8, Np_pad), per-block sorted
+    # ranges (nblocks+1,), and the sorted original indices (Np_pad,) used
+    # for the per-exec value permutation.
+    points_packed: Optional[jnp.ndarray] = data_field(default=None)
+    pstarts: Optional[jnp.ndarray] = data_field(default=None)
+    sort_perm: Optional[jnp.ndarray] = data_field(default=None)
     slot_to_point: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,)
     slot_valid: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,) bool
     point_slots: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
@@ -209,9 +229,16 @@ class Plan:
                 f"{self.batch_size}, FFT engine {self.fft_method} "
                 f"(precision {self.precision})"
             )
+            lines.append(f"  - point layout: {self.layout}")
             if self.points_slotted is not None and self.num_points:
                 waste = self.points_slotted.shape[1] / self.num_points
                 lines.append(f"  - slot padding waste: {waste:.2f}x")
+            elif self.points_packed is not None and self.num_points:
+                waste = (
+                    self.num_points + 0.5 * min(nblocks, self.num_points) *
+                    self.batch_size
+                ) / self.num_points
+                lines.append(f"  - batch padding waste: ~{waste:.2f}x (est)")
         if self.timer is not None:
             lines.append(f"  - timer attached (synchronise={self.timer.synchronise})")
         return "\n".join(lines)
@@ -247,6 +274,7 @@ def PlanNUFFT(
     precision: str = "highest",
     np_hint: Optional[int] = None,
     window_rows: Optional[int] = "auto",
+    layout: str = "packed",
     timer=None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
@@ -334,6 +362,32 @@ def PlanNUFFT(
         tiny = np_hint is not None and np_hint < 4096
         spread_method = "blocked" if (on_tpu and not tiny) else "reference"
 
+    # FFT engine decision first — it determines the kernel buffer form.
+    # XLA's native FFT where available; MXU matmul-DFT on TPU backends that
+    # do not implement the FFT op (ops/matmul_fft.py).
+    if fft_method is None:
+        fft_method = "matmul" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if fft_method == "matmul":
+        if fft_variant == "auto":
+            fft_variant = "pruned" if max(shape_over) <= 1024 else "split"
+    else:
+        fft_variant = "split"
+    # Kernel buffer form: 'z' lays the accumulator out as
+    # (CR*pd0*..*pd_{D-2}, pd_last) — trailing dims in MXU *rows* (cheap)
+    # instead of lanes, pd_last 128-aligned so the blockform DFT reads and
+    # writes the kernel layout with zero relayout.  Requires the blockform
+    # DFT (pruned matmul engine) and D >= 2.
+    kernel_form = (
+        "z"
+        if (
+            spread_method == "blocked"
+            and fft_method == "matmul"
+            and fft_variant == "pruned"
+            and D >= 2
+        )
+        else "yz"
+    )
+
     cr_chunk = None
     if spread_method == "blocked":
         from .blocking import choose_geometry
@@ -357,7 +411,7 @@ def PlanNUFFT(
             while True:
                 block_dims, geo_warnings = choose_geometry(
                     shape_over, m, cr=cr, np_hint=np_hint,
-                    batch_size=batch_size, n_keep=shape,
+                    batch_size=batch_size, n_keep=shape, form=kernel_form,
                 )
                 if not any("VMEM" in w for w in geo_warnings) or cr <= cr_step:
                     break
@@ -386,10 +440,20 @@ def PlanNUFFT(
     # bound.  ``window_rows``: 'auto' (default) picks W from the expected
     # density; an explicit value is rounded up to the 8-sublane granule;
     # None/0 disables the windowed path.
+    padded_dims = None
     if spread_method == "blocked":
-        from .ops.pallas.common import padded_block_dims, round_up
+        from .ops.pallas.common import (
+            padded_block_dims,
+            padded_block_dims_z,
+            round_up,
+        )
 
-        pd0_ = padded_block_dims(block_dims, m)[0]
+        padded_dims = (
+            padded_block_dims_z(block_dims, m)
+            if kernel_form == "z"
+            else padded_block_dims(block_dims, m)
+        )
+        pd0_ = padded_dims[0]
         if window_rows == "auto":
             nblocks_ = 1
             for n_over, b in zip(shape_over, block_dims):
@@ -412,16 +476,10 @@ def PlanNUFFT(
     else:
         window_rows = None
 
-    # FFT engine: XLA's native FFT where available; MXU matmul-DFT on TPU
-    # backends that do not implement the FFT op (ops/matmul_fft.py).
-    if fft_method is None:
-        fft_method = "matmul" if jax.default_backend() in ("tpu", "axon") else "xla"
     fft_axes = ()
     if fft_method == "matmul":
         from .ops import matmul_fft
 
-        if fft_variant == "auto":
-            fft_variant = "pruned" if max(shape_over) <= 1024 else "split"
         if fft_variant == "pruned":
             fft_axes = tuple(
                 matmul_fft.make_pruned_axis_dft(
@@ -442,8 +500,6 @@ def PlanNUFFT(
                 )
                 for d, n_over in enumerate(shape_over)
             )
-    else:
-        fft_variant = "split"
 
     fft_axes_block = ()
     if (
@@ -452,12 +508,15 @@ def PlanNUFFT(
         and spread_method == "blocked"
     ):
         from .ops import matmul_fft
-        from .ops.pallas.common import padded_block_dims
 
-        pd = padded_block_dims(block_dims, m)
         fft_axes_block = tuple(
             matmul_fft.make_blockform_axis(
-                ax, block_dims[d], shape_over[d] // block_dims[d], pd[d], m
+                ax,
+                block_dims[d],
+                shape_over[d] // block_dims[d],
+                padded_dims[d],
+                m,
+                merged=(kernel_form == "z" and d == D - 1),
             )
             for d, ax in enumerate(fft_axes)
         )
@@ -487,6 +546,9 @@ def PlanNUFFT(
         timer=timer,
         cr_chunk=cr_chunk,
         window_rows=window_rows,
+        layout=layout,
+        kernel_form=kernel_form,
+        padded_dims=padded_dims,
         kernel_data=kernel_data,
         phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
         index_ranges=tuple(iranges),
@@ -538,6 +600,22 @@ def fold_points(x: jnp.ndarray, point_transform: Callable = _identity) -> jnp.nd
 
 
 @jax.jit
+def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
+    """Packed-layout point preparation: one multi-operand sort carrying the
+    fraction/index payload (blocking.packed_layout); no slot expansion and
+    no gathers.  ``pts`` are transformed but NOT folded (folding is the
+    mod-N built into the high-accuracy cell split)."""
+    from .blocking import packed_layout
+
+    window = None
+    if plan.window_rows is not None:
+        window = (plan.m, plan.window_rows, plan.padded_dims[0])
+    return packed_layout(
+        plan.kernel_data, plan.block_dims, pts, plan.batch_size, window=window
+    )
+
+
+@jax.jit
 def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     """Blocked-path point preparation.  ``pts`` are transformed but NOT
     folded: folding is the mod-N built into the high-accuracy cell split
@@ -564,10 +642,7 @@ def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     sub_lx = None
     B0 = plan.block_dims[0]
     if plan.window_rows is not None:
-        from .ops.pallas.common import padded_block_dims
-
-        pd0 = padded_block_dims(plan.block_dims, plan.m)[0]
-        window = (plan.m, plan.window_rows, pd0)
+        window = (plan.m, plan.window_rows, plan.padded_dims[0])
         sub_lx = cells[0] % jnp.int32(B0)
     s2p, valid, point_slots, batch_starts, batch_r0 = slot_layout(
         bid.astype(jnp.int32), nblocks, plan.batch_size,
@@ -603,6 +678,51 @@ def set_points(plan: Plan, points) -> Plan:
     """Return a new plan with the non-uniform points set (folded; bin-sorted
     when the blocked method is active)."""
     pts = _canonicalise_points(points, plan.ndim, plan.real_dtype)
+    if plan.spread_method == "blocked" and plan.layout == "packed":
+        pts_t = pts if plan.point_transform is _identity else plan.point_transform(pts)
+        np_ = pts.shape[1]
+        if plan.timer is not None:
+            with plan.timer.section("set_points"):
+                out = _pack_points_jit(plan, pts_t)
+                plan.timer.sync(out)
+        else:
+            out = _pack_points_jit(plan, pts_t)
+        pts_rows, pstarts, batch_starts, batch_r0, perm = out
+        pts = fold_points(pts, plan.point_transform)
+        # Low-density diagnostic (reference warns on degenerate shared-memory
+        # geometry, src/gpu_common.jl:66-77): expected batch quantisation
+        # overhead, estimated statically (each non-empty block wastes ~P/2
+        # lanes on average).
+        nblocks = 1
+        for n_over, b in zip(plan.shape_over, plan.block_dims):
+            nblocks *= n_over // b
+        if np_ > 0:
+            waste = (np_ + 0.5 * min(nblocks, np_) * plan.batch_size) / np_
+            if waste > 2.0:
+                warnings.warn(
+                    f"expected batch padding waste is ~{waste:.1f}x (Np="
+                    f"{np_}, block_dims={plan.block_dims}, batch="
+                    f"{plan.batch_size}); point density is low for this "
+                    "blocked geometry — pass np_hint to PlanNUFFT or use "
+                    "spread_method='reference'.",
+                    stacklevel=2,
+                )
+        return dataclasses.replace(
+            plan,
+            points=pts,
+            points_packed=pts_rows,
+            pstarts=pstarts,
+            sort_perm=perm,
+            block_starts=batch_starts,
+            batch_r0=batch_r0,
+            num_points_static=np_,
+            points_slotted=None,
+            slot_to_point=None,
+            slot_valid=None,
+            point_slots=None,
+            point_perm=None,
+            point_perm_inv=None,
+        )
     if plan.spread_method == "blocked":
         # Transform but do NOT fold: the high-accuracy cell split folds via
         # its mod-N (folding in f32 first would reintroduce the 2pi*2^-24

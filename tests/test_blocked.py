@@ -280,3 +280,31 @@ def test_windowed_accumulation_engages(rng):
     v_b = np.asarray(nufft.exec_type2(p, u_ref))
     err2 = np.linalg.norm(v_b - v_ref) / np.linalg.norm(v_ref)
     assert err2 < 2e-5, err2
+
+
+@pytest.mark.parametrize("dtype", [np.complex128, np.float64])
+def test_packed_vs_slots_layout(rng, dtype):
+    """The packed (gather-free, edge-masked) point layout must be output-
+    equivalent to the slot-expanded layout on identical inputs, including
+    a dense cluster (many batches in one block, edge batches shared between
+    neighbouring blocks) and near-2pi points."""
+    Np = 4000
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    pts[:, : Np // 2] = rng.uniform(1.0, 1.2, (3, Np // 2))  # cluster
+    pts[:, -5:] = np.nextafter(2 * np.pi, 0)
+    C = 2
+    if dtype == np.complex128:
+        v = rng.standard_normal((C, Np)) + 1j * rng.standard_normal((C, Np))
+    else:
+        v = rng.standard_normal((C, Np))
+    kw = dict(m=4, sigma=1.5, spread_method="blocked", interpret=True,
+              ntransforms=C, block_dims=(16, 16, 24))
+    outs = {}
+    for layout in ("packed", "slots"):
+        p = nufft.PlanNUFFT(dtype, (32, 32, 32), layout=layout, **kw)
+        p = nufft.set_points(p, pts)
+        u = np.asarray(nufft.exec_type1(p, v.astype(dtype)))
+        v2 = np.asarray(nufft.exec_type2(p, u))
+        outs[layout] = (u, v2)
+    np.testing.assert_allclose(outs["packed"][0], outs["slots"][0], rtol=1e-10)
+    np.testing.assert_allclose(outs["packed"][1], outs["slots"][1], rtol=1e-10)

@@ -124,7 +124,7 @@ def test_plan_repr_geometry(rng):
     assert "blocked geometry" in r and "blocks" in r
     pts = rng.uniform(0, 2 * np.pi, (3, 50_000)).astype(np.float32)
     plan = nufft.set_points(plan, pts)
-    assert "slot padding waste" in repr(plan)
+    assert "padding waste" in repr(plan)
 
 
 def test_sort_points_reference_path(rng):
