@@ -48,7 +48,55 @@ PRECISIONS = {
 
 
 def _mm(a, b, prec):
+    if prec == "double":
+        return _mm_ds(a, b)
     return jnp.matmul(a, b, precision=PRECISIONS[prec])
+
+
+# K-chunk size for the double-single contraction.  Error floor of an f32
+# matmul is ~sqrt(K)*2^-24 from the in-MXU f32 accumulation; chunking the
+# contraction into kc-deep pieces and combining the partials with an exact
+# TwoSum (double-single accumulator) reduces it to ~sqrt(kc)*2^-24 — with
+# kc=16 that is ~2.4e-7 *per chunk magnitude*, and the dominant remaining
+# term is the bf16x6 product representation (~2^-24 relative per entry),
+# giving ~1e-8-class end-to-end DFT accuracy in f32 storage.
+_DS_KC = 16
+
+
+def _mm_ds(a, b):
+    """``a @ b`` with chunked-K double-single accumulation (see _DS_KC).
+
+    ``a``: (..., K); ``b``: (K, N).  Each kc-deep partial product runs at
+    HIGHEST (bf16x6, exact-f32-ish products); partials combine with an
+    exact TwoSum into (hi, lo) f32 pairs.  ~Q scan steps of MXU work — the
+    MXU stays busy, the extra cost is the VPU TwoSum per partial.
+    """
+    K = a.shape[-1]
+    kc = _DS_KC
+    q = -(-K // kc)
+    pad = q * kc - K
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+        )
+        b = jnp.concatenate([b, jnp.zeros((pad,) + b.shape[1:], b.dtype)], axis=0)
+    a_ = jnp.moveaxis(a.reshape(a.shape[:-1] + (q, kc)), -2, 0)  # (q, ..., kc)
+    b_ = b.reshape(q, kc, b.shape[1])
+
+    out_shape = a.shape[:-1] + (b.shape[1],)
+
+    def body(carry, ab):
+        hi, lo = carry
+        aq, bq = ab
+        p = jnp.matmul(aq, bq, precision=jax.lax.Precision.HIGHEST)
+        s = hi + p
+        z = s - hi
+        e = (hi - (s - z)) + (p - z)  # exact TwoSum error term
+        return (s, lo + e), None
+
+    zero = jnp.zeros(out_shape, a.dtype)
+    (hi, lo), _ = jax.lax.scan(body, (zero, zero), (a_, b_))
+    return hi + lo
 
 
 def _best_split(n: int) -> Optional[Tuple[int, int]]:
@@ -353,7 +401,15 @@ def backward_fft_pad(
 def _cplx_mm_last(ar, ai, cm, sm, sign, prec):
     """(ar + i*ai) @ (cm - i*sign*sm) as three real matmuls (Karatsuba):
     with s_eff = -sign*sm, re = t1 - ai@s_eff and im = t3 - t1 - ai@s_eff
-    where t3 = (ar+ai)@(cm+s_eff)."""
+    where t3 = (ar+ai)@(cm+s_eff).  In 'double' (double-single) mode the
+    Karatsuba form is replaced by four plain products — its t3-t1
+    cancellation would forfeit the compensated accumulation."""
+    if prec == "double":
+        cr = _mm_ds(ar, cm)
+        ci = _mm_ds(ai, cm)
+        sr = _mm_ds(ar, sm)
+        si = _mm_ds(ai, sm)
+        return cr + sign * si, ci - sign * sr
     p = PRECISIONS[prec]
     t1 = jnp.matmul(ar, cm, precision=p)
     t2 = jnp.matmul(ai, sm, precision=p)
@@ -373,9 +429,8 @@ def forward_dft_pruned(grid, axes_dft, *, real: bool, prec: str):
     dlast = D - 1
     if real:
         ax = axes_dft[dlast]
-        p = PRECISIONS[prec]
-        xr = jnp.matmul(grid, ax.pcos_t, precision=p)
-        xi = -jnp.matmul(grid, ax.psin_t, precision=p)
+        xr = _mm(grid, ax.pcos_t, prec)
+        xi = -_mm(grid, ax.psin_t, prec)
     else:
         xr, xi = grid[:, 0], grid[:, 1]
         xr = jnp.moveaxis(xr, 1 + dlast, -1)
@@ -414,10 +469,7 @@ def backward_dft_pruned(spec_ch, axes_dft, *, real: bool, prec: str):
     xr = jnp.moveaxis(xr, 1 + dlast, -1)
     xi = jnp.moveaxis(xi, 1 + dlast, -1)
     if real:
-        p = PRECISIONS[prec]
-        out = jnp.matmul(xr, ax.bcos_t, precision=p) - jnp.matmul(
-            xi, ax.bsin_t, precision=p
-        )
+        out = _mm(xr, ax.bcos_t, prec) - _mm(xi, ax.bsin_t, prec)
         return jnp.moveaxis(out, -1, 1 + dlast)
     xr, xi = _cplx_mm_last(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, prec)
     xr = jnp.moveaxis(xr, -1, 1 + dlast)

@@ -48,6 +48,9 @@ _PRECS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
+    # 'double' runs the kernels' contractions at HIGHEST; the compensated
+    # accumulation lives in the DFT drivers (matmul_fft._mm_ds).
+    "double": jax.lax.Precision.HIGHEST,
 }
 
 
@@ -138,7 +141,8 @@ def _build_wts_from_cells(plan, cells, fracs_rows, cs_ref, valid, pd, P,
     wts = []
     for d in range(D):
         vlist = common.window_weights(
-            plan.kernel_data[d], plan.evalmode, fracs_rows[d], cs_ref[d]
+            plan.kernel_data[d], plan.evalmode, fracs_rows[d], cs_ref[d],
+            ds=(plan.precision == "double"),
         )
         if d == 0 and valid is not None:
             vlist = [jnp.where(valid, v, 0.0) for v in vlist]
@@ -499,7 +503,8 @@ def _spread_kernel_z(
 
     def weights(cells, fracs, valid, window):
         vl0 = common.window_weights(
-            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0]
+            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0],
+            ds=(plan.precision == "double"),
         )
         if valid is not None:
             vl0 = [jnp.where(valid, v, 0.0) for v in vl0]
@@ -514,7 +519,8 @@ def _spread_kernel_z(
         mids = []
         for d in range(1, D - 1):
             vl = common.window_weights(
-                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d]
+                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d],
+                ds=(plan.precision == "double"),
             )
             mids.append(
                 common.build_wt_matrix(
@@ -522,7 +528,8 @@ def _spread_kernel_z(
                 )
             )
         vl = common.window_weights(
-            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1], cs_ref[D - 1]
+            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1],
+            cs_ref[D - 1], ds=(plan.precision == "double"),
         )
         wlast = common.build_wt_matrix(
             vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
@@ -1025,7 +1032,8 @@ def _interp_kernel_z(
 
     def weights(cells, fracs, window):
         vl0 = common.window_weights(
-            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0]
+            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0],
+            ds=(plan.precision == "double"),
         )
         if window is None:
             w0 = common.build_wt_matrix(
@@ -1038,7 +1046,8 @@ def _interp_kernel_z(
         mids = []
         for d in range(1, D - 1):
             vl = common.window_weights(
-                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d]
+                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d],
+                ds=(plan.precision == "double"),
             )
             mids.append(
                 common.build_wt_matrix(
@@ -1046,7 +1055,8 @@ def _interp_kernel_z(
                 )
             )
         vl = common.window_weights(
-            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1], cs_ref[D - 1]
+            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1],
+            cs_ref[D - 1], ds=(plan.precision == "double"),
         )
         wlast = common.build_wt_matrix(
             vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]

@@ -89,12 +89,40 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
     return c_row.astype(jnp.int32), window_weights(kd, evalmode, X, cs)
 
 
-def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray):
+def _two_sum(a, b):
+    s = a + b
+    z = s - a
+    return s, (a - (s - z)) + (b - z)
+
+
+def _two_prod(a, b):
+    """Exact f32 product a*b = p + e via Veltkamp splitting (no FMA on the
+    jnp surface; the VPU's f32 ops are exact-rounding so the split is
+    error-free)."""
+    p = a * b
+    c = 4097.0 * a  # 2^12 + 1 splits f32's 24-bit mantissa
+    a_hi = c - (c - a)
+    a_lo = a - a_hi
+    c = 4097.0 * b
+    b_hi = c - (c - b)
+    b_lo = b - b_hi
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray,
+                   *, ds: bool = False):
     """Per-node window weights from in-cell fractions only.
 
     ``X``: (1, P) in-cell fractions; ``cs``: (ncoef, 2M) coefficient array
     for this dim.  Returns 2M (1, P) arrays; entry ``t`` is the weight of
     grid node ``c - M + 1 + t``.
+
+    ``ds=True`` (precision='double' plans, f32 only): compensated Horner —
+    every step's rounding error is captured with TwoProd/TwoSum and folded
+    back, taking the weight accuracy from ~2e-6 (the measured f32 Horner
+    floor, the dominant term of the f32 pipeline) to the f32 representation
+    limit ~6e-8.
 
     Same math as ops.windows.eval_window_frac, restructured as per-node
     lane vectors (no trailing 2M axis) so everything stays in natural TPU
@@ -109,6 +137,16 @@ def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray):
         z = 2.0 * X - 1.0
         ncoef = cs.shape[0]
         vals = []
+        if ds and dt == jnp.float32:
+            for t in range(two_m):
+                v = jnp.full_like(z, cs[ncoef - 1, t])
+                ve = jnp.zeros_like(z)
+                for q in range(ncoef - 2, -1, -1):
+                    p, pe = _two_prod(v, z)
+                    v, se = _two_sum(p, jnp.full_like(z, cs[q, t]))
+                    ve = ve * z + (pe + se)
+                vals.append(v + ve)
+            return vals
         for t in range(two_m):
             v = jnp.full_like(z, cs[ncoef - 1, t])
             for q in range(ncoef - 2, -1, -1):

@@ -276,12 +276,15 @@ def point_to_cell_split(x: jnp.ndarray, n: int):
         c = jnp.mod(i.astype(jnp.int64), n).astype(jnp.int32)
         return c, X.astype(x.dtype)
 
-    # k = N / 2pi split so that x_hi * k_hi is exact in f32:
-    # k_hi keeps 12 mantissa bits, x_hi keeps 11 (11 + 12 <= 24).
+    # k = N / 2pi split so that x_hi * k_hi is exact in f32: both keep 12
+    # significand bits (11 stored + implicit), 12 + 12 <= 24.  (Round-1
+    # used a 13-bit k_hi mask — a 25-bit product whose rounding put
+    # ~2^-17 = 7.6e-6 cells of noise on the fraction, the measured floor
+    # of the whole f32 pipeline.)
     k = np.float64(n) / np.float64(TWO_PI)
     k_hi = np.float32(
         np.frombuffer(
-            (np.frombuffer(np.float32(k).tobytes(), np.uint32) & np.uint32(0xFFFFF800)).tobytes(),
+            (np.frombuffer(np.float32(k).tobytes(), np.uint32) & np.uint32(0xFFFFF000)).tobytes(),
             np.float32,
         )[0]
     )

@@ -377,6 +377,8 @@ def PlanNUFFT(
     # instead of lanes, pd_last 128-aligned so the blockform DFT reads and
     # writes the kernel layout with zero relayout.  Requires the blockform
     # DFT (pruned matmul engine) and D >= 2.
+    if precision not in ("default", "high", "highest", "double"):
+        raise ValueError(f"unknown precision {precision!r}")
     kernel_form = (
         "z"
         if (
@@ -384,6 +386,9 @@ def PlanNUFFT(
             and fft_method == "matmul"
             and fft_variant == "pruned"
             and D >= 2
+            # 'double' uses the plain pruned drivers (single contracted axis)
+            # so the compensated accumulation wraps every contraction.
+            and precision != "double"
         )
         else "yz"
     )
@@ -506,6 +511,7 @@ def PlanNUFFT(
         fft_method == "matmul"
         and fft_variant == "pruned"
         and spread_method == "blocked"
+        and precision != "double"
     ):
         from .ops import matmul_fft
 
