@@ -329,9 +329,11 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     ``sub_lx`` (optional, values in [0, sub_range)) sub-sorts points within
     each block — used with the per-point dim-0 cell so each batch's points
     span a narrow x-window, which is what enables the kernels' windowed
-    accumulation (``window = (m, W, pd0)`` then also returns per-batch
-    8-aligned window row starts ``batch_r0``; -1 marks batches that must
-    take the full-accumulator fallback: left-edge wrap or span > W).
+    accumulation (``window = (m, W, pd0, align)`` then also returns
+    per-batch window row starts ``batch_r0`` rounded down to ``align`` (the
+    kernel's sublane-offset granule: 8 for the yz form, 1 for the z form
+    whose row offsets are rm-strided); -1 marks batches that must take the
+    full-accumulator fallback: left-edge wrap or span > W).
 
     Returns ``(slot_to_point, slot_valid, point_slots, batch_starts,
     batch_r0)``.
@@ -398,14 +400,14 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
 
     batch_r0 = None
     if window is not None:
-        m_, W, pd0 = window
+        m_, W, pd0, align = window
         cap = max(np_ - 1, 0)
         first_c = jnp.take(sorted_key, jnp.clip(first_sorted, 0, cap)) % jnp.int32(sub_range)
         last_i = jnp.clip(jnp.minimum(first_sorted + P, limit_sorted) - 1, 0, cap)
         last_c = jnp.take(sorted_key, last_i) % jnp.int32(sub_range)
         i_min = first_c - (m_ - 1)  # lowest row: j = lx - M + 1 (t = 0)
         i_max = last_c + m_  # highest row: j = lx + M (t = 2M - 1)
-        r0 = jnp.clip((i_min // 8) * 8, 0, pd0 - W)
+        r0 = jnp.clip((i_min // align) * align, 0, pd0 - W)
         ok = (first_c >= m_ - 1) & (i_max < r0 + W)
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 
@@ -497,7 +499,7 @@ def packed_layout(
 
     batch_r0 = None
     if window is not None:
-        m_, W, pd0 = window
+        m_, W, pd0, align = window
         nbatches_max = np_pad // P + nblocks
         bidx = jnp.arange(nbatches_max, dtype=jnp.int32)
         blk = jnp.clip(
@@ -518,7 +520,7 @@ def packed_layout(
         last_c = kl // jnp.int32(yz_cells)
         i_min = first_c - (m_ - 1)
         i_max = last_c + m_
-        r0 = jnp.clip((i_min // 8) * 8, 0, pd0 - W)
+        r0 = jnp.clip((i_min // align) * align, 0, pd0 - W)
         ok = (first_c >= m_ - 1) & (i_max < r0 + W) & (last >= first)
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 

@@ -122,24 +122,24 @@ def pad_axis(x: jnp.ndarray, axis: int, ranges, n_over: int) -> jnp.ndarray:
 
 
 def _apply_uniform_callback(w: jnp.ndarray, callback) -> jnp.ndarray:
-    """Apply the reference-semantics uniform callback ``(w_tuple, idx_tuple) ->
-    w_tuple`` at every grid point, vectorised with vmap.  ``w`` has shape
-    ``(C,) + grid_shape``."""
+    """Apply the reference-semantics uniform callback ``(w_tuple, idx_tuple)
+    -> w_tuple`` at every grid point.  ``w`` has shape ``(C,) + grid_shape``.
+
+    The callback is called ONCE with whole-grid component arrays and
+    broadcast per-dimension index arrays (XLA fuses the iotas into the
+    surrounding elementwise work — nothing is materialised), the TPU
+    counterpart of the reference fusing the callback into its deconvolve
+    loops at zero cost (src/NonuniformFFTs.jl:376-464).  Callbacks written
+    as jnp expressions vectorise unchanged; data-dependent Python control
+    flow was never supported (the values are traced either way)."""
     C = w.shape[0]
     shape = w.shape[1:]
     D = len(shape)
-    flat = w.reshape(C, -1).T  # (P, C)
-    idx = jnp.stack(
-        [g.reshape(-1) for g in jnp.meshgrid(*[jnp.arange(n) for n in shape], indexing="ij")],
-        axis=-1,
-    )  # (P, D)
-
-    def one(v, i):
-        out = callback(tuple(v[c] for c in range(C)), tuple(i[d] for d in range(D)))
-        return jnp.stack(list(out))
-
-    out = jax.vmap(one)(flat, idx)  # (P, C)
-    return out.T.reshape((C,) + shape)
+    idx = tuple(
+        jax.lax.broadcasted_iota(jnp.int32, shape, d) for d in range(D)
+    )
+    out = callback(tuple(w[c] for c in range(C)), idx)
+    return jnp.stack(list(out))
 
 
 def deconvolve_truncate(

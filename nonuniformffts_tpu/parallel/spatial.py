@@ -382,7 +382,7 @@ def _route_and_sort(plan: Plan, pts_l, n, cap, nb0_local, nblocks_local, ax):
     B0 = plan.block_dims[0]
     if plan.window_rows is not None:
         pd0 = (plan.padded_dims or (0,))[0]
-        window = (plan.m, plan.window_rows, pd0)
+        window = (plan.m, plan.window_rows, pd0, plan.window_align)
         # Invalid/parked lanes must keep their parking-bin ordering; their
         # sub-key is irrelevant (never read by a program).
         sub_lx = jnp.where(in_range, cells_r[0] % jnp.int32(B0), 0)

@@ -193,6 +193,18 @@ class Plan:
             out *= TWO_PI / n
         return out
 
+    @property
+    def window_align(self) -> int:
+        """Sublane-offset granule for the windowed accumulation's per-batch
+        row start r0: the yz-form kernels slice the accumulator at sublane
+        offset ``c*pd0 + r0`` (must be 8-aligned); the z-form's offsets are
+        ``(c*pd0 + r0) * rm`` with rm = prod(padded mid dims) an 8-multiple
+        for D >= 3, so r0 there needs no alignment at all (tighter windows,
+        more batches qualify)."""
+        if self.kernel_form == "z" and self.ndim >= 3:
+            return 1
+        return 8
+
     # Convenience (functional) methods mirroring the reference's API.
     def set_points(self, points) -> "Plan":
         return set_points(self, points)
@@ -359,7 +371,12 @@ def PlanNUFFT(
         # machinery's fixed overhead dominates; elsewhere (CPU tests) the
         # vectorised reference path is the sane default.
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        tiny = np_hint is not None and np_hint < 4096
+        # The blocked path wins on TPU at every density measured (XLA lowers
+        # the reference path's scatter serially there); density only shifts
+        # the geometry (choose_geometry picks coarse blocks at low np_hint).
+        # The reference path remains the default off-TPU and for truly tiny
+        # problems where even one Pallas grid launch dominates.
+        tiny = np_hint is not None and np_hint < 1024
         spread_method = "blocked" if (on_tpu and not tiny) else "reference"
 
     # FFT engine decision first — it determines the kernel buffer form.
@@ -467,13 +484,21 @@ def PlanNUFFT(
             for n_over in shape_over:
                 total_ *= n_over
             avg = (np_hint if np_hint else max(int(0.05 * total_), 1)) / nblocks_
-            # Expected dim-0 cell span of one batch + the 2M window rows +
-            # up to 7 rows of 8-alignment slack on r0; batches exceeding W
-            # take the full-accumulator fallback, so this is a tuning knob.
+            # Expected dim-0 cell span of one batch + the 2M window rows;
+            # batches exceeding W take the full-accumulator fallback, so
+            # this is a tuning knob.  The yz form slices the accumulator at
+            # an 8-aligned sublane offset (up to 7 rows of slack); the
+            # z form's row offsets are pd1-strided (already aligned), so W
+            # needs no slack and no rounding.
             span = block_dims[0] * min(1.0, batch_size / max(avg, 1.0))
-            window_rows = round_up(int(span) + 2 * m + 8, 8)
+            if kernel_form == "z" and D >= 3:
+                window_rows = int(span) + 2 * m + 2
+            else:
+                window_rows = round_up(int(span) + 2 * m + 8, 8)
         elif window_rows:
-            window_rows = round_up(int(window_rows), 8)
+            if not (kernel_form == "z" and D >= 3):
+                window_rows = round_up(int(window_rows), 8)
+            window_rows = int(window_rows)
         else:
             window_rows = None
         if window_rows is not None and window_rows >= pd0_:
@@ -615,7 +640,7 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
 
     window = None
     if plan.window_rows is not None:
-        window = (plan.m, plan.window_rows, plan.padded_dims[0])
+        window = (plan.m, plan.window_rows, plan.padded_dims[0], plan.window_align)
     return packed_layout(
         plan.kernel_data, plan.block_dims, pts, plan.batch_size, window=window
     )
@@ -648,7 +673,7 @@ def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     sub_lx = None
     B0 = plan.block_dims[0]
     if plan.window_rows is not None:
-        window = (plan.m, plan.window_rows, plan.padded_dims[0])
+        window = (plan.m, plan.window_rows, plan.padded_dims[0], plan.window_align)
         sub_lx = cells[0] % jnp.int32(B0)
     s2p, valid, point_slots, batch_starts, batch_r0 = slot_layout(
         bid.astype(jnp.int32), nblocks, plan.batch_size,

@@ -12,6 +12,8 @@ Env: PROF_N (grid, default 256), PROF_BLOCKS ("a,b,c"), PROF_REAL=1 (r2c).
 
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
