@@ -649,6 +649,44 @@ def backward_dft_blockform(spec_ch, axes_block, *, real: bool, prec: str):
     )
 
 
+def _axis_sizes(axes_block):
+    """(L_d, k_d) per axis from the forward factor shapes (L = padded
+    block-form extent, k = kept modes)."""
+    Ls, ks = [], []
+    for ax in axes_block:
+        shape = ax.pcos_t.shape
+        ks.append(int(shape[-1]))
+        L = 1
+        for s in shape[:-1]:
+            L *= int(s)
+        Ls.append(L)
+    return Ls, ks
+
+
+def _best_fwd_order(axes_block, cands):
+    """Contraction order (over ``cands`` axis indices) minimising total MACs
+    of the Karatsuba pair-dots: the padded L_d extents differ per axis
+    (mid-dim 8-rounding inflates more than the 128-rounded last dim), so the
+    greedy textbook order is ~10-20%% off the optimum at 256^3 geometries."""
+    import itertools
+
+    Ls, ks = _axis_sizes(axes_block)
+    D = len(axes_block)
+    best, best_cost = None, None
+    for order in itertools.permutations(cands):
+        cur = list(Ls)
+        tot = 0
+        for a in order:
+            out = 1
+            for d in range(D):
+                out *= ks[a] if d == a else cur[d]
+            tot += out * cur[a]
+            cur[a] = ks[a]
+        if best_cost is None or tot < best_cost:
+            best_cost, best = tot, order
+    return best
+
+
 def forward_dft_blockform_z(buf, axes_block, *, real: bool, prec: str):
     """Z-form forward DFT + halo merge + relayout + truncation +
     deconvolution.
@@ -658,7 +696,11 @@ def forward_dft_blockform_z(buf, axes_block, *, real: bool, prec: str):
     channel-2 axis; the last axis is the MERGED (nb_last * pd_last) extent
     (the kernels' lane dim is pd_last directly, so no relayout exists in
     either direction).  Returns the channel-form non-oversampled spectrum
-    (C, 2) + spectral_shape (unnormalised)."""
+    (C, 2) + spectral_shape (unnormalised).
+
+    Axes contract in the MAC-minimising order (_best_fwd_order); the final
+    transpose to natural spectral order runs on the small truncated
+    spectrum.  r2c plans must contract the (real) last axis first."""
     D = len(axes_block)
     if real:
         ax = axes_block[D - 1]
@@ -668,23 +710,31 @@ def forward_dft_blockform_z(buf, axes_block, *, real: bool, prec: str):
         xr = jax.lax.dot_general(buf, ax.pcos_t, dn, precision=p)
         xi = -jax.lax.dot_general(buf, ax.psin_t, dn, precision=p)
         # (C, nb0, pd0, .., k_last); contract the (nb, pd) pairs.
-        for d in range(D - 1):
-            lhs = (1, 2)
-            ax = axes_block[d]
-            xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec)
-        # layout (C, k_{D-1}, k_0, .., k_{D-2}) -> natural order.
-        perm = (0,) + tuple(range(2, D + 1)) + (1,)
-        return jnp.stack(
-            [jnp.transpose(xr, perm), jnp.transpose(xi, perm)], axis=1
-        )
-    xr, xi = buf[:, 0], buf[:, 1]
-    for d in range(D - 1):
-        lhs = (1, 2)
-        ax = axes_block[d]
+        order = (D - 1,) + _best_fwd_order(axes_block, range(D - 1))
+        entries = [("pair", d) for d in range(D - 1)] + [("k", D - 1)]
+    else:
+        xr, xi = buf[:, 0], buf[:, 1]
+        order = _best_fwd_order(axes_block, range(D))
+        entries = [("pair", d) for d in range(D - 1)] + [("merged", D - 1)]
+    for a in order:
+        if real and a == D - 1:
+            continue  # contracted above
+        pos = next(i for i, e in enumerate(entries) if e[1] == a)
+        off = 1
+        for e in entries[:pos]:
+            off += 2 if e[0] == "pair" else 1
+        width = 2 if entries[pos][0] == "pair" else 1
+        lhs = tuple(range(off, off + width))
+        ax = axes_block[a]
         xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec)
-    # now (C, L_last, k_0, .., k_{D-2}); contract the merged last axis.
-    ax = axes_block[D - 1]
-    xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, (1,), prec)
+        entries.pop(pos)
+        entries.append(("k", a))
+    # entries now [('k', a) in completion order]; permute to natural order.
+    done = [e[1] for e in entries]
+    perm = (0,) + tuple(1 + done.index(d) for d in range(D))
+    if perm != tuple(range(D + 1)):
+        xr = jnp.transpose(xr, perm)
+        xi = jnp.transpose(xi, perm)
     return jnp.stack([xr, xi], axis=1)
 
 

@@ -200,15 +200,34 @@ def _decode_packed(plan, pts_b):
     return cells, fracs, idx
 
 
-def _channel_selector(CR: int, rows_per_c: int, dtype):
-    """0/1 row-expansion selector B[c*rows + x, c'] = (c == c') — expands
-    per-channel rows to the channel-stacked layout with an exact matmul
-    (Mosaic rejects the boundary-crossing reshape/broadcast forms)."""
-    row_c = jax.lax.broadcasted_iota(
-        jnp.int32, (CR * rows_per_c, CR), 0
-    ) // rows_per_c
-    col_c = jax.lax.broadcasted_iota(jnp.int32, (CR * rows_per_c, CR), 1)
-    return (row_c == col_c).astype(dtype)
+def _stack_weighted(w: jnp.ndarray, vals_b: jnp.ndarray, CR: int):
+    """Channel-stacked weighted rows: out[c*R + r, p] = w[r, p] * v[c, p].
+
+    Per-channel sublane-broadcast multiplies + one concat — replaces the
+    round-1 0/1 selector matmul, whose K=CR 6-pass HIGHEST dot cost ~0.5 us
+    of MXU pipeline drain per batch (measured round 2: the selector dots
+    were ~20%% of the kernel time)."""
+    return jnp.concatenate(
+        [w * vals_b[c : c + 1, :] for c in range(CR)], axis=0
+    )
+
+
+def _channel_rowsum(t: jnp.ndarray, w: jnp.ndarray, CR: int, R: int):
+    """Per-channel weighted row reduction: out[c, p] = sum_r t[c*R + r, p] *
+    w[r, p] — the interp-side replacement of the 0/1 channel-sum selector
+    matmul (cross-sublane jnp.sum lowers to log-depth shuffles on the VPU,
+    far cheaper than a tiny M=CR 6-pass dot)."""
+    return jnp.concatenate(
+        [
+            jnp.sum(
+                jax.lax.slice_in_dim(t, c * R, (c + 1) * R, axis=0) * w,
+                axis=0,
+                keepdims=True,
+            )
+            for c in range(CR)
+        ],
+        axis=0,
+    )
 
 
 def _qt_matrix(wts, yz, P):
@@ -285,13 +304,19 @@ def _z_wrows(w0, mids, P):
 # ---------------------------------------------------------------------------
 
 
-NBUF = 4  # point/value DMA pipeline depth (see _spread_kernel)
+NBUF = 4  # DMA pipeline depth at SUPER == 1 (see _spread_kernel)
+NBUF_SUPER = 2  # pipeline depth for super-batched DMA (latency amortised)
+SUPER_DEFAULT = 4  # batches per DMA descriptor (plan.dma_super)
+
+
+def _nbuf(SUPER: int) -> int:
+    return NBUF if SUPER == 1 else NBUF_SUPER
 
 
 def _spread_kernel(
     starts_ref, pstarts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
     acc_ref, pv_buf, sem_pv,
-    *, plan, CR, DP, nb, pd, yz, P, W, layout,
+    *, plan, CR, DP, nb, pd, yz, P, W, layout, SUPER,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -310,34 +335,34 @@ def _spread_kernel(
         s0 = pstarts_ref[b]
         s1 = pstarts_ref[b + 1]
         base = (s0 // P) * P
+    NB = _nbuf(SUPER)
+    SB = SUPER * P
+    nsuper = (nbatch + SUPER - 1) // SUPER
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # NBUF-deep pipelined DMA of the combined (points ++ values) rows: one
-    # descriptor per batch (separate point/value copies doubled the ~1-2 us
-    # per-descriptor latency, which exceeds the ~1 us batch compute and
-    # dominated at high density — rho=1 profiling), with NBUF-1 batches in
-    # flight to cover the latency.
+    # Pipelined DMA of the combined (points ++ values) rows, SUPER batches
+    # per descriptor: the scalar core's per-descriptor issue cost (~1-2 us,
+    # round-1 profiling) exceeds a single batch's compute, so descriptors
+    # carry SUPER*P lanes and the inner loop peels P-wide sub-batches at
+    # traced 128-aligned lane offsets (no static slot branching needed —
+    # Mosaic supports dynamic lane slices with a multiple_of proof).
     def dma(slot, j):
         if layout == "packed":
-            off = pl.multiple_of(base + j * P, P)
+            off = pl.multiple_of(base + j * SB, P)
         else:
-            off = pl.multiple_of((start_b + j) * P, P)
+            off = pl.multiple_of((start_b + j * SUPER) * P, P)
+        dst = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            pv_hbm.at[:, pl.ds(off, P)], pv_buf.at[slot], sem_pv.at[slot]
+            pv_hbm.at[:, pl.ds(off, SB)],
+            pv_buf.at[:, pl.ds(dst, SB)],
+            sem_pv.at[slot],
         )
 
-    for j in range(NBUF - 1):
-        @pl.when(j < nbatch)
+    for j in range(NB - 1):
+        @pl.when(j < nsuper)
         def _(j=j):
             dma(j, j).start()
-
-    # Row-expansion selector: B_sel[c*p0 + x, c'] = (c == c'), so
-    # B_sel @ v expands per-channel rows to the stacked (CR*p0, P) layout
-    # with an exact 0/1 matmul — Mosaic rejects the boundary-crossing
-    # (CR, p0, P) reshape/broadcast forms as unsupported gathers.
-    b_sel = _channel_selector(CR, pd[0], acc_ref.dtype)
-    b_sel_w = _channel_selector(CR, W, acc_ref.dtype) if W else None
 
     def decode(pv_b, i):
         pts_b = pv_b[:DP]
@@ -361,13 +386,7 @@ def _spread_kernel(
         # acc (CR*p0, YZ) += sum_p Wv[cx, p] qt[yz, p].  One matmul with
         # M = CR*p0: MXU row utilisation and CR scaling both come from the
         # stacking (no Python channel loop in the contraction).
-        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*p0, P)
-        v_rows = jax.lax.dot_general(
-            b_sel, vals_b[:CR, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (CR*p0, P): row c*p0+x = v[c]
-        wv = w_tiled * v_rows
+        wv = _stack_weighted(wts[0], vals_b, CR)  # (CR*p0, P)
         prod = jax.lax.dot_general(
             wv, qt, (((1,), (1,)), ((), ())),
             preferred_element_type=acc_ref.dtype,
@@ -386,13 +405,7 @@ def _spread_kernel(
             plan, cells, fracs, cs_ref, valid, pd, P, window=(W, r0)
         )
         qt = _qt_matrix(wts, yz, P)
-        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*W, P)
-        v_rows = jax.lax.dot_general(
-            b_sel_w, vals_b[:CR, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        wv = w_tiled * v_rows
+        wv = _stack_weighted(wts[0], vals_b, CR)  # (CR*W, P)
         prod = jax.lax.dot_general(
             wv, qt, (((1,), (1,)), ((), ())),
             preferred_element_type=acc_ref.dtype,
@@ -405,36 +418,38 @@ def _spread_kernel(
                 prod, c * W, (c + 1) * W, axis=0
             )
 
-    def body(i, carry):
-        slot = i % NBUF
+    nr0 = r0s_ref.shape[0]
 
-        @pl.when(i + NBUF - 1 < nbatch)
+    def body(i, carry):
+        slot = i % NB
+
+        @pl.when(i + NB - 1 < nsuper)
         def _():
-            dma((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
+            dma((i + NB - 1) % NB, i + NB - 1).start()
 
         dma(slot, i).wait()
-        # Mosaic cannot load a VMEM value at a traced leading index; the
-        # slot choice is branched statically instead (DMAs/semaphores above
-        # *do* take traced .at[slot] indices).
-        if W:
-            r0 = r0s_ref[start_b + i]
-            for s in range(NBUF):
-                @pl.when((slot == s) & (r0 >= 0))
-                def _(s=s):
-                    compute_win(pv_buf[s], i, r0)
+        for k in range(SUPER):
+            gi = i * SUPER + k
+            src = pl.multiple_of(slot * SB + k * P, P)
+            pv_b = pv_buf[:, pl.ds(src, P)]
+            if W:
+                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
 
-                @pl.when((slot == s) & (r0 < 0))
-                def _(s=s):
-                    compute(pv_buf[s], i)
-        else:
-            for s in range(NBUF):
-                @pl.when(slot == s)
-                def _(s=s):
-                    compute(pv_buf[s], i)
+                @pl.when((gi < nbatch) & (r0 >= 0))
+                def _(pv_b=pv_b, gi=gi, r0=r0):
+                    compute_win(pv_b, gi, r0)
+
+                @pl.when((gi < nbatch) & (r0 < 0))
+                def _(pv_b=pv_b, gi=gi):
+                    compute(pv_b, gi)
+            else:
+                @pl.when(gi < nbatch)
+                def _(pv_b=pv_b, gi=gi):
+                    compute(pv_b, gi)
 
         return carry
 
-    jax.lax.fori_loop(0, nbatch, body, 0)
+    jax.lax.fori_loop(0, nsuper, body, 0)
     # Un-stack channels with static sublane slices (one write per channel;
     # a (CR*p0, yz) -> (CR, 1.., p0, yz) reshape would be a boundary-
     # crossing relayout Mosaic lowers as an unsupported gather).
@@ -447,7 +462,7 @@ def _spread_kernel(
 def _spread_kernel_z(
     starts_ref, pstarts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
     acc_ref, pv_buf, sem_pv,
-    *, plan, CR, DP, nb, pd, P, W, layout,
+    *, plan, CR, DP, nb, pd, P, W, layout, SUPER,
 ):
     """Z-form spreading: accumulator (CR*pd0*prod(pd_mid), pd_last); the
     x-window lives in MXU rows (M = CR*W0*prod(pd_mid)), the contraction's
@@ -465,25 +480,28 @@ def _spread_kernel_z(
         base = (s0 // P) * P
     rm = _rows_mid(pd)
     pdL = pd[-1]
+    NB = _nbuf(SUPER)
+    SB = SUPER * P
+    nsuper = (nbatch + SUPER - 1) // SUPER
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def dma(slot, j):
         if layout == "packed":
-            off = pl.multiple_of(base + j * P, P)
+            off = pl.multiple_of(base + j * SB, P)
         else:
-            off = pl.multiple_of((start_b + j) * P, P)
+            off = pl.multiple_of((start_b + j * SUPER) * P, P)
+        dst = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            pv_hbm.at[:, pl.ds(off, P)], pv_buf.at[slot], sem_pv.at[slot]
+            pv_hbm.at[:, pl.ds(off, SB)],
+            pv_buf.at[:, pl.ds(dst, SB)],
+            sem_pv.at[slot],
         )
 
-    for j in range(NBUF - 1):
-        @pl.when(j < nbatch)
+    for j in range(NB - 1):
+        @pl.when(j < nsuper)
         def _(j=j):
             dma(j, j).start()
-
-    b_sel = _channel_selector(CR, pd[0] * rm, acc_ref.dtype)
-    b_sel_w = _channel_selector(CR, W * rm, acc_ref.dtype) if W else None
 
     def decode(pv_b, i):
         pts_b = pv_b[:DP]
@@ -540,13 +558,7 @@ def _spread_kernel_z(
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, None)  # (pd0*rm, P), (pdL, P)
-        w_tiled = jnp.concatenate([wr] * CR, axis=0)
-        v_rows = jax.lax.dot_general(
-            b_sel, vals_b[:CR, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        wv = w_tiled * v_rows
+        wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*pd0*rm, P)
         prod = jax.lax.dot_general(
             wv, wlast, (((1,), (1,)), ((), ())),
             preferred_element_type=acc_ref.dtype,
@@ -558,13 +570,7 @@ def _spread_kernel_z(
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, r0)  # (W*rm, P), (pdL, P)
-        w_tiled = jnp.concatenate([wr] * CR, axis=0)
-        v_rows = jax.lax.dot_general(
-            b_sel_w, vals_b[:CR, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        wv = w_tiled * v_rows
+        wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*rm, P)
         prod = jax.lax.dot_general(
             wv, wlast, (((1,), (1,)), ((), ())),
             preferred_element_type=acc_ref.dtype,
@@ -579,33 +585,38 @@ def _spread_kernel_z(
                 prod, c * W * rm, (c + 1) * W * rm, axis=0
             )
 
-    def body(i, carry):
-        slot = i % NBUF
+    nr0 = r0s_ref.shape[0]
 
-        @pl.when(i + NBUF - 1 < nbatch)
+    def body(i, carry):
+        slot = i % NB
+
+        @pl.when(i + NB - 1 < nsuper)
         def _():
-            dma((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
+            dma((i + NB - 1) % NB, i + NB - 1).start()
 
         dma(slot, i).wait()
-        if W:
-            r0 = r0s_ref[start_b + i]
-            for s in range(NBUF):
-                @pl.when((slot == s) & (r0 >= 0))
-                def _(s=s):
-                    compute_win(pv_buf[s], i, r0)
+        for k in range(SUPER):
+            gi = i * SUPER + k
+            src = pl.multiple_of(slot * SB + k * P, P)
+            pv_b = pv_buf[:, pl.ds(src, P)]
+            if W:
+                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
 
-                @pl.when((slot == s) & (r0 < 0))
-                def _(s=s):
-                    compute(pv_buf[s], i)
-        else:
-            for s in range(NBUF):
-                @pl.when(slot == s)
-                def _(s=s):
-                    compute(pv_buf[s], i)
+                @pl.when((gi < nbatch) & (r0 >= 0))
+                def _(pv_b=pv_b, gi=gi, r0=r0):
+                    compute_win(pv_b, gi, r0)
+
+                @pl.when((gi < nbatch) & (r0 < 0))
+                def _(pv_b=pv_b, gi=gi):
+                    compute(pv_b, gi)
+            else:
+                @pl.when(gi < nbatch)
+                def _(pv_b=pv_b, gi=gi):
+                    compute(pv_b, gi)
 
         return carry
 
-    jax.lax.fori_loop(0, nbatch, body, 0)
+    jax.lax.fori_loop(0, nsuper, body, 0)
     # Write the block: split the row dim (c, i0[, i1]) with leading-dim /
     # 8-aligned-sublane reshapes only.
     for c in range(CR):
@@ -665,6 +676,9 @@ def spread_blocked(
     pstarts = (
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )
+    SUPER = plan.dma_super_eff
+    NB = _nbuf(SUPER)
+    SB = SUPER * P
 
     def run_chunk(vals_chunk):
         """One Pallas pass over a channel chunk (CRc rows of values)."""
@@ -672,7 +686,8 @@ def spread_blocked(
         CRPc = common.round_up(CRc, 8)
         if layout == "packed":
             # Values permute to sorted order with one gather; edge/tail
-            # lanes are masked in-kernel (no zeroing pass needed).
+            # lanes are masked in-kernel (no zeroing pass needed).  The
+            # sort_perm is pre-padded for the super-batch DMA overhang.
             vals = jnp.take(vals_chunk.astype(rdt), plan.sort_perm, axis=1)
             if CRPc != CRc:
                 vals = jnp.pad(vals, ((0, CRPc - CRc), (0, 0)))
@@ -681,7 +696,8 @@ def spread_blocked(
                 vals_chunk.astype(rdt), plan.slot_to_point, plan.slot_valid,
                 rows=CRPc,
             )
-        # Combined rows [points ; values]: each batch is ONE DMA descriptor.
+        # Combined rows [points ; values]: each super-batch is ONE DMA
+        # descriptor of SUPER*P lanes.
         pv = jnp.concatenate([pts.astype(rdt), vals], axis=0)
         if plan.kernel_form == "z":
             rm = _rows_mid(pd)
@@ -691,12 +707,12 @@ def spread_blocked(
             out_shape = jax.ShapeDtypeStruct(_z_buffer_shape(CRc, nb, pd), rdt)
             scratch = [
                 pltpu.VMEM((CRc * pd[0] * rm, pd[-1]), rdt),
-                pltpu.VMEM((NBUF, DP + CRPc, P), rdt),
-                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.VMEM((DP + CRPc, NB * SB), rdt),
+                pltpu.SemaphoreType.DMA((NB,)),
             ]
             kernel = functools.partial(
                 _spread_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
-                P=P, W=W, layout=layout,
+                P=P, W=W, layout=layout, SUPER=SUPER,
             )
         else:
             out_specs = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), out_index)
@@ -705,12 +721,12 @@ def spread_blocked(
             )
             scratch = [
                 pltpu.VMEM((CRc * pd[0], yz), rdt),
-                pltpu.VMEM((NBUF, DP + CRPc, P), rdt),
-                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.VMEM((DP + CRPc, NB * SB), rdt),
+                pltpu.SemaphoreType.DMA((NB,)),
             ]
             kernel = functools.partial(
                 _spread_kernel, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd, yz=yz,
-                P=P, W=W, layout=layout,
+                P=P, W=W, layout=layout, SUPER=SUPER,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -768,7 +784,7 @@ def spread_blocked(
 def _interp_kernel(
     starts_ref, pstarts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref,
     out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, nb, pd, yz, P, W, layout,
+    *, plan, CR, nb, pd, yz, P, W, layout, SUPER,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -781,6 +797,9 @@ def _interp_kernel(
         s0 = pstarts_ref[b]
         s1 = pstarts_ref[b + 1]
         base = (s0 // P) * P
+    NB = _nbuf(SUPER)
+    SB = SUPER * P
+    nsuper = (nbatch + SUPER - 1) // SUPER
 
     # Channel-stacked block (CR*p0, YZ), hoisted out of the batch loop into
     # a VMEM scratch (static per-channel loads + sublane concat; a merging
@@ -790,37 +809,35 @@ def _interp_kernel(
     gblk_ref[...] = jnp.concatenate(
         [blk_ref[(c,) + (0,) * len(nb)] for c in range(CR)], axis=0
     )
-    # Channel-summing selector: A_sel[c, c'*p0 + x] = (c == c') so that
-    # A_sel @ (W0T-weighted T) reduces each channel's p0 rows exactly.
-    a_row = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0]), 0)
-    a_col = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0]), 1) // pd[0]
-    a_sel = (a_row == a_col).astype(res_buf.dtype)
-    if W:
-        a_row_w = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * W), 0)
-        a_col_w = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * W), 1) // W
-        a_sel_w = (a_row_w == a_col_w).astype(res_buf.dtype)
-
     def dma_p(slot, j):
         if layout == "packed":
-            off = pl.multiple_of(base + j * P, P)
+            off = pl.multiple_of(base + j * SB, P)
         else:
-            off = pl.multiple_of((start_b + j) * P, P)
+            off = pl.multiple_of((start_b + j * SUPER) * P, P)
+        dst = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
+            pts_hbm.at[:, pl.ds(off, SB)],
+            pts_buf.at[:, pl.ds(dst, SB)],
+            sem_p.at[slot],
         )
 
     def res_dma(slot, j):
         # Results always land in the batch-slot layout (the packed input
-        # windows of neighbouring blocks overlap; outputs must not).
-        off = pl.multiple_of((start_b + j) * P, P)
+        # windows of neighbouring blocks overlap; outputs must not).  A
+        # super-batch's tail lanes past nbatch carry stale data; they fall
+        # in the next program's slot range (overwritten — programs run in
+        # ascending order) or past block_starts[-1]*P (masked by the
+        # un-permute's `written` mask).
+        off = pl.multiple_of((start_b + j * SUPER) * P, P)
+        src = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off, P)], sem_r.at[slot]
+            res_buf.at[:, pl.ds(src, SB)],
+            out_ref.at[:, pl.ds(off, SB)],
+            sem_r.at[slot],
         )
 
-    # NBUF-deep point prefetch (per-descriptor latency exceeds the batch
-    # compute; 2 slots could not cover it — see _spread_kernel).
-    for j in range(NBUF - 1):
-        @pl.when(j < nbatch)
+    for j in range(NB - 1):
+        @pl.when(j < nsuper)
         def _(j=j):
             dma_p(j, j).start()
 
@@ -834,19 +851,19 @@ def _interp_kernel(
             valid = None
         return cells, fracs, idx, valid
 
-    def emit_keys(res_slot_ref, idx, valid):
+    def emit_keys(roff, idx, valid):
         # Packed layout: row CR carries the original point index of each
         # lane (sentinel INT32_MAX on masked lanes) for the masked-sort
         # un-permute; travels bit-cast in the f32 result buffer.
         key = jnp.where(valid, idx, jnp.int32(2**31 - 1))
         if res_buf.dtype == jnp.float64:
-            res_slot_ref[CR : CR + 1, :] = key.astype(res_buf.dtype)
+            res_buf[CR : CR + 1, pl.ds(roff, P)] = key.astype(res_buf.dtype)
         else:
-            res_slot_ref[CR : CR + 1, :] = jax.lax.bitcast_convert_type(
+            res_buf[CR : CR + 1, pl.ds(roff, P)] = jax.lax.bitcast_convert_type(
                 key, jnp.float32
             )
 
-    def compute(pts_b, res_slot_ref, i):
+    def compute(pts_b, roff, i):
         cells, fracs, idx, valid = decode(pts_b, i)
         wts = _build_wts_from_cells(plan, cells, fracs, cs_ref, None, pd, P)
         qt = _qt_matrix(wts, yz, P)
@@ -857,19 +874,13 @@ def _interp_kernel(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )
-        # v (CR, P) = sum_x W0T[x, p] * T[c*p0 + x, p]: weight with the
-        # tiled W0T, then reduce each channel's p0 rows with the exact 0/1
-        # selector matmul.
-        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*p0, P)
-        res_slot_ref[:CR, :] = jax.lax.dot_general(
-            a_sel, t * w_tiled, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # v (CR, P) = sum_x W0T[x, p] * T[c*p0 + x, p]: per-channel weighted
+        # VPU row reduction (replaces the round-1 0/1 selector matmul).
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wts[0], CR, pd[0])
         if layout == "packed":
-            emit_keys(res_slot_ref, idx, valid)
+            emit_keys(roff, idx, valid)
 
-    def compute_win(pts_b, res_slot_ref, i, r0):
+    def compute_win(pts_b, roff, i, r0):
         # Windowed gather: only rows [r0, r0+W) of each channel's padded
         # block contribute to this batch (see _spread_kernel.compute_win).
         cells, fracs, idx, valid = decode(pts_b, i)
@@ -889,63 +900,62 @@ def _interp_kernel(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )
-        w_tiled = jnp.concatenate([wts[0]] * CR, axis=0)  # (CR*W, P)
-        res_slot_ref[:CR, :] = jax.lax.dot_general(
-            a_sel_w, t * w_tiled, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wts[0], CR, W)
         if layout == "packed":
-            emit_keys(res_slot_ref, idx, valid)
+            emit_keys(roff, idx, valid)
+
+    nr0 = r0s_ref.shape[0]
 
     def body(i, carry):
-        slot = i % NBUF
+        slot = i % NB
 
-        @pl.when(i + NBUF - 1 < nbatch)
+        @pl.when(i + NB - 1 < nsuper)
         def _():
-            dma_p((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
+            dma_p((i + NB - 1) % NB, i + NB - 1).start()
 
         dma_p(slot, i).wait()
-        # Wait for the result DMA of batch i-NBUF (same slot) before
-        # overwriting its buffer; static-slot branches (Mosaic cannot load
-        # VMEM values at traced leading indices).
-        @pl.when(i >= NBUF)
+        # Wait for the result DMA of super-batch i-NB (same slot) before
+        # overwriting its buffer.
+        @pl.when(i >= NB)
         def _():
-            res_dma(slot, i - NBUF).wait()
+            res_dma(slot, i - NB).wait()
 
-        if W:
-            r0 = r0s_ref[start_b + i]
-            for s in range(NBUF):
-                @pl.when((slot == s) & (r0 >= 0))
-                def _(s=s):
-                    compute_win(pts_buf[s], res_buf.at[s], i, r0)
+        for k in range(SUPER):
+            gi = i * SUPER + k
+            off = pl.multiple_of(slot * SB + k * P, P)
+            pts_b = pts_buf[:, pl.ds(off, P)]
+            if W:
+                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
 
-                @pl.when((slot == s) & (r0 < 0))
-                def _(s=s):
-                    compute(pts_buf[s], res_buf.at[s], i)
-        else:
-            for s in range(NBUF):
-                @pl.when(slot == s)
-                def _(s=s):
-                    compute(pts_buf[s], res_buf.at[s], i)
+                @pl.when((gi < nbatch) & (r0 >= 0))
+                def _(pts_b=pts_b, off=off, gi=gi, r0=r0):
+                    compute_win(pts_b, off, gi, r0)
+
+                @pl.when((gi < nbatch) & (r0 < 0))
+                def _(pts_b=pts_b, off=off, gi=gi):
+                    compute(pts_b, off, gi)
+            else:
+                @pl.when(gi < nbatch)
+                def _(pts_b=pts_b, off=off, gi=gi):
+                    compute(pts_b, off, gi)
 
         res_dma(slot, i).start()
         return carry
 
-    jax.lax.fori_loop(0, nbatch, body, 0)
+    jax.lax.fori_loop(0, nsuper, body, 0)
 
-    # Drain the last (up to NBUF) in-flight result DMAs.
-    for k in range(NBUF):
-        @pl.when(nbatch > k)
+    # Drain the last (up to NB) in-flight result DMAs.
+    for k in range(NB):
+        @pl.when(nsuper > k)
         def _(k=k):
-            i = nbatch - 1 - k
-            res_dma(i % NBUF, i).wait()
+            i = nsuper - 1 - k
+            res_dma(i % NB, i).wait()
 
 
 def _interp_kernel_z(
     starts_ref, pstarts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref,
     out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, DP, nb, pd, P, W, layout,
+    *, plan, CR, DP, nb, pd, P, W, layout, SUPER,
 ):
     """Z-form interpolation: gblk (CR*pd0*prod(pd_mid), pd_last); per batch
     t = G_window @ Wlast (M = CR*W0*prod(pd_mid), K = pd_last, N = P), then
@@ -961,6 +971,9 @@ def _interp_kernel_z(
         base = (s0 // P) * P
     rm = _rows_mid(pd)
     pdL = pd[-1]
+    NB = _nbuf(SUPER)
+    SB = SUPER * P
+    nsuper = (nbatch + SUPER - 1) // SUPER
 
     # Channel-stacked z-form block, hoisted into VMEM scratch (leading-dim
     # merges only).
@@ -974,35 +987,29 @@ def _interp_kernel_z(
             )
     gblk_ref[...] = jnp.concatenate(pieces, axis=0) if CR > 1 else pieces[0]
 
-    a_row = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0] * rm), 0)
-    a_col = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * pd[0] * rm), 1) // (
-        pd[0] * rm
-    )
-    a_sel = (a_row == a_col).astype(res_buf.dtype)
-    if W:
-        a_row_w = jax.lax.broadcasted_iota(jnp.int32, (CR, CR * W * rm), 0)
-        a_col_w = jax.lax.broadcasted_iota(
-            jnp.int32, (CR, CR * W * rm), 1
-        ) // (W * rm)
-        a_sel_w = (a_row_w == a_col_w).astype(res_buf.dtype)
-
     def dma_p(slot, j):
         if layout == "packed":
-            off = pl.multiple_of(base + j * P, P)
+            off = pl.multiple_of(base + j * SB, P)
         else:
-            off = pl.multiple_of((start_b + j) * P, P)
+            off = pl.multiple_of((start_b + j * SUPER) * P, P)
+        dst = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            pts_hbm.at[:, pl.ds(off, P)], pts_buf.at[slot], sem_p.at[slot]
+            pts_hbm.at[:, pl.ds(off, SB)],
+            pts_buf.at[:, pl.ds(dst, SB)],
+            sem_p.at[slot],
         )
 
     def res_dma(slot, j):
-        off = pl.multiple_of((start_b + j) * P, P)
+        off = pl.multiple_of((start_b + j * SUPER) * P, P)
+        src = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            res_buf.at[slot, :, :], out_ref.at[:, pl.ds(off, P)], sem_r.at[slot]
+            res_buf.at[:, pl.ds(src, SB)],
+            out_ref.at[:, pl.ds(off, SB)],
+            sem_r.at[slot],
         )
 
-    for j in range(NBUF - 1):
-        @pl.when(j < nbatch)
+    for j in range(NB - 1):
+        @pl.when(j < nsuper)
         def _(j=j):
             dma_p(j, j).start()
 
@@ -1021,12 +1028,12 @@ def _interp_kernel_z(
             valid = None
         return cells, fracs, idx, valid
 
-    def emit_keys(res_slot_ref, idx, valid):
+    def emit_keys(roff, idx, valid):
         key = jnp.where(valid, idx, jnp.int32(2**31 - 1))
         if res_buf.dtype == jnp.float64:
-            res_slot_ref[CR : CR + 1, :] = key.astype(res_buf.dtype)
+            res_buf[CR : CR + 1, pl.ds(roff, P)] = key.astype(res_buf.dtype)
         else:
-            res_slot_ref[CR : CR + 1, :] = jax.lax.bitcast_convert_type(
+            res_buf[CR : CR + 1, pl.ds(roff, P)] = jax.lax.bitcast_convert_type(
                 key, jnp.float32
             )
 
@@ -1063,7 +1070,7 @@ def _interp_kernel_z(
         )
         return _z_wrows(w0, mids, P), wlast
 
-    def compute(pts_b, res_slot_ref, i):
+    def compute(pts_b, roff, i):
         cells, fracs, idx, valid = decode(pts_b, i)
         wr, wlast = weights(cells, fracs, None)
         t = jax.lax.dot_general(
@@ -1071,16 +1078,11 @@ def _interp_kernel_z(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )  # (CR*pd0*rm, P)
-        w_tiled = jnp.concatenate([wr] * CR, axis=0)
-        res_slot_ref[:CR, :] = jax.lax.dot_general(
-            a_sel, t * w_tiled, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wr, CR, pd[0] * rm)
         if layout == "packed":
-            emit_keys(res_slot_ref, idx, valid)
+            emit_keys(roff, idx, valid)
 
-    def compute_win(pts_b, res_slot_ref, i, r0):
+    def compute_win(pts_b, roff, i, r0):
         cells, fracs, idx, valid = decode(pts_b, i)
         wr, wlast = weights(cells, fracs, r0)
         g_w = jnp.concatenate(
@@ -1097,54 +1099,54 @@ def _interp_kernel_z(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )
-        w_tiled = jnp.concatenate([wr] * CR, axis=0)
-        res_slot_ref[:CR, :] = jax.lax.dot_general(
-            a_sel_w, t * w_tiled, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wr, CR, W * rm)
         if layout == "packed":
-            emit_keys(res_slot_ref, idx, valid)
+            emit_keys(roff, idx, valid)
+
+    nr0 = r0s_ref.shape[0]
 
     def body(i, carry):
-        slot = i % NBUF
+        slot = i % NB
 
-        @pl.when(i + NBUF - 1 < nbatch)
+        @pl.when(i + NB - 1 < nsuper)
         def _():
-            dma_p((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
+            dma_p((i + NB - 1) % NB, i + NB - 1).start()
 
         dma_p(slot, i).wait()
 
-        @pl.when(i >= NBUF)
+        @pl.when(i >= NB)
         def _():
-            res_dma(slot, i - NBUF).wait()
+            res_dma(slot, i - NB).wait()
 
-        if W:
-            r0 = r0s_ref[start_b + i]
-            for s in range(NBUF):
-                @pl.when((slot == s) & (r0 >= 0))
-                def _(s=s):
-                    compute_win(pts_buf[s], res_buf.at[s], i, r0)
+        for k in range(SUPER):
+            gi = i * SUPER + k
+            off = pl.multiple_of(slot * SB + k * P, P)
+            pts_b = pts_buf[:, pl.ds(off, P)]
+            if W:
+                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
 
-                @pl.when((slot == s) & (r0 < 0))
-                def _(s=s):
-                    compute(pts_buf[s], res_buf.at[s], i)
-        else:
-            for s in range(NBUF):
-                @pl.when(slot == s)
-                def _(s=s):
-                    compute(pts_buf[s], res_buf.at[s], i)
+                @pl.when((gi < nbatch) & (r0 >= 0))
+                def _(pts_b=pts_b, off=off, gi=gi, r0=r0):
+                    compute_win(pts_b, off, gi, r0)
+
+                @pl.when((gi < nbatch) & (r0 < 0))
+                def _(pts_b=pts_b, off=off, gi=gi):
+                    compute(pts_b, off, gi)
+            else:
+                @pl.when(gi < nbatch)
+                def _(pts_b=pts_b, off=off, gi=gi):
+                    compute(pts_b, off, gi)
 
         res_dma(slot, i).start()
         return carry
 
-    jax.lax.fori_loop(0, nbatch, body, 0)
+    jax.lax.fori_loop(0, nsuper, body, 0)
 
-    for k in range(NBUF):
-        @pl.when(nbatch > k)
+    for k in range(NB):
+        @pl.when(nsuper > k)
         def _(k=k):
-            i = nbatch - 1 - k
-            res_dma(i % NBUF, i).wait()
+            i = nsuper - 1 - k
+            res_dma(i % NB, i).wait()
 
 
 def interpolate_blocked(
@@ -1172,15 +1174,21 @@ def interpolate_blocked(
     layout = plan.layout
     pts = plan.points_packed if layout == "packed" else plan.points_slotted
     DP = pts.shape[0]
+    SUPER = plan.dma_super_eff
+    NB = _nbuf(SUPER)
+    SB = SUPER * P
     if layout == "packed":
         from ...blocking import max_packed_batches
 
         nblocks_ = int(np.prod(nb))
-        nslots = max_packed_batches(
-            plan.num_points, nblocks_, P
-        ) * P  # batch-slot output layout
+        # Batch-slot output layout + the super-batch DMA overhang (the last
+        # program's final descriptor may write up to SUPER-1 batches past
+        # the last real batch; those lanes are masked by `written` below).
+        nslots = (
+            max_packed_batches(plan.num_points, nblocks_, P) + SUPER - 1
+        ) * P
     else:
-        nslots = pts.shape[1]
+        nslots = pts.shape[1] + (SUPER - 1) * P
     cs = common.coefficient_stack(plan.kernel_data).astype(rdt)
 
     if halos_in is not None:
@@ -1221,14 +1229,14 @@ def interpolate_blocked(
             gblk_scratch = pltpu.VMEM((CRc * pd[0] * rm, pd[-1]), rdt)
             kernel = functools.partial(
                 _interp_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
-                P=P, W=W, layout=layout,
+                P=P, W=W, layout=layout, SUPER=SUPER,
             )
         else:
             in_spec0 = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index)
             gblk_scratch = pltpu.VMEM((CRc * pd[0], yz), rdt)
             kernel = functools.partial(
                 _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P,
-                W=W, layout=layout,
+                W=W, layout=layout, SUPER=SUPER,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -1240,11 +1248,11 @@ def interpolate_blocked(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # (CRPc, Nslots)
             scratch_shapes=[
-                pltpu.VMEM((NBUF, DP, P), rdt),
-                pltpu.VMEM((NBUF, CRPc, P), rdt),
+                pltpu.VMEM((DP, NB * SB), rdt),
+                pltpu.VMEM((CRPc, NB * SB), rdt),
                 gblk_scratch,
-                pltpu.SemaphoreType.DMA((NBUF,)),
-                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NB,)),
+                pltpu.SemaphoreType.DMA((NB,)),
             ],
         )
         return pl.pallas_call(

@@ -92,6 +92,13 @@ class Plan:
     # ~pd0/window_rows for dense blocks.  None disables (sparse geometries
     # where batches span whole blocks anyway).
     window_rows: Optional[int] = static_field(default=None)
+    # Batches per DMA descriptor in the blocked kernels: the scalar core's
+    # per-descriptor issue cost (~1-2 us) exceeds a single batch's compute,
+    # so descriptors carry dma_super * batch_size lanes and the kernels peel
+    # P-wide sub-batches at dynamic 128-aligned lane offsets.  Applied on
+    # the packed layout only (the slotted/routed layouts keep one batch per
+    # descriptor).
+    dma_super: int = static_field(default=4)
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
@@ -194,6 +201,13 @@ class Plan:
         return out
 
     @property
+    def dma_super_eff(self) -> int:
+        """Effective super-batch factor for the blocked kernels: the packed
+        layout pre-pads its arrays for the DMA overhang; other layouts run
+        one batch per descriptor."""
+        return self.dma_super if self.layout == "packed" else 1
+
+    @property
     def window_align(self) -> int:
         """Sublane-offset granule for the windowed accumulation's per-batch
         row start r0: the yz-form kernels slice the accumulator at sublane
@@ -287,6 +301,7 @@ def PlanNUFFT(
     np_hint: Optional[int] = None,
     window_rows: Optional[int] = "auto",
     layout: str = "packed",
+    dma_super: int = 4,
     timer=None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
@@ -578,6 +593,7 @@ def PlanNUFFT(
         cr_chunk=cr_chunk,
         window_rows=window_rows,
         layout=layout,
+        dma_super=max(int(dma_super), 1),
         kernel_form=kernel_form,
         padded_dims=padded_dims,
         kernel_data=kernel_data,
@@ -641,9 +657,19 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
     window = None
     if plan.window_rows is not None:
         window = (plan.m, plan.window_rows, plan.padded_dims[0], plan.window_align)
-    return packed_layout(
+    pts_rows, pstarts, batch_starts, batch_r0, perm = packed_layout(
         plan.kernel_data, plan.block_dims, pts, plan.batch_size, window=window
     )
+    # Pad the lane extent for the super-batch DMA overhang: a block's last
+    # descriptor may read up to dma_super*P - 1 lanes past its final batch
+    # (the kernels skip the excess sub-batches; the padding is never
+    # computed on).  perm padding repeats index 0 so the per-exec value
+    # gather stays in bounds.
+    extra = plan.dma_super_eff * plan.batch_size
+    if extra > plan.batch_size:
+        pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
+        perm = jnp.pad(perm, (0, extra))
+    return pts_rows, pstarts, batch_starts, batch_r0, perm
 
 
 @jax.jit
