@@ -416,7 +416,7 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
 
 def packed_layout(
     kernel_data, block_dims, points: jnp.ndarray, P: int, *,
-    window: Tuple[int, int, int] = None,
+    window: Tuple[int, int, int] = None, window_y: Tuple[int, int] = None,
 ):
     """Packed (gather-free) point layout: ONE multi-operand sort, no slot
     expansion.
@@ -438,8 +438,10 @@ def packed_layout(
     - ``batch_starts``: (nblocks + 1,) int32 cumulative batch counts; block
       b's batch j covers sorted lanes [Ab + j*P, Ab + (j+1)*P) with
       ``Ab = (pstarts[b] // P) * P`` (derived in-kernel);
-    - ``batch_r0``: per-batch 8-aligned accumulator window row starts
+    - ``batch_r0``: per-batch aligned accumulator window row starts
       (None without ``window``; -1 marks full-accumulator fallback);
+    - ``batch_r1``: per-batch 8-aligned dim-1 window row starts (None
+      without ``window_y``; -1 marks the dim-0-only fallback);
     - ``perm``: (Np_pad,) int32 sorted original indices (for the per-exec
       value gather; tail padding repeats index 0).
 
@@ -498,6 +500,7 @@ def packed_layout(
     )
 
     batch_r0 = None
+    batch_r1 = None
     if window is not None:
         m_, W, pd0, align = window
         nbatches_max = np_pad // P + nblocks
@@ -524,6 +527,35 @@ def packed_layout(
         ok = (first_c >= m_ - 1) & (i_max < r0 + W) & (last >= first)
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 
+        if window_y is not None and D >= 3:
+            # Second-level (dim-1) window: per-batch min/max of the local
+            # y-cell over the batch's P-aligned sorted window, UNMASKED
+            # (edge lanes from a neighbouring block can only widen the
+            # window or force the dim-0-only fallback — their weights are
+            # zeroed in-kernel, so a too-wide window stays correct).
+            W1, pd1 = window_y
+            stride1 = 1
+            for bdim in block_dims[2:]:
+                stride1 *= int(bdim)
+            lc = skey % jnp.int32(sub_range)
+            c1 = (lc // jnp.int32(stride1)) % jnp.int32(block_dims[1])
+            pos_ok = jnp.arange(np_pad, dtype=jnp.int32) < jnp.int32(np_)
+            big = jnp.int32(2**30)
+            c1min = jnp.min(
+                jnp.where(pos_ok, c1, big).reshape(-1, P), axis=1
+            )
+            c1max = jnp.max(
+                jnp.where(pos_ok, c1, -big).reshape(-1, P), axis=1
+            )
+            widx = jnp.clip((Ab + brank * P) // P, 0, np_pad // P - 1)
+            ymin = jnp.take(c1min, widx)
+            ymax = jnp.take(c1max, widx)
+            i_min1 = ymin - (m_ - 1)
+            i_max1 = ymax + m_
+            r1 = jnp.clip((i_min1 // 8) * 8, 0, pd1 - W1)
+            ok1 = ok & (ymin >= m_ - 1) & (i_max1 < r1 + W1)
+            batch_r1 = jnp.where(ok1, r1, -1).astype(jnp.int32)
+
     rdt = fracs.dtype
     if rdt == jnp.float64:
         # f64 plans (CPU/interpret): int32 keys/indices are exactly
@@ -539,7 +571,7 @@ def packed_layout(
     while len(rows) < DP:
         rows.append(jnp.zeros((np_pad,), rdt))
     pts_rows = jnp.stack(rows, axis=0)
-    return pts_rows, pstarts, batch_starts, batch_r0, perm
+    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm
 
 
 def max_packed_batches(np_: int, nblocks: int, P: int) -> int:

@@ -314,8 +314,8 @@ def _nbuf(SUPER: int) -> int:
 
 
 def _spread_kernel(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
-    acc_ref, pv_buf, sem_pv,
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, pv_hbm, cs_ref,
+    out_ref, acc_ref, pv_buf, sem_pv,
     *, plan, CR, DP, nb, pd, yz, P, W, layout, SUPER,
 ):
     b = pl.program_id(0)
@@ -460,16 +460,22 @@ def _spread_kernel(
 
 
 def _spread_kernel_z(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, pv_hbm, cs_ref, out_ref,
-    acc_ref, pv_buf, sem_pv,
-    *, plan, CR, DP, nb, pd, P, W, layout, SUPER,
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, pv_hbm, cs_ref,
+    out_ref, acc_ref, pv_buf, sem_pv,
+    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
 ):
     """Z-form spreading: accumulator (CR*pd0*prod(pd_mid), pd_last); the
     x-window lives in MXU rows (M = CR*W0*prod(pd_mid)), the contraction's
     lane width is only pd_last.  Per-point dense-window MACs drop from
     CR*W0*prod(pd[1:]) to CR*W0*prod(pd_mid)*pd_last == the same...
     crucially with pd_mid in the cheap M dimension instead of lanes, and
-    the buffer layout needs zero relayout against the blockform DFT."""
+    the buffer layout needs zero relayout against the blockform DFT.
+
+    With ``W1`` (D >= 3) the accumulator is the 3D view (CR*pd0, pd1,
+    pd_last) and batches whose points also span a narrow dim-1 window
+    contract M = CR*W0*W1 rows, accumulating into a 2D (dim-0 leading,
+    dim-1 8-aligned sublane) window — the high-density regime where one
+    batch sits inside a single dim-0 slab."""
     D = plan.ndim
     b = pl.program_id(0)
     start_b = starts_ref[b]
@@ -519,7 +525,7 @@ def _spread_kernel_z(
             valid = None
         return cells, fracs, valid
 
-    def weights(cells, fracs, valid, window):
+    def weights(cells, fracs, valid, window, window_y=None):
         vl0 = common.window_weights(
             plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0],
             ds=(plan.precision == "double"),
@@ -540,11 +546,18 @@ def _spread_kernel_z(
                 plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d],
                 ds=(plan.precision == "double"),
             )
-            mids.append(
-                common.build_wt_matrix(
-                    vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+            if d == 1 and window_y is not None:
+                mids.append(
+                    common.build_wt_matrix_window(
+                        vl, cells[d], 0, plan.m, W1, P, window_y
+                    )
                 )
-            )
+            else:
+                mids.append(
+                    common.build_wt_matrix(
+                        vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+                    )
+                )
         vl = common.window_weights(
             plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1],
             cs_ref[D - 1], ds=(plan.precision == "double"),
@@ -553,6 +566,11 @@ def _spread_kernel_z(
             vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
         )
         return _z_wrows(w0, mids, P), wlast
+
+    # With the dim-1 window active the accumulator scratch is the 3D view
+    # (CR*pd0, rm, pdL): dim-0 offsets land on the untiled leading dim
+    # (granule 1) and dim-1 offsets on the 8-aligned sublane dim.
+    acc3 = W1 is not None
 
     def compute(pv_b, i):
         cells, fracs, valid = decode(pv_b, i)
@@ -564,7 +582,10 @@ def _spread_kernel_z(
             preferred_element_type=acc_ref.dtype,
             precision=_PRECS[plan.precision],
         )
-        acc_ref[...] = acc_ref[...] + prod
+        if acc3:
+            acc_ref[...] = acc_ref[...] + prod.reshape(CR * pd[0], rm, pdL)
+        else:
+            acc_ref[...] = acc_ref[...] + prod
 
     def compute_win(pv_b, i, r0):
         cells, fracs, valid = decode(pv_b, i)
@@ -577,15 +598,44 @@ def _spread_kernel_z(
             precision=_PRECS[plan.precision],
         )  # (CR*W*rm, pdL)
         for c in range(CR):
-            # Offset is a multiple of rm (pd1, an 8-multiple) for D=3; for
-            # D=2 rm=1 and r0 itself is 8-aligned.
-            off = pl.multiple_of((c * pd[0] + r0) * rm, 8)
-            win = acc_ref[pl.ds(off, W * rm), :]
-            acc_ref[pl.ds(off, W * rm), :] = win + jax.lax.slice_in_dim(
+            sl = jax.lax.slice_in_dim(
                 prod, c * W * rm, (c + 1) * W * rm, axis=0
+            )
+            if acc3:
+                off = c * pd[0] + r0
+                win = acc_ref[pl.ds(off, W), :, :]
+                acc_ref[pl.ds(off, W), :, :] = win + sl.reshape(W, rm, pdL)
+            else:
+                # Offset is a multiple of rm (pd1, an 8-multiple) for D=3;
+                # for D=2 rm=1 and r0 itself is 8-aligned.
+                off = pl.multiple_of((c * pd[0] + r0) * rm, 8)
+                win = acc_ref[pl.ds(off, W * rm), :]
+                acc_ref[pl.ds(off, W * rm), :] = win + sl
+
+    def compute_win2(pv_b, i, r0, r1):
+        # 2D (dim-0, dim-1) window: M = CR*W*W1 contraction rows.
+        cells, fracs, valid = decode(pv_b, i)
+        vals_b = pv_b[DP:]
+        wr, wlast = weights(cells, fracs, valid, r0, r1)  # (W*W1, P)
+        wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*W1, P)
+        prod = jax.lax.dot_general(
+            wv, wlast, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_ref.dtype,
+            precision=_PRECS[plan.precision],
+        )  # (CR*W*W1, pdL)
+        r1a = pl.multiple_of(r1, 8)
+        for c in range(CR):
+            off = c * pd[0] + r0
+            win = acc_ref[pl.ds(off, W), pl.ds(r1a, W1), :]
+            acc_ref[pl.ds(off, W), pl.ds(r1a, W1), :] = (
+                win
+                + jax.lax.slice_in_dim(
+                    prod, c * W * W1, (c + 1) * W * W1, axis=0
+                ).reshape(W, W1, pdL)
             )
 
     nr0 = r0s_ref.shape[0]
+    nr1 = r1s_ref.shape[0]
 
     def body(i, carry):
         slot = i % NB
@@ -599,7 +649,22 @@ def _spread_kernel_z(
             gi = i * SUPER + k
             src = pl.multiple_of(slot * SB + k * P, P)
             pv_b = pv_buf[:, pl.ds(src, P)]
-            if W:
+            if W and W1:
+                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
+                r1 = r1s_ref[jnp.minimum(start_b + gi, nr1 - 1)]
+
+                @pl.when((gi < nbatch) & (r1 >= 0))
+                def _(pv_b=pv_b, gi=gi, r0=r0, r1=r1):
+                    compute_win2(pv_b, gi, r0, r1)
+
+                @pl.when((gi < nbatch) & (r1 < 0) & (r0 >= 0))
+                def _(pv_b=pv_b, gi=gi, r0=r0):
+                    compute_win(pv_b, gi, r0)
+
+                @pl.when((gi < nbatch) & (r0 < 0))
+                def _(pv_b=pv_b, gi=gi):
+                    compute(pv_b, gi)
+            elif W:
                 r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
@@ -620,13 +685,18 @@ def _spread_kernel_z(
     # Write the block: split the row dim (c, i0[, i1]) with leading-dim /
     # 8-aligned-sublane reshapes only.
     for c in range(CR):
-        rows = jax.lax.slice_in_dim(
-            acc_ref[...], c * pd[0] * rm, (c + 1) * pd[0] * rm, axis=0
-        )
-        if D == 2:
-            out_ref[c, 0] = rows
+        if acc3:
+            out_ref[(c, 0, slice(None), 0)] = acc_ref[
+                pl.ds(c * pd[0], pd[0]), :, :
+            ]
         else:
-            out_ref[(c, 0, slice(None), 0)] = rows.reshape(pd[0], rm, pdL)
+            rows = jax.lax.slice_in_dim(
+                acc_ref[...], c * pd[0] * rm, (c + 1) * pd[0] * rm, axis=0
+            )
+            if D == 2:
+                out_ref[c, 0] = rows
+            else:
+                out_ref[(c, 0, slice(None), 0)] = rows.reshape(pd[0], rm, pdL)
 
 
 def spread_blocked(
@@ -673,6 +743,12 @@ def spread_blocked(
     r0s = (
         plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
     )
+    W1 = (
+        plan.window_rows_y
+        if (W and plan.kernel_form == "z" and plan.batch_r1 is not None)
+        else None
+    )
+    r1s = plan.batch_r1 if W1 else jnp.zeros((1,), jnp.int32)
     pstarts = (
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )
@@ -705,14 +781,19 @@ def spread_blocked(
                 _z_block_shape(CRc, nb, pd), _z_index_map(D, nb)
             )
             out_shape = jax.ShapeDtypeStruct(_z_buffer_shape(CRc, nb, pd), rdt)
+            acc_shape = (
+                (CRc * pd[0], rm, pd[-1])
+                if W1 is not None
+                else (CRc * pd[0] * rm, pd[-1])
+            )
             scratch = [
-                pltpu.VMEM((CRc * pd[0] * rm, pd[-1]), rdt),
+                pltpu.VMEM(acc_shape, rdt),
                 pltpu.VMEM((DP + CRPc, NB * SB), rdt),
                 pltpu.SemaphoreType.DMA((NB,)),
             ]
             kernel = functools.partial(
                 _spread_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
-                P=P, W=W, layout=layout, SUPER=SUPER,
+                P=P, W=W, W1=W1, layout=layout, SUPER=SUPER,
             )
         else:
             out_specs = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), out_index)
@@ -729,7 +810,7 @@ def spread_blocked(
                 P=P, W=W, layout=layout, SUPER=SUPER,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # pts++vals (DP+CRPc, Ns)
@@ -743,7 +824,7 @@ def spread_blocked(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=plan.interpret,
-        )(plan.block_starts, pstarts, block_offset, r0s, pv, cs)
+        )(plan.block_starts, pstarts, block_offset, r0s, r1s, pv, cs)
 
     # Channel chunking (large ntransforms): the VMEM accumulator scales with
     # CR, so components are processed in plan.cr_chunk-sized groups — the
@@ -782,8 +863,8 @@ def spread_blocked(
 
 
 def _interp_kernel(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref,
-    out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, blk_ref, pts_hbm,
+    cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
     *, plan, CR, nb, pd, yz, P, W, layout, SUPER,
 ):
     b = pl.program_id(0)
@@ -953,9 +1034,9 @@ def _interp_kernel(
 
 
 def _interp_kernel_z(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, blk_ref, pts_hbm, cs_ref,
-    out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, DP, nb, pd, P, W, layout, SUPER,
+    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, blk_ref, pts_hbm,
+    cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
+    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
 ):
     """Z-form interpolation: gblk (CR*pd0*prod(pd_mid), pd_last); per batch
     t = G_window @ Wlast (M = CR*W0*prod(pd_mid), K = pd_last, N = P), then
@@ -976,11 +1057,15 @@ def _interp_kernel_z(
     nsuper = (nbatch + SUPER - 1) // SUPER
 
     # Channel-stacked z-form block, hoisted into VMEM scratch (leading-dim
-    # merges only).
+    # merges only).  With the dim-1 window the scratch keeps the 3D view
+    # (CR*pd0, rm, pdL) so 2D (dim-0 leading, dim-1 sublane) slices work.
+    acc3 = W1 is not None
     pieces = []
     for c in range(CR):
         if D == 2:
             pieces.append(blk_ref[c, 0])
+        elif acc3:
+            pieces.append(blk_ref[(c, 0, slice(None), 0)])
         else:
             pieces.append(
                 blk_ref[(c, 0, slice(None), 0)].reshape(pd[0] * rm, pdL)
@@ -1037,7 +1122,7 @@ def _interp_kernel_z(
                 key, jnp.float32
             )
 
-    def weights(cells, fracs, window):
+    def weights(cells, fracs, window, window_y=None):
         vl0 = common.window_weights(
             plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0],
             ds=(plan.precision == "double"),
@@ -1056,11 +1141,18 @@ def _interp_kernel_z(
                 plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d],
                 ds=(plan.precision == "double"),
             )
-            mids.append(
-                common.build_wt_matrix(
-                    vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+            if d == 1 and window_y is not None:
+                mids.append(
+                    common.build_wt_matrix_window(
+                        vl, cells[d], 0, plan.m, W1, P, window_y
+                    )
                 )
-            )
+            else:
+                mids.append(
+                    common.build_wt_matrix(
+                        vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+                    )
+                )
         vl = common.window_weights(
             plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1],
             cs_ref[D - 1], ds=(plan.precision == "double"),
@@ -1073,8 +1165,13 @@ def _interp_kernel_z(
     def compute(pts_b, roff, i):
         cells, fracs, idx, valid = decode(pts_b, i)
         wr, wlast = weights(cells, fracs, None)
+        g2 = (
+            gblk_ref[...].reshape(CR * pd[0] * rm, pdL)
+            if acc3
+            else gblk_ref[...]
+        )
         t = jax.lax.dot_general(
-            gblk_ref[...], wlast, (((1,), (0,)), ((), ())),
+            g2, wlast, (((1,), (0,)), ((), ())),
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )  # (CR*pd0*rm, P)
@@ -1085,15 +1182,27 @@ def _interp_kernel_z(
     def compute_win(pts_b, roff, i, r0):
         cells, fracs, idx, valid = decode(pts_b, i)
         wr, wlast = weights(cells, fracs, r0)
-        g_w = jnp.concatenate(
-            [
-                gblk_ref[
-                    pl.ds(pl.multiple_of((c * pd[0] + r0) * rm, 8), W * rm), :
-                ]
-                for c in range(CR)
-            ],
-            axis=0,
-        )  # (CR*W*rm, pdL)
+        if acc3:
+            g_w = jnp.concatenate(
+                [
+                    gblk_ref[pl.ds(c * pd[0] + r0, W), :, :].reshape(
+                        W * rm, pdL
+                    )
+                    for c in range(CR)
+                ],
+                axis=0,
+            )  # (CR*W*rm, pdL)
+        else:
+            g_w = jnp.concatenate(
+                [
+                    gblk_ref[
+                        pl.ds(pl.multiple_of((c * pd[0] + r0) * rm, 8), W * rm),
+                        :,
+                    ]
+                    for c in range(CR)
+                ],
+                axis=0,
+            )  # (CR*W*rm, pdL)
         t = jax.lax.dot_general(
             g_w, wlast, (((1,), (0,)), ((), ())),
             preferred_element_type=res_buf.dtype,
@@ -1103,7 +1212,30 @@ def _interp_kernel_z(
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
+    def compute_win2(pts_b, roff, i, r0, r1):
+        cells, fracs, idx, valid = decode(pts_b, i)
+        wr, wlast = weights(cells, fracs, r0, r1)  # (W*W1, P), (pdL, P)
+        r1a = pl.multiple_of(r1, 8)
+        g_w = jnp.concatenate(
+            [
+                gblk_ref[
+                    pl.ds(c * pd[0] + r0, W), pl.ds(r1a, W1), :
+                ].reshape(W * W1, pdL)
+                for c in range(CR)
+            ],
+            axis=0,
+        )  # (CR*W*W1, pdL)
+        t = jax.lax.dot_general(
+            g_w, wlast, (((1,), (0,)), ((), ())),
+            preferred_element_type=res_buf.dtype,
+            precision=_PRECS[plan.precision],
+        )
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wr, CR, W * W1)
+        if layout == "packed":
+            emit_keys(roff, idx, valid)
+
     nr0 = r0s_ref.shape[0]
+    nr1 = r1s_ref.shape[0]
 
     def body(i, carry):
         slot = i % NB
@@ -1122,7 +1254,22 @@ def _interp_kernel_z(
             gi = i * SUPER + k
             off = pl.multiple_of(slot * SB + k * P, P)
             pts_b = pts_buf[:, pl.ds(off, P)]
-            if W:
+            if W and W1:
+                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
+                r1 = r1s_ref[jnp.minimum(start_b + gi, nr1 - 1)]
+
+                @pl.when((gi < nbatch) & (r1 >= 0))
+                def _(pts_b=pts_b, off=off, gi=gi, r0=r0, r1=r1):
+                    compute_win2(pts_b, off, gi, r0, r1)
+
+                @pl.when((gi < nbatch) & (r1 < 0) & (r0 >= 0))
+                def _(pts_b=pts_b, off=off, gi=gi, r0=r0):
+                    compute_win(pts_b, off, gi, r0)
+
+                @pl.when((gi < nbatch) & (r0 < 0))
+                def _(pts_b=pts_b, off=off, gi=gi):
+                    compute(pts_b, off, gi)
+            elif W:
                 r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
@@ -1212,6 +1359,12 @@ def interpolate_blocked(
 
     W = plan.window_rows if plan.batch_r0 is not None else None
     r0s = plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
+    W1 = (
+        plan.window_rows_y
+        if (W and plan.kernel_form == "z" and plan.batch_r1 is not None)
+        else None
+    )
+    r1s = plan.batch_r1 if W1 else jnp.zeros((1,), jnp.int32)
     pstarts = (
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )
@@ -1226,10 +1379,15 @@ def interpolate_blocked(
             in_spec0 = pl.BlockSpec(
                 _z_block_shape(CRc, nb, pd), _z_index_map(D, nb)
             )
-            gblk_scratch = pltpu.VMEM((CRc * pd[0] * rm, pd[-1]), rdt)
+            gblk_shape = (
+                (CRc * pd[0], rm, pd[-1])
+                if W1 is not None
+                else (CRc * pd[0] * rm, pd[-1])
+            )
+            gblk_scratch = pltpu.VMEM(gblk_shape, rdt)
             kernel = functools.partial(
                 _interp_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
-                P=P, W=W, layout=layout, SUPER=SUPER,
+                P=P, W=W, W1=W1, layout=layout, SUPER=SUPER,
             )
         else:
             in_spec0 = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index)
@@ -1239,7 +1397,7 @@ def interpolate_blocked(
                 W=W, layout=layout, SUPER=SUPER,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(nblocks,),
             in_specs=[
                 in_spec0,
@@ -1261,9 +1419,10 @@ def interpolate_blocked(
             out_shape=jax.ShapeDtypeStruct((CRPc, nslots), rdt),
             interpret=plan.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(plan.block_starts, pstarts, block_offset, r0s, halos_chunk, pts, cs)[
-            : nrows
-        ]
+        )(
+            plan.block_starts, pstarts, block_offset, r0s, r1s, halos_chunk,
+            pts, cs,
+        )[:nrows]
 
     # Channel chunking for large ntransforms (see spread_blocked).
     chunk = getattr(plan, "cr_chunk", None) or CR

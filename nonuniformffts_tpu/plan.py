@@ -92,6 +92,13 @@ class Plan:
     # ~pd0/window_rows for dense blocks.  None disables (sparse geometries
     # where batches span whole blocks anyway).
     window_rows: Optional[int] = static_field(default=None)
+    # Second-level (dim-1) window for the z-form kernels (D >= 3): batches
+    # whose points also span a narrow dim-1 cell range contract only
+    # window_rows_y of the pd1 middle rows, accumulating into a 2D
+    # (dim-0, dim-1) window of the 3D accumulator.  Only effective at high
+    # density (a batch must fit within one dim-0 slab for its dim-1 span to
+    # be narrow); None disables.
+    window_rows_y: Optional[int] = static_field(default=None)
     # Batches per DMA descriptor in the blocked kernels: the scalar core's
     # per-descriptor issue cost (~1-2 us) exceeds a single batch's compute,
     # so descriptors carry dma_super * batch_size lanes and the kernels peel
@@ -149,6 +156,7 @@ class Plan:
     # Per-batch accumulator window row starts (windowed kernels); -1 marks
     # full-accumulator fallback batches (left-edge wrap or span > W).
     batch_r0: Optional[jnp.ndarray] = data_field(default=None)  # (nbatches,)
+    batch_r1: Optional[jnp.ndarray] = data_field(default=None)  # (nbatches,)
 
     # --------------------------------------------------------------------
     @property
@@ -300,6 +308,7 @@ def PlanNUFFT(
     precision: str = "highest",
     np_hint: Optional[int] = None,
     window_rows: Optional[int] = "auto",
+    window_rows_y: Optional[int] = "auto",
     layout: str = "packed",
     dma_super: int = 4,
     timer=None,
@@ -491,14 +500,14 @@ def PlanNUFFT(
             else padded_block_dims(block_dims, m)
         )
         pd0_ = padded_dims[0]
+        nblocks_ = 1
+        for n_over, b in zip(shape_over, block_dims):
+            nblocks_ *= n_over // b
+        total_ = 1
+        for n_over in shape_over:
+            total_ *= n_over
+        avg = (np_hint if np_hint else max(int(0.05 * total_), 1)) / nblocks_
         if window_rows == "auto":
-            nblocks_ = 1
-            for n_over, b in zip(shape_over, block_dims):
-                nblocks_ *= n_over // b
-            total_ = 1
-            for n_over in shape_over:
-                total_ *= n_over
-            avg = (np_hint if np_hint else max(int(0.05 * total_), 1)) / nblocks_
             # Expected dim-0 cell span of one batch + the 2M window rows;
             # batches exceeding W take the full-accumulator fallback, so
             # this is a tuning knob.  The yz form slices the accumulator at
@@ -518,8 +527,32 @@ def PlanNUFFT(
             window_rows = None
         if window_rows is not None and window_rows >= pd0_:
             window_rows = None
+
+        # Dim-1 window (z-form 3D only): a batch's dim-1 span is narrow
+        # only when its points fit inside one dim-0 cell slab, i.e. when
+        # the per-x-slab point count well exceeds the batch size.
+        if (
+            window_rows is not None
+            and kernel_form == "z"
+            and D >= 3
+            and bool(window_rows_y)
+        ):
+            pd1_ = padded_dims[1]
+            if window_rows_y == "auto":
+                per_slab = avg / block_dims[0]
+                span_y = block_dims[1] * min(
+                    1.0, batch_size / max(per_slab, 1.0)
+                )
+                window_rows_y = round_up(int(span_y) + 2 * m + 8, 8)
+            else:
+                window_rows_y = round_up(int(window_rows_y), 8)
+            if window_rows_y >= pd1_:
+                window_rows_y = None
+        else:
+            window_rows_y = None
     else:
         window_rows = None
+        window_rows_y = None
 
     fft_axes = ()
     if fft_method == "matmul":
@@ -592,6 +625,7 @@ def PlanNUFFT(
         timer=timer,
         cr_chunk=cr_chunk,
         window_rows=window_rows,
+        window_rows_y=window_rows_y,
         layout=layout,
         dma_super=max(int(dma_super), 1),
         kernel_form=kernel_form,
@@ -655,10 +689,14 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
     from .blocking import packed_layout
 
     window = None
+    window_y = None
     if plan.window_rows is not None:
         window = (plan.m, plan.window_rows, plan.padded_dims[0], plan.window_align)
-    pts_rows, pstarts, batch_starts, batch_r0, perm = packed_layout(
-        plan.kernel_data, plan.block_dims, pts, plan.batch_size, window=window
+        if plan.window_rows_y is not None:
+            window_y = (plan.window_rows_y, plan.padded_dims[1])
+    pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm = packed_layout(
+        plan.kernel_data, plan.block_dims, pts, plan.batch_size, window=window,
+        window_y=window_y,
     )
     # Pad the lane extent for the super-batch DMA overhang: a block's last
     # descriptor may read up to dma_super*P - 1 lanes past its final batch
@@ -669,7 +707,7 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
     if extra > plan.batch_size:
         pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
         perm = jnp.pad(perm, (0, extra))
-    return pts_rows, pstarts, batch_starts, batch_r0, perm
+    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm
 
 
 @jax.jit
@@ -744,7 +782,7 @@ def set_points(plan: Plan, points) -> Plan:
                 plan.timer.sync(out)
         else:
             out = _pack_points_jit(plan, pts_t)
-        pts_rows, pstarts, batch_starts, batch_r0, perm = out
+        pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm = out
         pts = fold_points(pts, plan.point_transform)
         # Low-density diagnostic (reference warns on degenerate shared-memory
         # geometry, src/gpu_common.jl:66-77): expected batch quantisation
@@ -772,6 +810,7 @@ def set_points(plan: Plan, points) -> Plan:
             sort_perm=perm,
             block_starts=batch_starts,
             batch_r0=batch_r0,
+            batch_r1=batch_r1,
             num_points_static=np_,
             points_slotted=None,
             slot_to_point=None,
@@ -816,6 +855,7 @@ def set_points(plan: Plan, points) -> Plan:
             point_slots=slots,
             block_starts=batch_starts,
             batch_r0=batch_r0,
+            batch_r1=None,  # slotted layout: dim-0 window only
             num_points_static=np_,
             point_perm=None,  # blocked path always sorts physically
             point_perm_inv=None,
