@@ -212,12 +212,16 @@ def _stack_weighted(w: jnp.ndarray, vals_b: jnp.ndarray, CR: int):
     )
 
 
-def _channel_rowsum(t: jnp.ndarray, w: jnp.ndarray, CR: int, R: int):
-    """Per-channel weighted row reduction: out[c, p] = sum_r t[c*R + r, p] *
-    w[r, p] — the interp-side replacement of the 0/1 channel-sum selector
-    matmul (cross-sublane jnp.sum lowers to log-depth shuffles on the VPU,
-    far cheaper than a tiny M=CR 6-pass dot)."""
-    return jnp.concatenate(
+def _channel_rowsum(t: jnp.ndarray, w: jnp.ndarray, CR: int, R: int,
+                    scale: float = 1.0):
+    """Per-channel weighted row reduction: out[c, p] = scale * sum_r
+    t[c*R + r, p] * w[r, p] — the interp-side replacement of the 0/1
+    channel-sum selector matmul (cross-sublane jnp.sum lowers to log-depth
+    shuffles on the VPU, far cheaper than a tiny M=CR 6-pass dot).  ``scale``
+    fuses the type-2 cell-volume prefactor (reference:
+    interpolation/gpu.jl:55-56) into the per-batch epilogue, replacing a
+    full-length post-pass over the slot array."""
+    out = jnp.concatenate(
         [
             jnp.sum(
                 jax.lax.slice_in_dim(t, c * R, (c + 1) * R, axis=0) * w,
@@ -228,6 +232,9 @@ def _channel_rowsum(t: jnp.ndarray, w: jnp.ndarray, CR: int, R: int):
         ],
         axis=0,
     )
+    if scale != 1.0:
+        out = out * jnp.asarray(scale, out.dtype)
+    return out
 
 
 def _qt_matrix(wts, yz, P):
@@ -957,7 +964,9 @@ def _interp_kernel(
         )
         # v (CR, P) = sum_x W0T[x, p] * T[c*p0 + x, p]: per-channel weighted
         # VPU row reduction (replaces the round-1 0/1 selector matmul).
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wts[0], CR, pd[0])
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+            t, wts[0], CR, pd[0], plan.normfactor
+        )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -981,7 +990,9 @@ def _interp_kernel(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wts[0], CR, W)
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+            t, wts[0], CR, W, plan.normfactor
+        )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -1175,7 +1186,9 @@ def _interp_kernel_z(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )  # (CR*pd0*rm, P)
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wr, CR, pd[0] * rm)
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+            t, wr, CR, pd[0] * rm, plan.normfactor
+        )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -1208,7 +1221,9 @@ def _interp_kernel_z(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wr, CR, W * rm)
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+            t, wr, CR, W * rm, plan.normfactor
+        )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -1230,7 +1245,9 @@ def _interp_kernel_z(
             preferred_element_type=res_buf.dtype,
             precision=_PRECS[plan.precision],
         )
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(t, wr, CR, W * W1)
+        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+            t, wr, CR, W * W1, plan.normfactor
+        )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -1477,7 +1494,6 @@ def interpolate_blocked(
             (keys,) + tuple(slot_vals[c] for c in range(CR)), num_keys=1
         )
         vals = jnp.stack([o[:np_] for o in sorted_ops[1:]], axis=0)
-    vals = vals * jnp.asarray(plan.normfactor, rdt)
     if channel_output and is_complex:
         return vals.reshape(C, 2, vals.shape[1])
     return unpack_components(vals, is_complex).astype(plan.dtype)

@@ -76,7 +76,14 @@ def main():
     pts = jax.device_put(pts_np)
     v = jax.device_put(v_np)
 
-    for fft_method in ("matmul", "xla"):
+    from nonuniformffts_tpu.callbacks import NUFFTCallbacks
+    from nonuniformffts_tpu.execution import _t1_deconv_stage, _t2_pad_stage
+
+    cbs = NUFFTCallbacks()
+    methods = tuple(
+        os.environ.get("EXP_METHODS", "matmul,xla").split(",")
+    )
+    for fft_method in methods:
         plan = nufft.PlanNUFFT(
             np.complex64, shape, m=4, sigma=1.5, spread_method="blocked",
             fft_method=fft_method, np_hint=NP_PTS, block_dims=(64, 16, 96),
@@ -84,11 +91,16 @@ def main():
         p = nufft.set_points(plan, pts)
         buf = _t1_spread_stage(p, v)
         spec = _t1_fft_stage(p, buf)
-        halos = _t2_fft_stage(p, spec)
+        # The stage interfaces differ per engine: blockform t1-fft output is
+        # directly consumable by the t2 backward; the xla engine needs the
+        # channel-form spectrum routed through deconvolve + pad.
+        uhat_ch = _t1_deconv_stage(p, spec, cbs)
+        spec2 = _t2_pad_stage(p, uhat_ch, cbs)
+        halos = _t2_fft_stage(p, spec2)
         jax.block_until_ready(halos)
 
         def t_sp(c, v_a):
-            return jnp.sum(_t1_spread_stage(p, eps_of(c, v_a)))
+            return jnp.sum(jnp.abs(_t1_spread_stage(p, eps_of(c, v_a))))
 
         def t_fwd(c, b_a):
             return jnp.sum(jnp.abs(_t1_fft_stage(p, eps_of(c, b_a))))
@@ -100,12 +112,12 @@ def main():
             return jnp.sum(jnp.abs(h))
 
         def t_it(c, h_a):
-            return jnp.sum(_t2_interp_stage(p, eps_of(c, h_a)))
+            return jnp.sum(jnp.abs(_t2_interp_stage(p, eps_of(c, h_a))))
 
         print(f"== fft_method={fft_method} form={p.kernel_form}", flush=True)
         print(f"  spread  {timed_scan(t_sp, (v,))*1e3:7.2f} ms", flush=True)
         print(f"  fwd     {timed_scan(t_fwd, (buf,))*1e3:7.2f} ms", flush=True)
-        print(f"  bwd     {timed_scan(t_bwd, (spec,))*1e3:7.2f} ms", flush=True)
+        print(f"  bwd     {timed_scan(t_bwd, (spec2,))*1e3:7.2f} ms", flush=True)
         print(f"  interp  {timed_scan(t_it, (halos,))*1e3:7.2f} ms", flush=True)
 
     # Floor: raw fftn/ifftn on the oversampled grid.

@@ -1,0 +1,114 @@
+"""Device experiment: spread/interp kernel knob sweep at the bench point.
+
+Times the spread and interp stages (scan-chained, dispatch-corrected) for a
+grid of (batch_size, dma_super, window_rows) configurations to find the
+per-batch-overhead vs MXU-width tradeoff.  Np/grid via EXP_NP / EXP_N.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+NP_PTS = int(os.environ.get("EXP_NP", 1_000_000))
+N_GRID = int(os.environ.get("EXP_N", 256))
+K = int(os.environ.get("EXP_ITERS", 6))
+
+
+def _timeit(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import nonuniformffts_tpu as nufft
+    from nonuniformffts_tpu.execution import (
+        _t1_spread_stage,
+        _t1_fft_stage,
+        _t2_fft_stage,
+        _t2_interp_stage,
+    )
+
+    rng = np.random.default_rng(42)
+    shape = (N_GRID,) * 3
+    pts_np = rng.uniform(0, 2 * np.pi, (3, NP_PTS)).astype(np.float32)
+    v_np = rng.standard_normal((1, 2, NP_PTS)).astype(np.float32)
+
+    @jax.jit
+    def _noop(x):
+        return x * 2.0
+
+    _ = float(_noop(jnp.float32(1.0)))
+    overhead = min(
+        _timeit(lambda: float(_noop(jnp.float32(1.0)))) for _ in range(5)
+    )
+    print(f"dispatch overhead ~{overhead*1e3:.1f} ms", flush=True)
+
+    def timed_scan(build_body, args, k=K, reps=2):
+        @jax.jit
+        def loop(*a):
+            def body(c, _):
+                return jax.lax.optimization_barrier(build_body(c, *a)), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+
+        _ = float(loop(*args))
+        ts = [_timeit(lambda: float(loop(*args))) for _ in range(reps)]
+        return (min(ts) - overhead) / k
+
+    def eps_of(c, x):
+        return x + (c * jnp.asarray(1e-30, x.dtype)).astype(x.dtype)
+
+    pts = jax.device_put(pts_np)
+    v = jax.device_put(v_np)
+
+    configs = [
+        dict(),  # auto baseline
+        dict(batch_size=256),
+        dict(batch_size=384),
+        dict(dma_super=8),
+        dict(batch_size=256, dma_super=8),
+        dict(window_rows=None),
+    ]
+    for cfg in configs:
+        try:
+            plan = nufft.PlanNUFFT(
+                np.complex64, shape, m=4, sigma=1.5,
+                spread_method="blocked", fft_method="matmul",
+                np_hint=NP_PTS, **cfg,
+            )
+            p = nufft.set_points(plan, pts)
+            buf = _t1_spread_stage(p, v)
+            spec = _t1_fft_stage(p, buf)
+            halos = _t2_fft_stage(p, spec)
+            jax.block_until_ready(halos)
+
+            def t_sp(c, v_a):
+                return jnp.sum(_t1_spread_stage(p, eps_of(c, v_a)))
+
+            def t_it(c, h_a):
+                return jnp.sum(_t2_interp_stage(p, eps_of(c, h_a)))
+
+            t_spread = timed_scan(t_sp, (v,))
+            t_interp = timed_scan(t_it, (halos,))
+            print(
+                f"cfg={cfg} blocks={plan.block_dims} W={plan.window_rows} "
+                f"W1={plan.window_rows_y} batch={plan.batch_size} "
+                f"super={plan.dma_super}: spread={t_spread*1e3:7.2f} ms "
+                f"interp={t_interp*1e3:7.2f} ms",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"cfg={cfg}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
