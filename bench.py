@@ -156,6 +156,16 @@ def main():
             t_1 = timed_scan(t1_body, (p_sorted, v_d))
             t_2 = timed_scan(t2_body, (p_sorted, u_in))
 
+        # Geometry-model audit (round-1 weak #9): record the cost model's
+        # predicted single-pass spread cost next to the measured stages so a
+        # drifting calibration is visible in the committed artifact.
+        from nonuniformffts_tpu.blocking import geometry_cost
+
+        model_s, model_vmem = geometry_cost(
+            plan.shape_over, plan.block_dims, plan.m,
+            (1 if REAL else 2) * plan.ntransforms, np_pts, plan.batch_size,
+            n_keep=plan.shape, form=plan.kernel_form,
+        )
         row = {
             "Np": np_pts,
             "rho": np_pts / float(np.prod(shape)),
@@ -164,6 +174,9 @@ def main():
             "t_type1_s": t_1,
             "t_type2_s": t_2,
             "pts_per_sec": np_pts / t_full,
+            "blocks": list(plan.block_dims),
+            "model_pass_s": model_s,
+            "model_vmem_bytes": int(model_vmem),
         }
 
         if measure_error:
@@ -273,17 +286,29 @@ def main():
                 f"t2={r['t_type2_s']*1e3:.1f} -> {r['pts_per_sec']/1e6:.2f} Mpts/s"
             )
 
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_SWEEP.json"), "w") as f:
-        json.dump(
-            {
-                "protocol": f"N={N_GRID}^3 m={M_HS} sigma={SIGMA} BKB "
-                f"{'r2c-f32' if REAL else 'c64'} prec={PRECISION}; "
-                "iteration = set_points + type1 + type2",
-                "rows": rows,
-            },
-            f,
-            indent=1,
-        )
+    # Merge into BENCH_SWEEP.json under a per-dtype key so the c64 and
+    # r2c-f32 sweeps (run as separate invocations: BENCH_REAL=0/1) coexist
+    # in one committed artifact, mirroring the reference's per-dtype .dat
+    # files (benchmark/CPU+CUDA/results.H100_*).
+    sweep_path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_SWEEP.json")
+    doc = {}
+    if os.path.exists(sweep_path):
+        try:
+            with open(sweep_path) as f:
+                doc = json.load(f)
+        except Exception:
+            doc = {}
+    if "sweeps" not in doc:
+        doc = {"sweeps": {}}
+    key = "r2c_f32" if REAL else "c64"
+    doc["protocol"] = (
+        f"N={N_GRID}^3 m={M_HS} sigma={SIGMA} BKB prec={PRECISION}; "
+        "iteration = set_points + type1 + type2; per-dtype sweeps keyed "
+        "c64 / r2c_f32"
+    )
+    doc["sweeps"][key] = rows
+    with open(sweep_path, "w") as f:
+        json.dump(doc, f, indent=1)
 
     value = main_row["pts_per_sec"]
     result = {

@@ -56,19 +56,29 @@ WINDOWS = {
 }
 
 
-def accuracy_params(reltol: float, *, f32: bool = False) -> Tuple[int, float]:
+def accuracy_params(
+    reltol: float, *, f32: bool = False, precision: Optional[str] = None
+) -> Tuple[int, float]:
     """Map a requested relative tolerance to ``(m, sigma)``.
 
     Uses the (Backwards)Kaiser-Bessel error model validated by our accuracy
     sweep (tests/test_accuracy.py error_budget; BASELINE.md accuracy table):
-    at sigma = 2 the L2 relative error is ~6 x 10^(-1.9 m), with floors of
-    ~4e-14 (f64) / ~2e-6 (f32 arithmetic).  The reference performs the same
-    kind of mapping in ``accuracyParams`` (src/abstractNFFTs.jl:173-188).
+    at sigma = 2 the L2 relative error is ~6 x 10^(-1.9 m).  The floor is
+    device-aware: ~4e-14 for f64 plans (CPU/interpret), and for f32 plans
+    the measured TPU arithmetic floors — ~1.5e-6 at precision='highest'
+    (bf16x6 matmuls + double-single coordinate split) and ~1e-8 at
+    precision='double' (chunked double-single accumulation,
+    matmul_fft._mm_ds; on-device rows in docs/accuracy.md).  The reference
+    performs the same kind of mapping in ``accuracyParams``
+    (src/abstractNFFTs.jl:173-188).
     """
     if not 0.0 < reltol < 1.0:
         raise ValueError(f"reltol must be in (0, 1), got {reltol}")
     sigma = 2.0
-    floor = 2e-6 if f32 else 4e-14
+    if f32:
+        floor = 1e-8 if precision == "double" else 1.5e-6
+    else:
+        floor = 4e-14
     target = max(float(reltol), floor)
     m = math.ceil(math.log10(6.0 / target) / 1.9)
     m = min(max(m, 2), 10)
@@ -123,7 +133,9 @@ class NFFTPlan:
                 f"NFFT-convention plans are complex transforms, got {dtype}"
             )
         f32 = dtype == np.dtype(np.complex64)
-        m_auto, sigma_auto = accuracy_params(reltol, f32=f32)
+        m_auto, sigma_auto = accuracy_params(
+            reltol, f32=f32, precision=plan_kw.get("precision")
+        )
         if m is None:
             m = m_auto
         if sigma is None:
