@@ -70,14 +70,28 @@ def main():
     pts = jax.device_put(pts_np)
     v = jax.device_put(v_np)
 
-    configs = [
-        dict(),  # auto baseline
-        dict(batch_size=256),
-        dict(batch_size=384),
-        dict(dma_super=8),
-        dict(batch_size=256, dma_super=8),
-        dict(window_rows=None),
-    ]
+    if os.environ.get("EXP_BLOCKS_SWEEP") == "1":
+        # Geometry ladder: fewer/fatter programs (per-program overhead vs
+        # VMEM pipelining limits) and dim-1 narrowing (kernel rm vs DFT
+        # inflation).
+        configs = [
+            dict(),
+            dict(block_dims=(128, 16, 96)),
+            dict(block_dims=(96, 16, 96)),
+            dict(block_dims=(64, 8, 96)),
+            dict(block_dims=(128, 8, 96)),
+            dict(block_dims=(64, 16, 192)),
+            dict(block_dims=(96, 24, 96)),
+        ]
+    else:
+        configs = [
+            dict(),  # auto baseline
+            dict(batch_size=256),
+            dict(batch_size=384),
+            dict(dma_super=8),
+            dict(batch_size=256, dma_super=8),
+            dict(window_rows=None),
+        ]
     for cfg in configs:
         try:
             plan = nufft.PlanNUFFT(
@@ -97,13 +111,22 @@ def main():
             def t_it(c, h_a):
                 return jnp.sum(_t2_interp_stage(p, eps_of(c, h_a)))
 
+            def t_fwd(c, b_a):
+                return jnp.sum(jnp.abs(_t1_fft_stage(p, eps_of(c, b_a))))
+
+            def t_bwd(c, s_a):
+                return jnp.sum(jnp.abs(_t2_fft_stage(p, eps_of(c, s_a))))
+
             t_spread = timed_scan(t_sp, (v,))
             t_interp = timed_scan(t_it, (halos,))
+            t_f = timed_scan(t_fwd, (buf,))
+            t_b = timed_scan(t_bwd, (spec,))
             print(
                 f"cfg={cfg} blocks={plan.block_dims} W={plan.window_rows} "
                 f"W1={plan.window_rows_y} batch={plan.batch_size} "
                 f"super={plan.dma_super}: spread={t_spread*1e3:7.2f} ms "
-                f"interp={t_interp*1e3:7.2f} ms",
+                f"interp={t_interp*1e3:7.2f} ms fwd={t_f*1e3:7.2f} ms "
+                f"bwd={t_b*1e3:7.2f} ms",
                 flush=True,
             )
         except Exception as e:

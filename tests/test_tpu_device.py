@@ -205,3 +205,48 @@ def test_compiled_r2c_fftshift_ntransforms(real_data, fftshift):
             got = uc[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
         err = np.linalg.norm(got - exact) / np.linalg.norm(exact)
         assert err < 5e-6, (real_data, fftshift, c, err)
+
+
+@requires_tpu
+def test_compiled_custom_blocks_dim1_window():
+    """Compiled coverage of custom block_dims/batch_size and the dim-1
+    windowed accumulation (window_rows_y; high-density batches contract a
+    2D (dim-0, dim-1) accumulator window) including its fallback tiers,
+    against the exact oracle."""
+    import jax
+
+    import nonuniformffts_tpu as nufft
+    from nonuniformffts_tpu.execution import (
+        exec_type1_channels,
+        exec_type2_channels,
+    )
+
+    rng = np.random.default_rng(11)
+    N = 64
+    Np = 120_000  # rho ~ 0.14 oversampled: single-slab batches exist
+    pts = rng.uniform(0, 2 * np.pi, (3, Np)).astype(np.float32)
+    # Dense cluster -> many single-x-slab batches (W1 engaged) AND
+    # wide-span batches (W1/W0 fallbacks) in one program grid.
+    pts[:, : Np // 2] = rng.uniform(1.0, 1.6, (3, Np // 2))
+    v = rng.standard_normal((1, 2, Np)).astype(np.float32)
+
+    pb = nufft.PlanNUFFT(
+        np.complex64, (N,) * 3, m=4, sigma=1.5,
+        spread_method="blocked", fft_method="matmul", np_hint=Np,
+        block_dims=(16, 24, 48), window_rows=16, window_rows_y=16,
+    )
+    assert pb.window_rows_y is not None
+    p = nufft.set_points(pb, jax.device_put(pts))
+    r1 = np.asarray(p.batch_r1)
+    assert (r1 >= 0).any(), "dim-1 window never engaged"
+    assert (r1 < 0).any(), "fallback tier never engaged"
+    u = np.asarray(exec_type1_channels(p, jax.device_put(v)))
+    uc = (u[0, 0] + 1j * u[0, 1]).astype(np.complex128)
+    kidx = rng.integers(0, N, (128, 3))
+    vc = (v[0, 0] + 1j * v[0, 1]).astype(np.complex128)
+    exact = _exact_t1_oracle(pts, vc, kidx, N)
+    got = uc[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
+    err = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert err < 5e-6, err
+    v2 = np.asarray(exec_type2_channels(p, u))
+    assert np.all(np.isfinite(v2))
