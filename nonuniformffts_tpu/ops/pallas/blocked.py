@@ -468,8 +468,8 @@ def _spread_kernel(
 
 def _spread_kernel_z(
     starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, pv_hbm, cs_ref,
-    out_ref, acc_ref, pv_buf, sem_pv,
-    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
+    out_ref, *scratch,
+    plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
 ):
     """Z-form spreading: accumulator (CR*pd0*prod(pd_mid), pd_last); the
     x-window lives in MXU rows (M = CR*W0*prod(pd_mid)), the contraction's
@@ -483,6 +483,11 @@ def _spread_kernel_z(
     contract M = CR*W0*W1 rows, accumulating into a 2D (dim-0 leading,
     dim-1 8-aligned sublane) window — the high-density regime where one
     batch sits inside a single dim-0 slab."""
+    if plan.spread_acc2:
+        acc_ref, acc2_ref, pv_buf, sem_pv = scratch
+    else:
+        acc_ref, pv_buf, sem_pv = scratch
+        acc2_ref = None
     D = plan.ndim
     b = pl.program_id(0)
     start_b = starts_ref[b]
@@ -498,6 +503,8 @@ def _spread_kernel_z(
     nsuper = (nbatch + SUPER - 1) // SUPER
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    if acc2_ref is not None:
+        acc2_ref[...] = jnp.zeros_like(acc2_ref)
 
     def dma(slot, j):
         if layout == "packed":
@@ -579,29 +586,29 @@ def _spread_kernel_z(
     # (granule 1) and dim-1 offsets on the 8-aligned sublane dim.
     acc3 = W1 is not None
 
-    def compute(pv_b, i):
+    def compute(pv_b, i, aref):
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, None)  # (pd0*rm, P), (pdL, P)
         wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*pd0*rm, P)
         prod = jax.lax.dot_general(
             wv, wlast, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
+            preferred_element_type=aref.dtype,
             precision=_PRECS[plan.precision],
         )
         if acc3:
-            acc_ref[...] = acc_ref[...] + prod.reshape(CR * pd[0], rm, pdL)
+            aref[...] = aref[...] + prod.reshape(CR * pd[0], rm, pdL)
         else:
-            acc_ref[...] = acc_ref[...] + prod
+            aref[...] = aref[...] + prod
 
-    def compute_win(pv_b, i, r0):
+    def compute_win(pv_b, i, r0, aref):
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, r0)  # (W*rm, P), (pdL, P)
         wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*rm, P)
         prod = jax.lax.dot_general(
             wv, wlast, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
+            preferred_element_type=aref.dtype,
             precision=_PRECS[plan.precision],
         )  # (CR*W*rm, pdL)
         for c in range(CR):
@@ -610,16 +617,16 @@ def _spread_kernel_z(
             )
             if acc3:
                 off = c * pd[0] + r0
-                win = acc_ref[pl.ds(off, W), :, :]
-                acc_ref[pl.ds(off, W), :, :] = win + sl.reshape(W, rm, pdL)
+                win = aref[pl.ds(off, W), :, :]
+                aref[pl.ds(off, W), :, :] = win + sl.reshape(W, rm, pdL)
             else:
                 # Offset is a multiple of rm (pd1, an 8-multiple) for D=3;
                 # for D=2 rm=1 and r0 itself is 8-aligned.
                 off = pl.multiple_of((c * pd[0] + r0) * rm, 8)
-                win = acc_ref[pl.ds(off, W * rm), :]
-                acc_ref[pl.ds(off, W * rm), :] = win + sl
+                win = aref[pl.ds(off, W * rm), :]
+                aref[pl.ds(off, W * rm), :] = win + sl
 
-    def compute_win2(pv_b, i, r0, r1):
+    def compute_win2(pv_b, i, r0, r1, aref):
         # 2D (dim-0, dim-1) window: M = CR*W*W1 contraction rows.
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
@@ -627,14 +634,14 @@ def _spread_kernel_z(
         wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*W1, P)
         prod = jax.lax.dot_general(
             wv, wlast, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
+            preferred_element_type=aref.dtype,
             precision=_PRECS[plan.precision],
         )  # (CR*W*W1, pdL)
         r1a = pl.multiple_of(r1, 8)
         for c in range(CR):
             off = c * pd[0] + r0
-            win = acc_ref[pl.ds(off, W), pl.ds(r1a, W1), :]
-            acc_ref[pl.ds(off, W), pl.ds(r1a, W1), :] = (
+            win = aref[pl.ds(off, W), pl.ds(r1a, W1), :]
+            aref[pl.ds(off, W), pl.ds(r1a, W1), :] = (
                 win
                 + jax.lax.slice_in_dim(
                     prod, c * W * W1, (c + 1) * W * W1, axis=0
@@ -656,49 +663,56 @@ def _spread_kernel_z(
             gi = i * SUPER + k
             src = pl.multiple_of(slot * SB + k * P, P)
             pv_b = pv_buf[:, pl.ds(src, P)]
+            # Ping-pong accumulator (spread_acc2): alternate batches write
+            # disjoint scratch so batch k+1's contraction is not serialised
+            # behind batch k's accumulator read-modify-write.
+            aref = acc2_ref if (acc2_ref is not None and k % 2) else acc_ref
             if W and W1:
                 r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
                 r1 = r1s_ref[jnp.minimum(start_b + gi, nr1 - 1)]
 
                 @pl.when((gi < nbatch) & (r1 >= 0))
-                def _(pv_b=pv_b, gi=gi, r0=r0, r1=r1):
-                    compute_win2(pv_b, gi, r0, r1)
+                def _(pv_b=pv_b, gi=gi, r0=r0, r1=r1, aref=aref):
+                    compute_win2(pv_b, gi, r0, r1, aref)
 
                 @pl.when((gi < nbatch) & (r1 < 0) & (r0 >= 0))
-                def _(pv_b=pv_b, gi=gi, r0=r0):
-                    compute_win(pv_b, gi, r0)
+                def _(pv_b=pv_b, gi=gi, r0=r0, aref=aref):
+                    compute_win(pv_b, gi, r0, aref)
 
                 @pl.when((gi < nbatch) & (r0 < 0))
-                def _(pv_b=pv_b, gi=gi):
-                    compute(pv_b, gi)
+                def _(pv_b=pv_b, gi=gi, aref=aref):
+                    compute(pv_b, gi, aref)
             elif W:
                 r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
-                def _(pv_b=pv_b, gi=gi, r0=r0):
-                    compute_win(pv_b, gi, r0)
+                def _(pv_b=pv_b, gi=gi, r0=r0, aref=aref):
+                    compute_win(pv_b, gi, r0, aref)
 
                 @pl.when((gi < nbatch) & (r0 < 0))
-                def _(pv_b=pv_b, gi=gi):
-                    compute(pv_b, gi)
+                def _(pv_b=pv_b, gi=gi, aref=aref):
+                    compute(pv_b, gi, aref)
             else:
                 @pl.when(gi < nbatch)
-                def _(pv_b=pv_b, gi=gi):
-                    compute(pv_b, gi)
+                def _(pv_b=pv_b, gi=gi, aref=aref):
+                    compute(pv_b, gi, aref)
 
         return carry
 
     jax.lax.fori_loop(0, nsuper, body, 0)
     # Write the block: split the row dim (c, i0[, i1]) with leading-dim /
     # 8-aligned-sublane reshapes only.
+    acc_all = acc_ref[...]
+    if acc2_ref is not None:
+        acc_all = acc_all + acc2_ref[...]
     for c in range(CR):
         if acc3:
-            out_ref[(c, 0, slice(None), 0)] = acc_ref[
-                pl.ds(c * pd[0], pd[0]), :, :
-            ]
+            out_ref[(c, 0, slice(None), 0)] = jax.lax.slice_in_dim(
+                acc_all, c * pd[0], (c + 1) * pd[0], axis=0
+            )
         else:
             rows = jax.lax.slice_in_dim(
-                acc_ref[...], c * pd[0] * rm, (c + 1) * pd[0] * rm, axis=0
+                acc_all, c * pd[0] * rm, (c + 1) * pd[0] * rm, axis=0
             )
             if D == 2:
                 out_ref[c, 0] = rows
@@ -793,8 +807,10 @@ def spread_blocked(
                 if W1 is not None
                 else (CRc * pd[0] * rm, pd[-1])
             )
-            scratch = [
-                pltpu.VMEM(acc_shape, rdt),
+            scratch = [pltpu.VMEM(acc_shape, rdt)]
+            if plan.spread_acc2:
+                scratch.append(pltpu.VMEM(acc_shape, rdt))
+            scratch += [
                 pltpu.VMEM((DP + CRPc, NB * SB), rdt),
                 pltpu.SemaphoreType.DMA((NB,)),
             ]

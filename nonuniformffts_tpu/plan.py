@@ -99,6 +99,12 @@ class Plan:
     # density (a batch must fit within one dim-0 slab for its dim-1 span to
     # be narrow); None disables.
     window_rows_y: Optional[int] = static_field(default=None)
+    # Ping-pong double accumulator in the z-form spread kernel: alternate
+    # batches accumulate into disjoint VMEM scratch (merged at block write)
+    # so a batch's MXU contraction is not serialised behind the previous
+    # batch's accumulator read-modify-write.  Costs one extra accumulator
+    # of VMEM; off by default pending device A/B.
+    spread_acc2: bool = static_field(default=False)
     # Batches per DMA descriptor in the blocked kernels: the scalar core's
     # per-descriptor issue cost (~1-2 us) exceeds a single batch's compute,
     # so descriptors carry dma_super * batch_size lanes and the kernels peel
@@ -311,6 +317,7 @@ def PlanNUFFT(
     window_rows_y: Optional[int] = "auto",
     layout: str = "packed",
     dma_super: int = 4,
+    spread_acc2: bool = False,
     timer=None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
@@ -628,6 +635,7 @@ def PlanNUFFT(
         window_rows_y=window_rows_y,
         layout=layout,
         dma_super=max(int(dma_super), 1),
+        spread_acc2=bool(spread_acc2),
         kernel_form=kernel_form,
         padded_dims=padded_dims,
         kernel_data=kernel_data,

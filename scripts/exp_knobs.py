@@ -86,6 +86,7 @@ def main():
     else:
         configs = [
             dict(),  # auto baseline
+            dict(spread_acc2=True),
             dict(batch_size=256),
             dict(batch_size=384),
             dict(dma_super=8),
