@@ -70,7 +70,24 @@ def main():
     pts = jax.device_put(pts_np)
     v = jax.device_put(v_np)
 
-    if os.environ.get("EXP_BLOCKS_SWEEP") == "1":
+    if os.environ.get("EXP_RHO1") == "1":
+        # High-density attack: at rho=1 the spread kernel runs ~8x over its
+        # MXU MAC floor (~131k batches x ~1.5us fixed per-batch cost), so
+        # larger point batches and fewer/fatter programs should win even
+        # though they widen the per-batch window span.
+        configs = [
+            dict(),
+            dict(batch_size=256),
+            dict(batch_size=512),
+            dict(batch_size=256, spread_acc2=True),
+            dict(block_dims=(64, 16, 96), batch_size=256),
+            dict(block_dims=(96, 16, 96), batch_size=256),
+            dict(block_dims=(64, 16, 192), batch_size=256),
+            dict(block_dims=(32, 8, 96), batch_size=256),
+            dict(block_dims=(64, 8, 96), batch_size=512),
+            dict(dma_super=8, batch_size=256),
+        ]
+    elif os.environ.get("EXP_BLOCKS_SWEEP") == "1":
         # Geometry ladder: fewer/fatter programs (per-program overhead vs
         # VMEM pipelining limits) and dim-1 narrowing (kernel rm vs DFT
         # inflation).
