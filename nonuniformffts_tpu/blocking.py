@@ -39,6 +39,13 @@ def _divisors(n: int):
 _PROGRAM_OVERHEAD_S = 15e-6
 _MXU_MACS_PER_S = 3.0e13
 _HBM_BYTES_PER_S = 6.0e11
+# Fixed cost per point batch inside the kernels (decode + weight build +
+# accumulator RMW issue + control flow, independent of the contraction
+# size).  Inferred from the rho=1 residual (~260 ms spread at ~131k batches
+# vs ~60 ms modelled without this term); device A/B (scripts/exp_knobs.py
+# EXP_RHO1) refines it.  This is what makes larger ``batch_size`` win at
+# high density.
+_BATCH_OVERHEAD_S = 1.2e-6
 
 #: Per-core VMEM budget for the blocked kernels' *estimated* working set
 #: (reference analogue: the 48 KiB CUDA shared-memory budget solved in
@@ -89,13 +96,23 @@ def geometry_cost(
     # padding per non-empty block (slot quantisation).
     nbatches = np_pts / batch + 0.5 * min(nblocks, np_pts)
     if form == "z":
-        # Windowed x-rows: expected dim-0 cell span of one batch + window.
+        # Windowed x-rows: expected dim-0 cell span of one batch + window
+        # (mirrors the plan's window_rows='auto' rule, plan.py).
         avg = max(np_pts / max(nblocks, 1), 1.0)
         span0 = block_dims[0] * min(1.0, batch / avg)
-        W0 = min(pd[0], round_up(int(span0) + 2 * m + 8, 8))
+        W0 = min(pd[0], int(span0) + 2 * m + 2)
         rows_mid = 1
         for p in pd[1:-1]:
             rows_mid *= p
+        # Dim-1 window (3D): engages when a batch fits inside one dim-0
+        # cell slab (window_rows_y='auto' rule); model the expected rows as
+        # the engaged-W1 value when it undercuts the full mid extent.
+        if D >= 3:
+            per_slab = avg / block_dims[0]
+            span_y = block_dims[1] * min(1.0, batch / max(per_slab, 1.0))
+            W1 = round_up(int(span_y) + 2 * m + 8, 8)
+            if W1 < pd[1]:
+                rows_mid = rows_mid // pd[1] * W1
         m_eff = max(cr * W0 * rows_mid, 64)
         macs = nbatches * m_eff * pd[-1] * batch
     else:
@@ -125,6 +142,7 @@ def geometry_cost(
         dft_macs += 3.0 * C_est * rows * L[d] * n_keep[d]
     cost = (
         nblocks * _PROGRAM_OVERHEAD_S
+        + nbatches * _BATCH_OVERHEAD_S
         + (macs + 2 * dft_macs) / _MXU_MACS_PER_S
         + io_bytes / _HBM_BYTES_PER_S
     )

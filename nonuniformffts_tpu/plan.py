@@ -307,7 +307,7 @@ def PlanNUFFT(
     sort_points: bool = False,
     point_transform: Callable = _identity,
     chunk_size: Optional[int] = None,
-    batch_size: int = 128,
+    batch_size=128,  # points per kernel batch (int or 'auto')
     interpret: bool = False,
     fft_method: Optional[str] = None,
     fft_variant: str = "auto",
@@ -448,7 +448,7 @@ def PlanNUFFT(
         # Pallas DMA slot offsets (start_b + i) * P must be lane-tile (128)
         # aligned on real TPUs; interpret mode would silently accept any
         # value and then crash compiled (advisor finding, round 1).
-        if batch_size % 128 != 0 and not interpret:
+        if batch_size != "auto" and batch_size % 128 != 0 and not interpret:
             raise ValueError(
                 f"batch_size={batch_size} must be a multiple of 128 for the "
                 "blocked method on TPU (DMA lane-tile alignment); use "
@@ -456,23 +456,52 @@ def PlanNUFFT(
             )
         cr_total = ntransforms * (1 if is_real else 2)
         cr_step = 1 if is_real else 2  # keep a component's re/im together
-        if block_dims is None:
+
+        def _geometry_for(batch):
             # Find the largest channel chunk whose geometry fits VMEM
             # (halving until feasible; the kernels then loop over chunks —
             # reference: serial component loop, src/spreading/gpu.jl:293).
             cr = cr_total
             while True:
-                block_dims, geo_warnings = choose_geometry(
+                bd, geo_warnings = choose_geometry(
                     shape_over, m, cr=cr, np_hint=np_hint,
-                    batch_size=batch_size, n_keep=shape, form=kernel_form,
+                    batch_size=batch, n_keep=shape, form=kernel_form,
                 )
                 if not any("VMEM" in w for w in geo_warnings) or cr <= cr_step:
                     break
                 cr = max(cr_step, (cr // 2 + cr_step - 1) // cr_step * cr_step)
+            return bd, geo_warnings, cr
+
+        if block_dims is None:
+            if batch_size == "auto":
+                # Per-batch fixed kernel cost makes bigger point batches win
+                # at high density; search candidates jointly with geometry
+                # under the same cost model (blocking.geometry_cost).
+                from .blocking import geometry_cost
+
+                best = None
+                for cand in (128, 256, 512):
+                    bd_c, warns_c, cr_c = _geometry_for(cand)
+                    if any("VMEM" in w for w in warns_c) and best is not None:
+                        continue
+                    np_eff = np_hint if np_hint else max(
+                        int(0.05 * np.prod(shape_over)), 1
+                    )
+                    cost_c, _ = geometry_cost(
+                        shape_over, bd_c, m, cr_c, np_eff, cand,
+                        n_keep=shape, form=kernel_form,
+                    )
+                    if best is None or cost_c < best[0]:
+                        best = (cost_c, cand, bd_c, warns_c, cr_c)
+                _, batch_size, block_dims, geo_warnings, cr = best
+            else:
+                block_dims, geo_warnings, cr = _geometry_for(batch_size)
             cr_chunk = cr if cr < cr_total else None
             for w in geo_warnings:
                 warnings.warn(w, stacklevel=2)
         else:
+            if batch_size == "auto":
+                batch_size = 128  # explicit geometry: keep the default batch
             block_dims = tuple(int(b) for b in block_dims)
             for d, (b, n_over) in enumerate(zip(block_dims, shape_over)):
                 if n_over % b != 0:
@@ -622,7 +651,7 @@ def PlanNUFFT(
         sort_points=bool(sort_points),
         point_transform=point_transform,
         chunk_size=chunk_size,
-        batch_size=int(batch_size),
+        batch_size=128 if batch_size == "auto" else int(batch_size),
         interpret=bool(interpret),
         fft_method=fft_method,
         fft_variant=fft_variant,

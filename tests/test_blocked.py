@@ -308,3 +308,25 @@ def test_packed_vs_slots_layout(rng, dtype):
         outs[layout] = (u, v2)
     np.testing.assert_allclose(outs["packed"][0], outs["slots"][0], rtol=1e-10)
     np.testing.assert_allclose(outs["packed"][1], outs["slots"][1], rtol=1e-10)
+
+
+@pytest.mark.parametrize("batch", [256, 512, "auto"])
+def test_blocked_large_and_auto_batch(rng, batch):
+    """Large point batches (the high-density per-batch-overhead knob) and the
+    'auto' batch search must be output-equivalent to the reference path with
+    the 3D z-form kernels + windowed accumulation engaged."""
+    shape = (16, 16, 16)
+    Np = 3000  # rho ~ 0.7: windows engage, multiple batches per block
+    pts, v = _make_inputs(shape, np.complex128, 1, Np, rng)
+    pts[:, :600] = rng.uniform(0.5, 0.8, (3, 600))  # dense cluster
+    ref = nufft.PlanNUFFT(np.complex128, shape, m=4, sigma=1.5)
+    blk = nufft.PlanNUFFT(
+        np.complex128, shape, m=4, sigma=1.5, spread_method="blocked",
+        interpret=True, fft_method="matmul", fft_variant="pruned",
+        batch_size=batch, np_hint=Np,
+    )
+    assert blk.batch_size in (128, 256, 512)
+    u_ref, v2_ref = _roundtrip(ref, pts, v)
+    u_blk, v2_blk = _roundtrip(blk, pts, v)
+    assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12
+    assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < 1e-12
