@@ -112,6 +112,11 @@ class Plan:
     # the packed layout only (the slotted/routed layouts keep one batch per
     # descriptor).
     dma_super: int = static_field(default=4)
+    # Per-exec value permutation into sorted order (packed layout):
+    # 'gather' = jnp.take by sort_perm; 'sort' = payload sort by the inverse
+    # positions (cheaper past a few million points); 'auto' picks by Np at
+    # set_points time.
+    value_permute: str = static_field(default="auto")
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
@@ -149,6 +154,11 @@ class Plan:
     points_packed: Optional[jnp.ndarray] = data_field(default=None)
     pstarts: Optional[jnp.ndarray] = data_field(default=None)
     sort_perm: Optional[jnp.ndarray] = data_field(default=None)
+    # Inverse sort positions (Np,): present when the per-exec value
+    # permutation runs as a payload sort instead of a gather (XLA TPU
+    # gathers cost ~7 ns/index — a sort is ~3x cheaper past a few million
+    # points; below that the gather wins).  Controlled by ``value_permute``.
+    sort_inv: Optional[jnp.ndarray] = data_field(default=None)
     slot_to_point: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,)
     slot_valid: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,) bool
     point_slots: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
@@ -318,6 +328,7 @@ def PlanNUFFT(
     layout: str = "packed",
     dma_super: int = 4,
     spread_acc2: bool = False,
+    value_permute: str = "auto",
     timer=None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
@@ -427,6 +438,8 @@ def PlanNUFFT(
     # DFT (pruned matmul engine) and D >= 2.
     if precision not in ("default", "high", "highest", "double"):
         raise ValueError(f"unknown precision {precision!r}")
+    if value_permute not in ("auto", "gather", "sort"):
+        raise ValueError(f"unknown value_permute {value_permute!r}")
     kernel_form = (
         "z"
         if (
@@ -665,6 +678,7 @@ def PlanNUFFT(
         layout=layout,
         dma_super=max(int(dma_super), 1),
         spread_acc2=bool(spread_acc2),
+        value_permute=value_permute,
         kernel_form=kernel_form,
         padded_dims=padded_dims,
         kernel_data=kernel_data,
@@ -717,6 +731,11 @@ def fold_points(x: jnp.ndarray, point_transform: Callable = _identity) -> jnp.nd
     return jnp.mod(x, L)
 
 
+# 'auto' value_permute crossover: below this Np the ~7 ns/index gather beats
+# the payload sort (plus the extra inverse-position sort in set_points).
+_SORT_PERMUTE_MIN_NP = 2_000_000
+
+
 @jax.jit
 def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
     """Packed-layout point preparation: one multi-operand sort carrying the
@@ -744,7 +763,17 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
     if extra > plan.batch_size:
         pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
         perm = jnp.pad(perm, (0, extra))
-    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm
+    np_ = pts.shape[1]
+    sort_inv = None
+    if plan.value_permute == "sort" or (
+        plan.value_permute == "auto" and np_ >= _SORT_PERMUTE_MIN_NP
+    ):
+        # Inverse sorted positions: exec-time values then permute into
+        # sorted order via a payload sort (cheaper than the ~7 ns/index
+        # gather at large Np).  One extra sort here, amortised over execs.
+        iota = jnp.arange(np_, dtype=jnp.int32)
+        _, sort_inv = jax.lax.sort_key_val(perm[:np_], iota)
+    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sort_inv
 
 
 @jax.jit
@@ -819,7 +848,7 @@ def set_points(plan: Plan, points) -> Plan:
                 plan.timer.sync(out)
         else:
             out = _pack_points_jit(plan, pts_t)
-        pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm = out
+        pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sinv = out
         pts = fold_points(pts, plan.point_transform)
         # Low-density diagnostic (reference warns on degenerate shared-memory
         # geometry, src/gpu_common.jl:66-77): expected batch quantisation
@@ -845,6 +874,7 @@ def set_points(plan: Plan, points) -> Plan:
             points_packed=pts_rows,
             pstarts=pstarts,
             sort_perm=perm,
+            sort_inv=sinv,
             block_starts=batch_starts,
             batch_r0=batch_r0,
             batch_r1=batch_r1,
@@ -893,6 +923,7 @@ def set_points(plan: Plan, points) -> Plan:
             block_starts=batch_starts,
             batch_r0=batch_r0,
             batch_r1=None,  # slotted layout: dim-0 window only
+            sort_inv=None,
             num_points_static=np_,
             point_perm=None,  # blocked path always sorts physically
             point_perm_inv=None,

@@ -330,3 +330,22 @@ def test_blocked_large_and_auto_batch(rng, batch):
     u_blk, v2_blk = _roundtrip(blk, pts, v)
     assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12
     assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < 1e-12
+
+
+def test_value_permute_sort_vs_gather(rng):
+    """The payload-sort value permutation (value_permute='sort') must be
+    output-identical to the gather engine on identical inputs, including
+    tail-padding lanes (Np not a multiple of the batch size)."""
+    shape = (16, 16, 16)
+    Np = 1111  # deliberately not P-aligned
+    pts, v = _make_inputs(shape, np.complex128, 1, Np, rng)
+    outs = {}
+    for vp_mode in ("gather", "sort"):
+        p = nufft.PlanNUFFT(
+            np.complex128, shape, m=4, sigma=1.5, spread_method="blocked",
+            interpret=True, fft_method="matmul", fft_variant="pruned",
+            value_permute=vp_mode, np_hint=Np,
+        )
+        outs[vp_mode] = _roundtrip(p, pts, v)
+    np.testing.assert_array_equal(outs["gather"][0], outs["sort"][0])
+    np.testing.assert_array_equal(outs["gather"][1], outs["sort"][1])
