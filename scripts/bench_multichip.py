@@ -1,10 +1,10 @@
 """Multi-chip (SpatialNUFFT) throughput line on the virtual CPU mesh.
 
 Runs the spatially-sharded pipeline (all_to_all point routing, per-chip
-blocked kernels in interpret mode, distributed split-form matmul-DFT with
-collective transposes, ppermute halo exchange) over an 8-device virtual CPU
-mesh and records wall-clock per full iteration (set_points + type1 + type2)
-to MULTICHIP_BENCH.json.
+z-form blocked kernels in interpret mode, distributed blockform matmul-DFT:
+local factor-slice contraction + one psum on type 1, collective-free type 2)
+over an 8-device virtual CPU mesh and records wall-clock per full iteration
+(set_points + type1 + type2) to MULTICHIP_BENCH.json.
 
 The absolute numbers are CPU-emulation (Pallas interpret mode) and NOT TPU
 throughput — the artifact exists so multi-chip-path regressions are visible

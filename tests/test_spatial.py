@@ -26,25 +26,30 @@ def make_mesh(n):
     return Mesh(np.asarray(jax.devices()[:n]), ("grid",))
 
 
-def _single_plan(dtype, shape, **kw):
-    # fft_variant pinned to 'split': SpatialNUFFT builds its distributed DFT
-    # from the split-form factors, and this oracle compares the *same*
-    # algorithm run distributed vs single-device (pruned-vs-split engine
-    # equivalence is covered separately in test_blocked.py).
+def _single_plan(dtype, shape, engine="blockform", **kw):
+    # The oracle uses the single-chip engine matching the spatial one
+    # ('blockform' -> pruned z-form factors, 'split' -> split factors) so
+    # the comparison is same-algorithm distributed-vs-single-device to
+    # roundoff (pruned-vs-split engine equivalence is covered separately in
+    # test_blocked.py).
     return nufft.PlanNUFFT(
         dtype, shape, m=4, sigma=1.5, spread_method="blocked",
-        interpret=True, fft_method="matmul", fft_variant="split", **kw,
+        interpret=True, fft_method="matmul",
+        fft_variant="pruned" if engine == "blockform" else "split", **kw,
     )
 
 
 @pytest.mark.parametrize("n_chips", [2, 4])
-def test_type1_type2_match_single_device_complex(n_chips, rng):
+@pytest.mark.parametrize("engine", ["auto", "split"])
+def test_type1_type2_match_single_device_complex(n_chips, engine, rng):
     shape = (32, 32, 32)
     Np = 160 * n_chips
     mesh = make_mesh(n_chips)
     sp = SpatialNUFFT(
         np.complex128, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+        engine=engine,
     )
+    assert sp.engine == ("blockform" if engine == "auto" else engine)
     pts = rng.uniform(0, 2 * np.pi, (3, Np))
     v_ch = rng.standard_normal((1, 2, Np))
 
@@ -52,7 +57,11 @@ def test_type1_type2_match_single_device_complex(n_chips, rng):
     u_sp = np.asarray(sp.exec_type1(st, v_ch))
 
     ref = nufft.set_points(
-        _single_plan(np.complex128, shape, block_dims=sp.base.block_dims), pts
+        _single_plan(
+            np.complex128, shape, engine=sp.engine,
+            block_dims=sp.base.block_dims,
+        ),
+        pts,
     )
     u_ref = np.asarray(exec_type1_channels(ref, v_ch))
     np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
@@ -62,13 +71,15 @@ def test_type1_type2_match_single_device_complex(n_chips, rng):
     np.testing.assert_allclose(v_sp, v_ref, rtol=1e-10, atol=1e-12)
 
 
-def test_real_data_path(rng):
+@pytest.mark.parametrize("engine", ["auto", "split"])
+def test_real_data_path(engine, rng):
     shape = (32, 32, 32)
     n_chips = 4
     Np = 128 * n_chips
     mesh = make_mesh(n_chips)
     sp = SpatialNUFFT(
         np.float64, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+        engine=engine,
     )
     pts = rng.uniform(0, 2 * np.pi, (3, Np))
     v = rng.standard_normal((1, Np))
@@ -77,7 +88,11 @@ def test_real_data_path(rng):
     u_sp = np.asarray(sp.exec_type1(st, v))
 
     ref = nufft.set_points(
-        _single_plan(np.float64, shape, block_dims=sp.base.block_dims), pts
+        _single_plan(
+            np.float64, shape, engine=sp.engine,
+            block_dims=sp.base.block_dims,
+        ),
+        pts,
     )
     u_ref = np.asarray(exec_type1_channels(ref, v))
     np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
