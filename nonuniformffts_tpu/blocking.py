@@ -114,7 +114,11 @@ def geometry_cost(
             if W1 < pd[1]:
                 rows_mid = rows_mid // pd[1] * W1
         m_eff = max(cr * W0 * rows_mid, 64)
-        macs = nbatches * m_eff * pd[-1] * batch
+        # MXU lane tiles are 128 wide: a contraction writing pd_last lanes
+        # pays ceil(pd_last/128) full tiles (pd_last=104 runs at 104/128
+        # throughput, pd_last=136 at 136/256).
+        n_eff = -(-pd[-1] // 128) * 128
+        macs = nbatches * m_eff * n_eff * batch
     else:
         # MXU output rows come in 128-tiles: a contraction with M = cr*pd0
         # rows costs ceil(M/128)*128 row-slots regardless of M (a CR=1 r2c

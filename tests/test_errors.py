@@ -85,15 +85,33 @@ def test_window_rows_kwarg_validation():
         assert p13.window_rows < padded_block_dims(p13.block_dims, p13.m)[0]
 
 
-def test_spatial_rejects_non_split_fft_variant():
+def test_spatial_engine_variant_validation():
     import jax
 
     from nonuniformffts_tpu.parallel.spatial import SpatialNUFFT
 
     devs = jax.devices("cpu")[:2]
     mesh = jax.sharding.Mesh(np.array(devs), ("x",))
+    # The split engine cannot run from pruned factors (truncation is baked
+    # into the matrices and does not interleave with its collective
+    # transposes).
     with pytest.raises(ValueError, match="split"):
         SpatialNUFFT(
-            np.complex64, (32, 32), mesh=mesh, fft_variant="pruned",
-            interpret=True,
+            np.complex64, (32, 32), mesh=mesh, engine="split",
+            fft_variant="pruned", interpret=True,
         )
+    # The blockform engine needs the z-form kernels; precision='double'
+    # pins the yz form.
+    with pytest.raises(ValueError, match="blockform"):
+        SpatialNUFFT(
+            np.complex64, (32, 32), mesh=mesh, engine="blockform",
+            precision="double", interpret=True,
+        )
+    with pytest.raises(ValueError, match="engine"):
+        SpatialNUFFT(np.complex64, (32, 32), mesh=mesh, engine="bogus")
+    # fft_variant='pruned' without an engine pin now selects blockform.
+    sp = SpatialNUFFT(
+        np.complex64, (32, 32), mesh=mesh, fft_variant="pruned",
+        interpret=True,
+    )
+    assert sp.engine == "blockform"

@@ -175,3 +175,32 @@ def test_validation_errors():
     sp = SpatialNUFFT(np.complex128, (32, 32), mesh=mesh, interpret=True)
     with pytest.raises(ValueError, match="divide by mesh size"):
         sp.set_points(np.zeros((2, 101)))
+
+
+def test_ntransforms_blockform(rng):
+    """C=2 simultaneous transforms through the distributed blockform engine."""
+    shape = (32, 32, 32)
+    n_chips = 4
+    Np = 96 * n_chips
+    mesh = make_mesh(n_chips)
+    sp = SpatialNUFFT(
+        np.complex128, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+        ntransforms=2,
+    )
+    assert sp.engine == "blockform"
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    v_ch = rng.standard_normal((2, 2, Np))
+    st = sp.set_points(pts)
+    u_sp = np.asarray(sp.exec_type1(st, v_ch))
+    ref = nufft.set_points(
+        _single_plan(
+            np.complex128, shape, engine="blockform", ntransforms=2,
+            block_dims=sp.base.block_dims,
+        ),
+        pts,
+    )
+    u_ref = np.asarray(exec_type1_channels(ref, v_ch))
+    np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
+    v_sp = np.asarray(sp.exec_type2(st, u_ref))
+    v_ref = np.asarray(exec_type2_channels(ref, u_ref))
+    np.testing.assert_allclose(v_sp, v_ref, rtol=1e-10, atol=1e-12)

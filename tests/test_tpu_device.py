@@ -250,3 +250,55 @@ def test_compiled_custom_blocks_dim1_window():
     assert err < 5e-6, err
     v2 = np.asarray(exec_type2_channels(p, u))
     assert np.all(np.isfinite(v2))
+
+
+@requires_tpu
+def test_compiled_large_batch_and_sort_permute():
+    """Compiled coverage of batch_size=256 (super-batch DMA offsets, VMEM
+    accumulator scaling, partial-batch masking at P=256) and the sort-based
+    value permutation, against the exact oracle and the default-config
+    output."""
+    import jax
+
+    import nonuniformffts_tpu as nufft
+    from nonuniformffts_tpu.execution import (
+        exec_type1_channels,
+        exec_type2_channels,
+    )
+
+    rng = np.random.default_rng(13)
+    N = 64
+    Np = 100_001  # odd: exercises tail masking at the 256 granule
+    pts = rng.uniform(0, 2 * np.pi, (3, Np)).astype(np.float32)
+    v = rng.standard_normal((1, 2, Np)).astype(np.float32)
+    kidx = rng.integers(0, N, (128, 3))
+    vc = (v[0, 0] + 1j * v[0, 1]).astype(np.complex128)
+    exact = _exact_t1_oracle(pts, vc, kidx, N)
+
+    base = nufft.PlanNUFFT(
+        np.complex64, (N,) * 3, m=4, sigma=1.5,
+        spread_method="blocked", fft_method="matmul", np_hint=Np,
+    )
+    pb = nufft.set_points(base, jax.device_put(pts))
+    u_base = np.asarray(exec_type1_channels(pb, jax.device_put(v)))
+
+    for cfg in (
+        dict(batch_size=256, block_dims=(32, 8, 64)),
+        dict(value_permute="sort"),
+        dict(batch_size=256, block_dims=(32, 8, 64), value_permute="sort"),
+    ):
+        plan = nufft.PlanNUFFT(
+            np.complex64, (N,) * 3, m=4, sigma=1.5,
+            spread_method="blocked", fft_method="matmul", np_hint=Np, **cfg,
+        )
+        p = nufft.set_points(plan, jax.device_put(pts))
+        if cfg.get("value_permute") == "sort":
+            assert p.sort_inv is not None
+        u = np.asarray(exec_type1_channels(p, jax.device_put(v)))
+        uc = (u[0, 0] + 1j * u[0, 1]).astype(np.complex128)
+        got = uc[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
+        err = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+        assert err < 5e-6, (cfg, err)
+        np.testing.assert_allclose(u, u_base, rtol=2e-4, atol=1e-5)
+        v2 = np.asarray(exec_type2_channels(p, u))
+        assert np.all(np.isfinite(v2)), cfg
