@@ -340,7 +340,9 @@ def sort_points_into_blocks(plan, points: jnp.ndarray):
 
 def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
                 with_inverse: bool = False, sub_lx: jnp.ndarray = None,
-                sub_range: int = 1, window: Tuple[int, int, int] = None):
+                sub_range: int = 1, window: Tuple[int, int, int] = None,
+                sub_ly: jnp.ndarray = None, sub_range_y: int = 1,
+                window_y: Tuple[int, int] = None):
     """Scatter-free slot-aligned layout from per-point block ids.
 
     ``virtual`` extra trailing block ids (``nblocks .. nblocks+virtual-1``)
@@ -357,8 +359,14 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     whose row offsets are rm-strided); -1 marks batches that must take the
     full-accumulator fallback: left-edge wrap or span > W).
 
+    ``sub_ly`` / ``sub_range_y`` / ``window_y = (W1, pd1)`` (optional,
+    requires ``sub_lx``) additionally sub-sort by the dim-1 cell within each
+    dim-0 cell and return per-batch 8-aligned dim-1 window starts
+    ``batch_r1`` (-1 = dim-0-only fallback) — the slots-layout counterpart
+    of packed_layout's 2D windows, used by the routed (spatial) path.
+
     Returns ``(slot_to_point, slot_valid, point_slots, batch_starts,
-    batch_r0)``.
+    batch_r0[, batch_r1 when window_y])``.
     """
     np_ = bid.shape[0]
     ntot = nblocks + virtual
@@ -366,7 +374,15 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     nbatches = nslots // P
 
     iota = jnp.arange(np_, dtype=jnp.int32)
-    if sub_lx is not None:
+    sub_total = sub_range * sub_range_y
+    if sub_ly is not None:
+        assert sub_lx is not None, "sub_ly requires sub_lx"
+        key = (
+            bid * jnp.int32(sub_total)
+            + sub_lx.astype(jnp.int32) * jnp.int32(sub_range_y)
+            + sub_ly.astype(jnp.int32)
+        )
+    elif sub_lx is not None:
         key = bid * jnp.int32(sub_range) + sub_lx.astype(jnp.int32)
     else:
         key = bid
@@ -376,7 +392,8 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     # histogram): pstarts[b] = first sorted position with bid >= b.
     pstarts = jnp.searchsorted(
         sorted_key,
-        jnp.arange(ntot + 1, dtype=jnp.int32) * jnp.int32(sub_range),
+        jnp.arange(ntot + 1, dtype=jnp.int32)
+        * jnp.int32(sub_total if sub_ly is not None else sub_range),
         side="left",
     ).astype(jnp.int32)
     counts = pstarts[1:] - pstarts[:-1]
@@ -414,25 +431,54 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
     # faster than the gather on v5e) — it is kept behind a flag for callers
     # that want the explicit inverse.
     point_slots = None
+    div = sub_total if sub_ly is not None else sub_range
     if with_inverse:
-        sorted_bid = sorted_key // jnp.int32(sub_range) if sub_lx is not None else sorted_key
+        sorted_bid = sorted_key // jnp.int32(div) if sub_lx is not None else sorted_key
         rank = iota - jnp.take(pstarts, sorted_bid)
         slot_sorted = jnp.take(batch_starts, sorted_bid) * P + rank
         _, point_slots = jax.lax.sort_key_val(perm, slot_sorted)
 
     batch_r0 = None
+    batch_r1 = None
     if window is not None:
         m_, W, pd0, align = window
         cap = max(np_ - 1, 0)
-        first_c = jnp.take(sorted_key, jnp.clip(first_sorted, 0, cap)) % jnp.int32(sub_range)
+        lc_first = jnp.take(sorted_key, jnp.clip(first_sorted, 0, cap)) % jnp.int32(div)
         last_i = jnp.clip(jnp.minimum(first_sorted + P, limit_sorted) - 1, 0, cap)
-        last_c = jnp.take(sorted_key, last_i) % jnp.int32(sub_range)
+        lc_last = jnp.take(sorted_key, last_i) % jnp.int32(div)
+        if sub_ly is not None:
+            first_c = lc_first // jnp.int32(sub_range_y)
+            last_c = lc_last // jnp.int32(sub_range_y)
+        else:
+            first_c, last_c = lc_first, lc_last
         i_min = first_c - (m_ - 1)  # lowest row: j = lx - M + 1 (t = 0)
         i_max = last_c + m_  # highest row: j = lx + M (t = 2M - 1)
         r0 = jnp.clip((i_min // align) * align, 0, pd0 - W)
         ok = (first_c >= m_ - 1) & (i_max < r0 + W)
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 
+        if window_y is not None and sub_ly is not None:
+            # Per-batch dim-1 span over the batch's slot lanes (padding
+            # lanes duplicate the segment's last point, a real member of
+            # the batch, so min/max are undistorted).
+            W1, pd1 = window_y
+            c1_sorted = sorted_key % jnp.int32(sub_range_y)
+            c1_b = jnp.take(c1_sorted, sidx).reshape(nbatches, P)
+            big = jnp.int32(2**30)
+            v2d = slot_valid.reshape(nbatches, P)
+            ymin = jnp.min(jnp.where(v2d, c1_b, big), axis=1)
+            ymax = jnp.max(jnp.where(v2d, c1_b, -big), axis=1)
+            i_min1 = ymin - (m_ - 1)
+            i_max1 = ymax + m_
+            r1 = jnp.clip((i_min1 // 8) * 8, 0, pd1 - W1)
+            ok1 = ok & (ymin >= m_ - 1) & (i_max1 < r1 + W1)
+            batch_r1 = jnp.where(ok1, r1, -1).astype(jnp.int32)
+
+    if window_y is not None:
+        return (
+            slot_to_point, slot_valid, point_slots, batch_starts, batch_r0,
+            batch_r1,
+        )
     return slot_to_point, slot_valid, point_slots, batch_starts, batch_r0
 
 

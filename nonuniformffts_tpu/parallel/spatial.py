@@ -61,6 +61,7 @@ class SpatialPoints:
     slot_valid: jnp.ndarray = data_field(default=None)  # (n, nslots)
     batch_starts: jnp.ndarray = data_field(default=None)  # (n, nb_l+2)
     batch_r0: jnp.ndarray = data_field(default=None)  # (n, nbatches) | None
+    batch_r1: jnp.ndarray = data_field(default=None)  # (n, nbatches) | None
     num_points: int = static_field(default=0)  # global Np
 
 
@@ -211,6 +212,9 @@ class SpatialNUFFT:
             batch_r0=(
                 st.batch_r0 if self.base.window_rows is not None else None
             ),
+            batch_r1=(
+                st.batch_r1 if self.base.window_rows_y is not None else None
+            ),
             num_points_static=int(st.slot_to_point.shape[0]),
             # shape_over above is the local slab; keep the GLOBAL FFT
             # normalisation (the slab view would inflate it by n).
@@ -247,7 +251,7 @@ class SpatialNUFFT:
             in_specs=(P(), P(None, ax)),
             out_specs=(
                 P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
-                P(ax), P(ax), P(ax),
+                P(ax), P(ax), P(ax), P(ax),
             ),
         )
         def body(plan, pts_l):
@@ -258,7 +262,9 @@ class SpatialNUFFT:
             return tuple(x[None] for x in out)
 
         (send_idx, send_valid, send_pos, recv_valid, pslots, pts_slotted,
-         s2p, svalid, bstarts, batch_r0, overflow) = jax.jit(body)(base, pts)
+         s2p, svalid, bstarts, batch_r0, batch_r1, overflow) = jax.jit(body)(
+            base, pts
+        )
         if bool(jnp.any(overflow)):
             raise ValueError(
                 "point routing overflow: a (src, dst) chip lane exceeded its "
@@ -277,6 +283,7 @@ class SpatialNUFFT:
             slot_valid=svalid,
             batch_starts=bstarts,
             batch_r0=batch_r0,
+            batch_r1=batch_r1,
             num_points=np_total,
         )
 
@@ -338,6 +345,7 @@ def _state_specs(ax, num_points=0):
         slot_valid=P(ax),
         batch_starts=P(ax),
         batch_r0=P(ax),
+        batch_r1=P(ax),
         num_points=num_points,
     )
 
@@ -415,31 +423,45 @@ def _route_and_sort(plan: Plan, pts_l, n, cap, nb0_local, nblocks_local, ax):
     # local plans silently dropped the fast engines): sub-sort by the dim-0
     # cell inside each local block so batches span narrow x-windows.
     window = None
+    window_y = None
     sub_lx = None
+    sub_ly = None
     B0 = plan.block_dims[0]
+    B1 = plan.block_dims[1] if D >= 2 else 1
     if plan.window_rows is not None:
         pd0 = (plan.padded_dims or (0,))[0]
         window = (plan.m, plan.window_rows, pd0, plan.window_align)
         # Invalid/parked lanes must keep their parking-bin ordering; their
         # sub-key is irrelevant (never read by a program).
         sub_lx = jnp.where(in_range, cells_r[0] % jnp.int32(B0), 0)
+        if plan.window_rows_y is not None:
+            window_y = (plan.window_rows_y, plan.padded_dims[1])
+            sub_ly = jnp.where(in_range, cells_r[1] % jnp.int32(B1), 0)
 
     # with_inverse: the routed layout keeps the explicit receive-slot map
     # (used by the all-to-all unroute bookkeeping), unlike the single-chip
     # path whose type-2 un-permute is a masked sort.
-    s2p, svalid, pslots, bstarts, batch_r0 = slot_layout(
+    out = slot_layout(
         bid_l, nblocks_local, plan.batch_size, virtual=1, with_inverse=True,
         sub_lx=sub_lx, sub_range=B0 if sub_lx is not None else 1,
         window=window,
+        sub_ly=sub_ly, sub_range_y=B1 if sub_ly is not None else 1,
+        window_y=window_y,
     )
+    if window_y is not None:
+        s2p, svalid, pslots, bstarts, batch_r0, batch_r1 = out
+    else:
+        (s2p, svalid, pslots, bstarts, batch_r0), batch_r1 = out, None
     svalid = svalid & jnp.take(recv_valid, s2p)
     DP = -(-(2 * D) // 8) * 8
     pts_slotted = gather_slots(comb_r, s2p, svalid, rows=DP, mask=False)
     if batch_r0 is None:
         batch_r0 = jnp.full((1,), -1, jnp.int32)
+    if batch_r1 is None:
+        batch_r1 = jnp.full((1,), -1, jnp.int32)
     return (
         send_idx, send_valid, send_pos, recv_valid, pslots, pts_slotted,
-        s2p, svalid, bstarts, batch_r0, overflow,
+        s2p, svalid, bstarts, batch_r0, batch_r1, overflow,
     )
 
 

@@ -800,23 +800,35 @@ def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     # x-window; window = per-batch 8-aligned accumulator row starts for the
     # kernels' windowed path (plan.window_rows rows instead of pd0).
     window = None
+    window_y = None
     sub_lx = None
+    sub_ly = None
     B0 = plan.block_dims[0]
+    B1 = plan.block_dims[1] if plan.ndim >= 2 else 1
     if plan.window_rows is not None:
         window = (plan.m, plan.window_rows, plan.padded_dims[0], plan.window_align)
         sub_lx = cells[0] % jnp.int32(B0)
-    s2p, valid, point_slots, batch_starts, batch_r0 = slot_layout(
+        if plan.window_rows_y is not None:
+            window_y = (plan.window_rows_y, plan.padded_dims[1])
+            sub_ly = cells[1] % jnp.int32(B1)
+    out = slot_layout(
         bid.astype(jnp.int32), nblocks, plan.batch_size,
         sub_lx=sub_lx, sub_range=B0 if sub_lx is not None else 1,
         window=window,
+        sub_ly=sub_ly, sub_range_y=B1 if sub_ly is not None else 1,
+        window_y=window_y,
     )
+    if window_y is not None:
+        s2p, valid, point_slots, batch_starts, batch_r0, batch_r1 = out
+    else:
+        (s2p, valid, point_slots, batch_starts, batch_r0), batch_r1 = out, None
     comb = jnp.concatenate([cells.astype(plan.real_dtype), fracs], axis=0)
     # Rows padded to the sublane granule for the kernels' DMA slices;
     # padding slots duplicate point 0, which is harmless because their
     # *values* are masked to zero.
     DP = -(-(2 * plan.ndim) // 8) * 8
     pts_slotted = gather_slots(comb, s2p, valid, rows=DP, mask=False)
-    return pts_slotted, s2p, valid, point_slots, batch_starts, batch_r0
+    return pts_slotted, s2p, valid, point_slots, batch_starts, batch_r0, batch_r1
 
 
 @jax.jit
@@ -899,7 +911,7 @@ def set_points(plan: Plan, points) -> Plan:
         else:
             out = _sort_points_jit(plan, pts_t)
         pts = fold_points(pts, plan.point_transform)
-        pts_slotted, s2p, valid, slots, batch_starts, batch_r0 = out
+        pts_slotted, s2p, valid, slots, batch_starts, batch_r0, batch_r1 = out
         # Geometry diagnostic (reference warns on degenerate shared-memory
         # geometry, src/gpu_common.jl:66-77): slot padding waste is known
         # statically here because nslots is a static shape.
@@ -922,7 +934,7 @@ def set_points(plan: Plan, points) -> Plan:
             point_slots=slots,
             block_starts=batch_starts,
             batch_r0=batch_r0,
-            batch_r1=None,  # slotted layout: dim-0 window only
+            batch_r1=batch_r1,
             sort_inv=None,
             num_points_static=np_,
             point_perm=None,  # blocked path always sorts physically

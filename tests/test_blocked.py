@@ -349,3 +349,29 @@ def test_value_permute_sort_vs_gather(rng):
         outs[vp_mode] = _roundtrip(p, pts, v)
     np.testing.assert_array_equal(outs["gather"][0], outs["sort"][0])
     np.testing.assert_array_equal(outs["gather"][1], outs["sort"][1])
+
+
+def test_slots_layout_dim1_window(rng):
+    """The slots layout's dim-1 sub-sort + per-batch window metadata
+    (slot_layout sub_ly/window_y — used by the routed spatial path) must be
+    output-equivalent to the reference path with all window tiers engaged."""
+    shape = (24, 24, 24)
+    Np = 6000
+    pts, v = _make_inputs(shape, np.complex128, 1, Np, rng)
+    pts[:, : Np // 2] = rng.uniform(1.0, 1.5, (3, Np // 2))  # dense cluster
+    ref = nufft.PlanNUFFT(np.complex128, shape, m=4, sigma=1.5)
+    blk = nufft.PlanNUFFT(
+        np.complex128, shape, m=4, sigma=1.5, spread_method="blocked",
+        interpret=True, fft_method="matmul", fft_variant="pruned",
+        layout="slots", block_dims=(12, 12, 18), window_rows=12,
+        window_rows_y=16, np_hint=Np,
+    )
+    assert blk.kernel_form == "z" and blk.window_rows_y == 16
+    pb = nufft.set_points(blk, pts)
+    r1 = np.asarray(pb.batch_r1)
+    assert (r1 >= 0).any(), "dim-1 window never engaged"
+    assert (r1 < 0).any(), "fallback tier never engaged"
+    u_ref, v2_ref = _roundtrip(ref, pts, v)
+    u_blk, v2_blk = _roundtrip(blk, pts, v)
+    assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12
+    assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < 1e-12

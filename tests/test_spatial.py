@@ -204,3 +204,37 @@ def test_ntransforms_blockform(rng):
     v_sp = np.asarray(sp.exec_type2(st, u_ref))
     v_ref = np.asarray(exec_type2_channels(ref, u_ref))
     np.testing.assert_allclose(v_sp, v_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_spatial_dim1_window_engaged(rng):
+    """Dense clusters + explicit dim-1 window: the routed layout's batch_r1
+    metadata must engage (and fall back) per batch, with exact results."""
+    shape = (32, 32, 32)
+    n_chips = 2
+    Np = 2048 * n_chips
+    mesh = make_mesh(n_chips)
+    sp = SpatialNUFFT(
+        np.complex128, shape, mesh=mesh, m=4, sigma=1.5, interpret=True,
+        block_dims=(12, 12, 16), window_rows=12, window_rows_y=16,
+        capacity_factor=float(n_chips),
+    )
+    assert sp.engine == "blockform" and sp.base.window_rows_y == 16
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    pts[:, : Np // 2] = rng.uniform(0.2, 0.7, (3, Np // 2))  # chip-0 cluster
+    v_ch = rng.standard_normal((1, 2, Np))
+    st = sp.set_points(pts)
+    r1 = np.asarray(st.batch_r1)
+    assert (r1 >= 0).any(), "dim-1 window never engaged on the routed layout"
+    u_sp = np.asarray(sp.exec_type1(st, v_ch))
+    ref = nufft.set_points(
+        _single_plan(
+            np.complex128, shape, block_dims=(12, 12, 16), window_rows=12,
+            window_rows_y=16,
+        ),
+        pts,
+    )
+    u_ref = np.asarray(exec_type1_channels(ref, v_ch))
+    np.testing.assert_allclose(u_sp, u_ref, rtol=1e-10, atol=1e-12)
+    v_sp = np.asarray(sp.exec_type2(st, u_ref))
+    v_ref = np.asarray(exec_type2_channels(ref, u_ref))
+    np.testing.assert_allclose(v_sp, v_ref, rtol=1e-10, atol=1e-12)
