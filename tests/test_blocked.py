@@ -375,3 +375,32 @@ def test_slots_layout_dim1_window(rng):
     u_blk, v2_blk = _roundtrip(blk, pts, v)
     assert np.abs(u_blk - u_ref).max() / np.abs(u_ref).max() < 1e-12
     assert np.abs(v2_blk - v2_ref).max() / np.abs(v2_ref).max() < 1e-12
+
+
+def test_precision_double_path(rng):
+    """precision='double' (double-single DFT accumulation + compensated
+    Horner, the high-accuracy device path) must run end-to-end on the
+    blocked pipeline and match the f64 reference path within the f32 data
+    budget.  (Its accuracy GAIN only manifests on bf16-pass TPU matmuls —
+    certified on device by scripts/accuracy_device.py; this pins the code
+    path's correctness.)"""
+    shape = (16, 16, 16)
+    Np = 2000
+    pts64, v64 = _make_inputs(shape, np.complex128, 1, Np, rng)
+    pts = pts64.astype(np.float32)
+    v = v64.astype(np.complex64)
+    ref = nufft.PlanNUFFT(np.complex128, shape, m=6, sigma=2.0)
+    u_ref, _ = _roundtrip(ref, pts.astype(np.float64), v.astype(np.complex128))
+    for prec in ("highest", "double"):
+        blk = nufft.PlanNUFFT(
+            np.complex64, shape, m=6, sigma=2.0, spread_method="blocked",
+            interpret=True, fft_method="matmul", precision=prec, np_hint=Np,
+        )
+        if prec == "double":
+            assert blk.kernel_form == "yz"  # compensated drivers wrap each axis
+        pb = nufft.set_points(blk, pts)
+        u = np.asarray(nufft.exec_type1(pb, v))
+        err = np.abs(u - u_ref).max() / np.abs(u_ref).max()
+        assert err < 5e-6, (prec, err)  # f32 data quantisation budget
+        v2 = np.asarray(nufft.exec_type2(pb, u.astype(np.complex64)))
+        assert np.all(np.isfinite(v2))
