@@ -150,16 +150,39 @@ def geometry_cost(
         + (macs + 2 * dft_macs) / _MXU_MACS_PER_S
         + io_bytes / _HBM_BYTES_PER_S
     )
-    # VMEM working set: accumulator / halo block + double-buffered pipeline
-    # block (3x CR*pd0*yz), the Khatri-Rao qt build (broadcast product +
-    # reshape copy + loop buffer: 3x yz*P), window matrices and point/value
-    # staging buffers.
-    vmem = (
-        3 * cr * pd[0] * yz * 4
-        + 3 * yz * batch * 4
-        + 2 * batch * sum(pd) * 4
-        + 24 * batch * 4
-    )
+    # VMEM working set, per kernel form (the feasibility test must track the
+    # buffers the kernel actually allocates: the round-2 yz formula applied
+    # to z-form plans rejected every geometry at batch_size >= 256 because
+    # of a 3*yz*batch qt term the z kernels do not have).
+    if form == "z":
+        rm = 1
+        for p in pd[1:-1]:
+            rm *= p
+        pdL = pd[-1]
+        rows = cr * pd[0] * rm
+        vmem = (
+            # acc scratch + Mosaic's double-buffered out-block pipeline
+            3 * rows * pdL * 4
+            # wv (rows, P) + prod (rows, pdL) worst-case (full-fallback path
+            # is traced even when windows are active, so it sizes the slab)
+            + rows * (batch + pdL) * 4
+            # wlast build + per-dim tap staging
+            + 2 * (pdL + sum(pd)) * batch * 4
+            # pv pipeline buffer: (DP + CRP) rows x NB*SUPER*P lanes
+            + (8 + max(8, cr)) * 8 * batch * 4
+            + 24 * batch * 4
+        )
+    else:
+        # yz form: accumulator / halo block + double-buffered pipeline block
+        # (3x CR*pd0*yz), the Khatri-Rao qt build (broadcast product +
+        # reshape copy + loop buffer: 3x yz*P), window matrices and
+        # point/value staging buffers.
+        vmem = (
+            3 * cr * pd[0] * yz * 4
+            + 3 * yz * batch * 4
+            + 2 * batch * sum(pd) * 4
+            + 24 * batch * 4
+        )
     return cost, vmem
 
 

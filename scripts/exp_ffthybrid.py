@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 NP_PTS = int(os.environ.get("EXP_NP", 1_000_000))
+N_GRID = int(os.environ.get("EXP_N", 256))
 K = int(os.environ.get("EXP_ITERS", 6))
 
 
@@ -43,7 +44,7 @@ def main():
     )
 
     rng = np.random.default_rng(42)
-    shape = (256, 256, 256)
+    shape = (N_GRID,) * 3
     pts_np = rng.uniform(0, 2 * np.pi, (3, NP_PTS)).astype(np.float32)
     v_np = rng.standard_normal((1, 2, NP_PTS)).astype(np.float32)
 
@@ -86,7 +87,8 @@ def main():
     for fft_method in methods:
         plan = nufft.PlanNUFFT(
             np.complex64, shape, m=4, sigma=1.5, spread_method="blocked",
-            fft_method=fft_method, np_hint=NP_PTS, block_dims=(64, 16, 96),
+            fft_method=fft_method, np_hint=NP_PTS,
+            block_dims=(64, 16, 96) if N_GRID == 256 else None,
         )
         p = nufft.set_points(plan, pts)
         buf = _t1_spread_stage(p, v)

@@ -45,6 +45,24 @@ def test_choose_geometry_density_adapts():
     assert nblocks(lo) <= nblocks(hi)
 
 
+def test_choose_geometry_z_form_large_batches_feasible():
+    # The z-form kernels have no (yz, P) qt build, so their VMEM working set
+    # must be modelled from the z buffers: with the yz formula applied to
+    # z-form plans, every candidate was rejected at batch_size >= 256 and
+    # the search fell back to minimal blocks (round-2 device log).
+    for batch in (256, 512):
+        bd, w = choose_geometry(
+            (384, 384, 384), 4, cr=2, np_hint=16_777_216,
+            batch_size=batch, n_keep=(256,) * 3, form="z",
+        )
+        assert not any("VMEM" in x for x in w), (batch, w)
+        _, vmem = geometry_cost(
+            (384, 384, 384), bd, 4, 2, 16_777_216, batch,
+            n_keep=(256,) * 3, form="z",
+        )
+        assert vmem <= VMEM_BUDGET_BYTES
+
+
 def test_choose_geometry_warns_when_infeasible():
     # An absurd CR makes every candidate blow the VMEM budget.
     bd, w = choose_geometry((384, 384, 384), 4, cr=4096, np_hint=1_000_000)
