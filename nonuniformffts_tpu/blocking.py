@@ -523,8 +523,9 @@ def packed_layout(
     Returns ``(pts_rows, pstarts, batch_starts, batch_r0, perm)``:
 
     - ``pts_rows``: (8, Np_pad) f32 — rows [key_bits(i32), f0.., fD-1,
-      idx_bits(i32), zeros..] (int rows travel bit-cast so one DMA serves
-      the kernels); Np_pad = ceil(Np / P) * P;
+      idx_bits(i32), c0.., cD-1, zeros..] (int key/idx rows travel bit-cast
+      so one DMA serves the kernels; c_d are pre-decoded local cells as
+      exact floats); Np_pad = ceil(Np / P) * P;
     - ``pstarts``: (nblocks + 1,) int32 sorted-position ranges per block;
     - ``batch_starts``: (nblocks + 1,) int32 cumulative batch counts; block
       b's batch j covers sorted lanes [Ab + j*P, Ab + (j+1)*P) with
@@ -658,6 +659,19 @@ def packed_layout(
         idx_row = jax.lax.bitcast_convert_type(perm, jnp.float32)
     rows = [key_row] + [sfracs[d].astype(rdt) for d in range(D)]
     rows.append(idx_row)
+    # Pre-decoded local cells in the (otherwise zero-padded) trailing rows:
+    # one vectorised divmod pass here replaces the kernels' per-batch decode
+    # chain (~7 integer div/rem VPU ops on the critical path before the
+    # weight build).  Cells are < max(block_dims) <= 2^24, exact as floats;
+    # tail/edge lanes decode to the same in-range values the in-kernel
+    # chain produced (garbage-but-masked semantics unchanged).
+    rem = jax.lax.rem(skey, jnp.int32(sub_range))
+    for d in range(D):
+        stride = 1
+        for bdim in block_dims[d + 1:]:
+            stride *= int(bdim)
+        rows.append((rem // jnp.int32(stride)).astype(rdt))
+        rem = jax.lax.rem(rem, jnp.int32(stride))
     DP = -(-(len(rows)) // 8) * 8
     while len(rows) < DP:
         rows.append(jnp.zeros((np_pad,), rdt))

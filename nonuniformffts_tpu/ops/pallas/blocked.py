@@ -174,28 +174,20 @@ def _decode_slots(plan, pts_b, origins):
 
 
 def _decode_packed(plan, pts_b):
-    """Packed layout: rows [key_bits, f0.., fD-1, idx_bits].  The key carries
-    bid * prod(B) + linear local cell; local cells decode with one divmod
-    chain (edge lanes from neighbour blocks decode to in-range local cells
-    of *their* block — harmless, they are masked)."""
+    """Packed layout: rows [key_bits, f0.., fD-1, idx_bits, c0.., cD-1].
+    Local cells arrive pre-decoded from set_points' single vectorised pass
+    (blocking.packed_layout) in the trailing rows — reading them replaces
+    the per-batch key divmod chain that used to sit on the critical path
+    before the weight build (edge lanes from neighbour blocks carry
+    in-range local cells of *their* block — harmless, they are masked)."""
     D = plan.ndim
     if pts_b.dtype == jnp.float64:
-        key = pts_b[0:1, :].astype(jnp.int32)
         idx = pts_b[1 + D : 2 + D, :].astype(jnp.int32)
     else:
-        key = jax.lax.bitcast_convert_type(pts_b[0:1, :], jnp.int32)
         idx = jax.lax.bitcast_convert_type(pts_b[1 + D : 2 + D, :], jnp.int32)
-    sub = 1
-    for b in plan.block_dims:
-        sub *= int(b)
-    rem = jax.lax.rem(key, jnp.int32(sub))
-    cells = []
-    for d in range(D):
-        stride = 1
-        for b in plan.block_dims[d + 1 :]:
-            stride *= int(b)
-        cells.append(rem // jnp.int32(stride))
-        rem = jax.lax.rem(rem, jnp.int32(stride))
+    cells = [
+        pts_b[2 + D + d : 3 + D + d, :].astype(jnp.int32) for d in range(D)
+    ]
     fracs = [pts_b[1 + d : 2 + d, :] for d in range(D)]
     return cells, fracs, idx
 
