@@ -102,10 +102,13 @@ def main():
         ]
     else:
         configs = [
-            dict(),  # auto baseline
+            dict(),  # auto baseline (form-aware VMEM model geometry)
+            dict(block_dims=(64, 16, 96)),  # round-4 measured default
+            dict(block_dims=(48, 24, 96)),  # new-model preference at 1M
             dict(spread_acc2=True),
             dict(batch_size=256),
             dict(batch_size=384),
+            dict(batch_size=512),
             dict(dma_super=8),
             dict(batch_size=256, dma_super=8),
             dict(window_rows=None),
