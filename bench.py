@@ -165,6 +165,7 @@ def main():
             plan.shape_over, plan.block_dims, plan.m,
             (1 if REAL else 2) * plan.ntransforms, np_pts, plan.batch_size,
             n_keep=plan.shape, form=plan.kernel_form,
+            spread_acc2=plan.spread_acc2, dma_super=plan.dma_super,
         )
         row = {
             "Np": np_pts,

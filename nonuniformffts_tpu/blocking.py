@@ -59,7 +59,8 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 def geometry_cost(
     shape_over, block_dims, m: int, cr: int, np_pts: int, batch: int,
-    n_keep=None, form: str = "yz",
+    n_keep=None, form: str = "yz", spread_acc2: bool = False,
+    dma_super: int = 4,
 ):
     """Estimated seconds for one spread (or interpolation) pass, plus the
     kernel working-set VMEM bytes.  Returns (cost_s, vmem_bytes).
@@ -154,22 +155,26 @@ def geometry_cost(
     # buffers the kernel actually allocates: the round-2 yz formula applied
     # to z-form plans rejected every geometry at batch_size >= 256 because
     # of a 3*yz*batch qt term the z kernels do not have).
-    if form == "z":
+    if form == "z" and D >= 2:
         rm = 1
         for p in pd[1:-1]:
             rm *= p
         pdL = pd[-1]
         rows = cr * pd[0] * rm
+        # DMA pipeline geometry must mirror the kernel's (blocked.py:_nbuf):
+        # 4 single-batch buffers at dma_super=1, else 2 super-batch buffers.
+        nbuf_batches = (4 if dma_super == 1 else 2) * dma_super
         vmem = (
-            # acc scratch + Mosaic's double-buffered out-block pipeline
-            3 * rows * pdL * 4
+            # acc scratch (x2 with the spread_acc2 ping-pong) + Mosaic's
+            # double-buffered out-block pipeline
+            (4 if spread_acc2 else 3) * rows * pdL * 4
             # wv (rows, P) + prod (rows, pdL) worst-case (full-fallback path
             # is traced even when windows are active, so it sizes the slab)
             + rows * (batch + pdL) * 4
             # wlast build + per-dim tap staging
             + 2 * (pdL + sum(pd)) * batch * 4
             # pv pipeline buffer: (DP + CRP) rows x NB*SUPER*P lanes
-            + (8 + max(8, cr)) * 8 * batch * 4
+            + (8 + max(8, cr)) * nbuf_batches * batch * 4
             + 24 * batch * 4
         )
     else:
@@ -196,6 +201,8 @@ def choose_geometry(
     vmem_budget: int = VMEM_BUDGET_BYTES,
     n_keep=None,
     form: str = "yz",
+    spread_acc2: bool = False,
+    dma_super: int = 4,
 ):
     """Pick per-dimension block sizes by minimising the geometry cost model
     under the VMEM budget (the C9 component: the TPU analogue of
@@ -246,7 +253,10 @@ def choose_geometry(
     best_cost = None
     feasible = False
     for dims in itertools.product(*per_dim):
-        cost, vmem = geometry_cost(shape_over, dims, m, cr, np_hint, batch_size, n_keep=n_keep, form=form)
+        cost, vmem = geometry_cost(
+            shape_over, dims, m, cr, np_hint, batch_size, n_keep=n_keep,
+            form=form, spread_acc2=spread_acc2, dma_super=dma_super,
+        )
         if vmem > vmem_budget:
             continue
         feasible = True
@@ -537,8 +547,10 @@ def packed_layout(
     - ``perm``: (Np_pad,) int32 sorted original indices (for the per-exec
       value gather; tail padding repeats index 0).
 
-    Cell decode happens in-kernel from the key (one divmod chain), so the
-    coordinate payload is only D fraction rows.  Requires
+    Local cells are decoded from the sorted keys HERE (one vectorised divmod
+    pass) and shipped in the trailing rows, so the kernels read them
+    directly instead of running a per-batch divmod chain; the coordinate
+    payload through the sort is only D fraction rows.  Requires
     prod(shape_over) < 2^31 (int32 keys).
     """
     D = points.shape[0]

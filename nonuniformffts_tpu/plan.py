@@ -479,6 +479,7 @@ def PlanNUFFT(
                 bd, geo_warnings = choose_geometry(
                     shape_over, m, cr=cr, np_hint=np_hint,
                     batch_size=batch, n_keep=shape, form=kernel_form,
+                    spread_acc2=spread_acc2, dma_super=dma_super,
                 )
                 if not any("VMEM" in w for w in geo_warnings) or cr <= cr_step:
                     break
@@ -503,6 +504,7 @@ def PlanNUFFT(
                     cost_c, _ = geometry_cost(
                         shape_over, bd_c, m, cr_c, np_eff, cand,
                         n_keep=shape, form=kernel_form,
+                        spread_acc2=spread_acc2, dma_super=dma_super,
                     )
                     if best is None or cost_c < best[0]:
                         best = (cost_c, cand, bd_c, warns_c, cr_c)
