@@ -188,3 +188,36 @@ def test_exec_no_recompilation_across_calls(rng):
     run()
     run()
     assert _exec_type1_ch_impl._cache_size() == size0
+
+
+def test_packed_layout_cell_rows_match_key_decode():
+    # The trailing rows of the packed point layout carry pre-decoded local
+    # cells (set_points hoists the kernels' per-batch key divmod — see
+    # blocking.packed_layout); they must equal the divmod of the sorted key
+    # in every lane, including the sentinel-key tail padding.
+    import jax
+    import jax.numpy as jnp
+
+    from nonuniformffts_tpu.blocking import packed_layout
+
+    rng = np.random.default_rng(3)
+    shape = (32, 24, 48)
+    Np = 1000  # not a multiple of P=128: exercises the sentinel tail
+    plan = nufft.PlanNUFFT(
+        np.complex64, shape, m=4, sigma=1.5, spread_method="blocked",
+        fft_method="matmul", np_hint=Np, interpret=True,
+    )
+    pts = jnp.asarray(rng.uniform(0, 2 * np.pi, (3, Np)).astype(np.float32))
+    pts_rows, *_ = packed_layout(
+        plan.kernel_data, plan.block_dims, pts, plan.batch_size
+    )
+    D = 3
+    key = jax.lax.bitcast_convert_type(pts_rows[0], jnp.int32)
+    sub = int(np.prod(plan.block_dims))
+    rem = np.asarray(key) % sub
+    for d in range(D):
+        stride = int(np.prod(plan.block_dims[d + 1:]))
+        expect = rem // stride
+        rem = rem % stride
+        got = np.asarray(pts_rows[2 + D + d]).astype(np.int32)
+        np.testing.assert_array_equal(got, expect)
