@@ -47,6 +47,9 @@ REAL = os.environ.get("BENCH_REAL", "0") == "1"  # r2c/c2r fast path
 # reported either way.
 M_HS = int(os.environ.get("BENCH_M", 4))
 BLOCKS = tuple(int(x) for x in os.environ["BENCH_BLOCKS"].split(",")) if os.environ.get("BENCH_BLOCKS") else None
+_B = os.environ.get("BENCH_BATCH", "")
+BATCH = ("auto" if _B == "auto" else int(_B)) if _B else 128
+STAGES = os.environ.get("BENCH_STAGES", "1") == "1"  # 0: full-iter A/B only
 SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
@@ -111,6 +114,7 @@ def main():
             precision=PRECISION,
             np_hint=np_hint,
             block_dims=BLOCKS,
+            batch_size=BATCH,
         )
 
     def eps_of(c, x):
@@ -151,6 +155,8 @@ def main():
 
         t_full = timed_scan(full_body, (pts_d, v_d))
         t_set = t_1 = t_2 = float("nan")
+        if not STAGES:
+            full_only = True
         if not full_only:  # sweep rows skip the per-stage loops (compile cost)
             t_set = timed_scan(set_body, (pts_d,))
             t_1 = timed_scan(t1_body, (p_sorted, v_d))

@@ -171,13 +171,13 @@ def make_axis_dft(n: int, kind: str, dtype, *, use_split: bool = True) -> AxisDF
             # with swapaxes at runtime (no gather needed).
             return AxisDFT(
                 kind="c2c", n=n, split=(n1, n2),
-                c1_t=jnp.asarray(c1.T, rd), s1_t=jnp.asarray(s1.T, rd),
-                tw_cos=jnp.asarray(np.cos(ang), rd),
-                tw_sin=jnp.asarray(np.sin(ang), rd),
-                c2_t=jnp.asarray(c2.T, rd), s2_t=jnp.asarray(s2.T, rd),
+                c1_t=jnp.asarray(c1.T.astype(rd)), s1_t=jnp.asarray(s1.T.astype(rd)),
+                tw_cos=jnp.asarray(np.cos(ang).astype(rd)),
+                tw_sin=jnp.asarray(np.sin(ang).astype(rd)),
+                c2_t=jnp.asarray(c2.T.astype(rd)), s2_t=jnp.asarray(s2.T.astype(rd)),
             )
         c, s = _dft_cos_sin(n)
-        return AxisDFT(kind="c2c", n=n, cos_t=jnp.asarray(c.T, rd), sin_t=jnp.asarray(s.T, rd))
+        return AxisDFT(kind="c2c", n=n, cos_t=jnp.asarray(c.T.astype(rd)), sin_t=jnp.asarray(s.T.astype(rd)))
     if kind == "r2c":
         nh = n // 2 + 1
         k = np.arange(nh)
@@ -188,10 +188,10 @@ def make_axis_dft(n: int, kind: str, dtype, *, use_split: bool = True) -> AxisDF
         angb = 2.0 * np.pi * np.outer(k, j) / n  # (nh, n)
         return AxisDFT(
             kind="r2c", n=n,
-            cos_t=jnp.asarray(np.cos(ang), rd),
-            sin_t=jnp.asarray(np.sin(ang), rd),
-            bcos_t=jnp.asarray((w[:, None] * np.cos(angb)), rd),
-            bsin_t=jnp.asarray((w[:, None] * np.sin(angb)), rd),
+            cos_t=jnp.asarray(np.cos(ang).astype(rd)),
+            sin_t=jnp.asarray(np.sin(ang).astype(rd)),
+            bcos_t=jnp.asarray((w[:, None] * np.cos(angb)).astype(rd)),
+            bsin_t=jnp.asarray((w[:, None] * np.sin(angb)).astype(rd)),
         )
     raise ValueError(kind)
 
@@ -218,30 +218,36 @@ def make_pruned_axis_dft(
     j = np.arange(n_over)
     ang = 2.0 * np.pi * np.outer(j, ks % n_over) / n_over  # (n_over, n_keep)
     if kind == "pruned_c2c":
-        pcos = np.cos(ang) * (ph[None, :] * scale)
-        psin = np.sin(ang) * (ph[None, :] * scale)
+        pcos = (np.cos(ang) * (ph[None, :] * scale)).astype(rd)
+        psin = (np.sin(ang) * (ph[None, :] * scale)).astype(rd)
         # Backward factors (n_keep, n_over), unscaled: out = x @ e^{+i...}.
-        bcos = np.cos(ang).T
-        bsin = np.sin(ang).T
-        return AxisDFT(
-            kind="pruned_c2c", n=n_over,
-            pcos_t=jnp.asarray(pcos, rd), psin_t=jnp.asarray(psin, rd),
-            bcos_t=jnp.asarray(bcos, rd), bsin_t=jnp.asarray(bsin, rd),
-        )
-    if kind == "pruned_r2c":
+        bcos = np.cos(ang).T.astype(rd)
+        bsin = np.sin(ang).T.astype(rd)
+    elif kind == "pruned_r2c":
         # Kept modes are half-spectrum indices (0..N/2 of the non-oversampled
         # grid); Hermitian weights for the c2r backward.
-        pcos = np.cos(ang) * (ph[None, :] * scale)
-        psin = np.sin(ang) * (ph[None, :] * scale)
+        pcos = (np.cos(ang) * (ph[None, :] * scale)).astype(rd)
+        psin = (np.sin(ang) * (ph[None, :] * scale)).astype(rd)
         w = np.where((ks > 0) & (ks < n_over - ks), 2.0, 1.0)
-        bcos = (w[:, None]) * np.cos(ang).T
-        bsin = (w[:, None]) * np.sin(ang).T
-        return AxisDFT(
-            kind="pruned_r2c", n=n_over,
-            pcos_t=jnp.asarray(pcos, rd), psin_t=jnp.asarray(psin, rd),
-            bcos_t=jnp.asarray(bcos, rd), bsin_t=jnp.asarray(bsin, rd),
-        )
-    raise ValueError(kind)
+        bcos = ((w[:, None]) * np.cos(ang).T).astype(rd)
+        bsin = ((w[:, None]) * np.sin(ang).T).astype(rd)
+    else:
+        raise ValueError(kind)
+    # Conversions to numpy-first dtype (no eager convert op) and a host-side
+    # copy of each factor: make_blockform_axis reads the numpy mirrors so the
+    # plan constructor never round-trips device arrays back to the host
+    # (each jax->numpy pull compiles a copy program — ~2 s/array on a slow
+    # host, ~55 s per plan before this cache existed).
+    ax = AxisDFT(
+        kind=kind, n=n_over,
+        pcos_t=jnp.asarray(pcos), psin_t=jnp.asarray(psin),
+        bcos_t=jnp.asarray(bcos), bsin_t=jnp.asarray(bsin),
+    )
+    object.__setattr__(
+        ax, "_np_factors",
+        {"pcos_t": pcos, "psin_t": psin, "bcos_t": bcos, "bsin_t": bsin},
+    )
+    return ax
 
 
 # ---------------------------------------------------------------------------
@@ -541,24 +547,32 @@ def make_blockform_axis(
     g = blockform_row_map(ax.n, B, nb, pd, m).reshape(-1)
     valid = g >= 0
     gc = np.where(valid, g, 0)
+    np_mats = getattr(ax, "_np_factors", None)
+
+    def _host(name):
+        # Prefer the constructor's numpy mirror: np.asarray on a jax array
+        # compiles + runs a device->host copy program per call.
+        if np_mats is not None:
+            return np_mats[name]
+        return np.asarray(getattr(ax, name))
 
     def fwd(mat):
-        out = np.asarray(mat)[gc, :].copy()
+        out = mat[gc, :].copy()
         out[~valid] = 0.0
         shape = (nb * pd, -1) if merged else (nb, pd, -1)
-        return jnp.asarray(out.reshape(shape), np.asarray(mat).dtype)
+        return jnp.asarray(out.reshape(shape))
 
     def bwd(mat):
-        out = np.asarray(mat)[:, gc].copy()
+        out = mat[:, gc].copy()
         out[:, ~valid] = 0.0
         k = out.shape[0]
         shape = (k, nb * pd) if merged else (k, nb, pd)
-        return jnp.asarray(out.reshape(shape), np.asarray(mat).dtype)
+        return jnp.asarray(out.reshape(shape))
 
     return BlockAxisDFT(
         nb=nb, pd=pd, real_axis=(ax.kind == "pruned_r2c"),
-        pcos_t=fwd(ax.pcos_t), psin_t=fwd(ax.psin_t),
-        bcos_t=bwd(ax.bcos_t), bsin_t=bwd(ax.bsin_t),
+        pcos_t=fwd(_host("pcos_t")), psin_t=fwd(_host("psin_t")),
+        bcos_t=bwd(_host("bcos_t")), bsin_t=bwd(_host("bsin_t")),
     )
 
 
