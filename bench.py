@@ -48,7 +48,8 @@ REAL = os.environ.get("BENCH_REAL", "0") == "1"  # r2c/c2r fast path
 M_HS = int(os.environ.get("BENCH_M", 4))
 BLOCKS = tuple(int(x) for x in os.environ["BENCH_BLOCKS"].split(",")) if os.environ.get("BENCH_BLOCKS") else None
 _B = os.environ.get("BENCH_BATCH", "")
-BATCH = ("auto" if _B == "auto" else int(_B)) if _B else 128
+# None -> omit the kwarg so the bench tracks the library default.
+BATCH = (("auto" if _B == "auto" else int(_B)) if _B else None)
 STAGES = os.environ.get("BENCH_STAGES", "1") == "1"  # 0: full-iter A/B only
 SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
@@ -103,6 +104,9 @@ def main():
         return (min(ts) - overhead) / k
 
     def make_plan(np_hint):
+        kw = {}
+        if BATCH is not None:
+            kw["batch_size"] = BATCH
         return nufft.PlanNUFFT(
             np.float32 if REAL else np.complex64,
             shape,
@@ -114,7 +118,7 @@ def main():
             precision=PRECISION,
             np_hint=np_hint,
             block_dims=BLOCKS,
-            batch_size=BATCH,
+            **kw,
         )
 
     def eps_of(c, x):
@@ -313,7 +317,11 @@ def main():
         "iteration = set_points + type1 + type2; per-dtype sweeps keyed "
         "c64 / r2c_f32"
     )
-    doc["sweeps"][key] = rows
+    # Merge by Np within the dtype key: a non-sweep run refreshes its own
+    # row but can never shrink a fuller committed artifact (round-2 weak #5).
+    old_rows = {r.get("Np"): r for r in doc["sweeps"].get(key, [])}
+    old_rows.update({r["Np"]: r for r in rows})
+    doc["sweeps"][key] = [old_rows[k] for k in sorted(old_rows)]
     with open(sweep_path, "w") as f:
         json.dump(doc, f, indent=1)
 

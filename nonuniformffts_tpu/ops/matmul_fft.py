@@ -197,8 +197,9 @@ def make_axis_dft(n: int, kind: str, dtype, *, use_split: bool = True) -> AxisDF
 
 
 def make_pruned_axis_dft(
-    n_over: int, ranges, phinv, kind: str, dtype, *, scale: float = 1.0
-) -> AxisDFT:
+    n_over: int, ranges, phinv, kind: str, dtype, *,
+    scale: float = 1.0, return_np: bool = False,
+):
     """Pruned direct DFT factors for one axis: truncation to the kept modes
     (``ranges``: (start, length) segments of the oversampled spectrum, in
     output order — the plan's index map) and the deconvolution factor
@@ -233,20 +234,20 @@ def make_pruned_axis_dft(
         bsin = ((w[:, None]) * np.sin(ang).T).astype(rd)
     else:
         raise ValueError(kind)
-    # Conversions to numpy-first dtype (no eager convert op) and a host-side
-    # copy of each factor: make_blockform_axis reads the numpy mirrors so the
-    # plan constructor never round-trips device arrays back to the host
-    # (each jax->numpy pull compiles a copy program — ~2 s/array on a slow
-    # host, ~55 s per plan before this cache existed).
+    # With return_np=True the host-side numpy factors are returned alongside
+    # the AxisDFT so make_blockform_axis can expand them without pulling the
+    # device arrays back to the host (each jax->numpy pull compiles a copy
+    # program — ~2 s/array on a slow host, ~55 s per plan before this).
     ax = AxisDFT(
         kind=kind, n=n_over,
         pcos_t=jnp.asarray(pcos), psin_t=jnp.asarray(psin),
         bcos_t=jnp.asarray(bcos), bsin_t=jnp.asarray(bsin),
     )
-    object.__setattr__(
-        ax, "_np_factors",
-        {"pcos_t": pcos, "psin_t": psin, "bcos_t": bcos, "bsin_t": bsin},
-    )
+    if return_np:
+        np_factors = {
+            "pcos_t": pcos, "psin_t": psin, "bcos_t": bcos, "bsin_t": bsin,
+        }
+        return ax, np_factors
     return ax
 
 
@@ -536,7 +537,8 @@ class BlockAxisDFT:
 
 
 def make_blockform_axis(
-    ax: AxisDFT, B: int, nb: int, pd: int, m: int, *, merged: bool = False
+    ax: AxisDFT, B: int, nb: int, pd: int, m: int, *,
+    merged: bool = False, np_factors=None,
 ) -> BlockAxisDFT:
     """Expand a pruned axis's factors to block-form via the row map.
 
@@ -544,16 +546,19 @@ def make_blockform_axis(
     one L = nb*pd axis — used for the LAST axis in the z-form kernel layout
     (CR, nb0, pd0, .., L_last), whose last dim is merged so the kernels'
     lane dimension is the padded block z extent directly."""
+    if not ax.kind.startswith("pruned"):
+        raise ValueError(
+            f"make_blockform_axis requires a pruned AxisDFT, got kind={ax.kind!r}"
+        )
     g = blockform_row_map(ax.n, B, nb, pd, m).reshape(-1)
     valid = g >= 0
     gc = np.where(valid, g, 0)
-    np_mats = getattr(ax, "_np_factors", None)
 
     def _host(name):
-        # Prefer the constructor's numpy mirror: np.asarray on a jax array
+        # Prefer the caller-supplied numpy factors: np.asarray on a jax array
         # compiles + runs a device->host copy program per call.
-        if np_mats is not None:
-            return np_mats[name]
+        if np_factors is not None:
+            return np_factors[name]
         return np.asarray(getattr(ax, name))
 
     def fwd(mat):

@@ -25,6 +25,16 @@ too large for one chip — per-chip memory is O(grid / n_chips):
 
 Everything runs inside one ``shard_map`` over a 1-D mesh; XLA places the
 collectives (all_to_all, ppermute, all_gather) on ICI.
+
+Spectrum layout: with ``spectrum='replicated'`` (default) every chip holds
+the full (C, 2) + spectral_shape array — per-chip memory for the *spectrum*
+is O(N^D), though the (~sigma^D x larger) oversampled grid is always
+sharded.  ``spectrum='sharded'`` keeps the spectrum sharded too — along its
+dim 0 (blockform engine: a ring reduce-scatter replaces the type-1 psum and
+a ring gather-accumulate feeds the type-2 backward factors) or its dim 1
+(split engine: the transform is dim-1-sharded there anyway; the final
+all_gather / initial slice simply disappear) — so per-chip memory is
+O(N^D / n_chips) end to end.  See ``spectrum_shard_dim``.
 """
 
 from __future__ import annotations
@@ -93,14 +103,18 @@ class SpatialNUFFT:
         axis_name: Optional[str] = None,
         capacity_factor: float = 4.0,
         engine: str = "auto",
+        spectrum: str = "replicated",
         **plan_kw,
     ):
         if len(mesh.axis_names) != 1:
             raise ValueError("SpatialNUFFT expects a 1-D mesh")
+        if spectrum not in ("replicated", "sharded"):
+            raise ValueError(f"unknown spectrum layout {spectrum!r}")
         self.mesh = mesh
         self.axis_name = axis_name or mesh.axis_names[0]
         self.n = mesh.shape[self.axis_name]
         self.capacity_factor = float(capacity_factor)
+        self.spectrum = spectrum
 
         plan_kw.setdefault("spread_method", "blocked")
         plan_kw.setdefault("fft_method", "matmul")
@@ -176,6 +190,22 @@ class SpatialNUFFT:
         self.local_shape_over = (
             base.shape_over[0] // n,
         ) + base.shape_over[1:]
+        if spectrum == "sharded":
+            d = self.spectrum_shard_dim
+            if base.spectral_shape[d] % n:
+                raise ValueError(
+                    f"spectrum='sharded' needs spectral dim {d} "
+                    f"({base.spectral_shape[d]}) divisible by the mesh size "
+                    f"{n}"
+                )
+
+    @property
+    def spectrum_shard_dim(self) -> int:
+        """Spectral dimension the ``spectrum='sharded'`` layout splits:
+        dim 0 for the blockform engine (the ring reduce-scatter chunks the
+        axis-0 factor's mode columns), dim 1 for the split engine (whose
+        distributed DFT is dim-1-sharded after the collective transpose)."""
+        return 0 if self.engine == "blockform" else 1
 
     @staticmethod
     def _fix_b0(n0_over: int, m: int, n: int) -> int:
@@ -288,10 +318,20 @@ class SpatialNUFFT:
         )
 
     # -- transforms -----------------------------------------------------------
+    def _spectrum_pspec(self):
+        """PartitionSpec of the channel-form spectrum (C, 2) + spectral_shape
+        under the configured layout."""
+        if self.spectrum == "replicated":
+            return P()
+        specs = [None, None] + [None] * self.base.ndim
+        specs[2 + self.spectrum_shard_dim] = self.axis_name
+        return P(*specs)
+
     def exec_type1(self, state: SpatialPoints, v_ch) -> jnp.ndarray:
         """Distributed type 1.  ``v_ch``: (C, 2, Np) channel values (complex
-        plans) or (C, Np) (real plans).  Returns the full (replicated)
-        channel-form spectrum (C, 2) + spectral_shape."""
+        plans) or (C, Np) (real plans).  Returns the channel-form spectrum
+        (C, 2) + spectral_shape — replicated, or sharded along
+        ``spectrum_shard_dim`` when ``spectrum='sharded'``."""
         base = self.base
         ax = self.axis_name
         v_ch = jnp.asarray(v_ch, base.real_dtype)
@@ -302,7 +342,7 @@ class SpatialNUFFT:
             mesh=self.mesh,
             check_vma=False,
             in_specs=(P(), _state_specs(ax, state.num_points), vspec),
-            out_specs=P(),
+            out_specs=self._spectrum_pspec(),
         )
         def body(plan, st, v_l):
             return _exec_type1_body(self, plan, _unlead(st), v_l)
@@ -310,9 +350,10 @@ class SpatialNUFFT:
         return jax.jit(body)(base, state, v_ch)
 
     def exec_type2(self, state: SpatialPoints, uhat_ch) -> jnp.ndarray:
-        """Distributed type 2.  ``uhat_ch``: full channel-form spectrum
-        (C, 2) + spectral_shape (replicated).  Returns (C, 2, Np) / (C, Np)
-        channel values in the caller's original point order."""
+        """Distributed type 2.  ``uhat_ch``: channel-form spectrum (C, 2) +
+        spectral_shape, in the plan's spectrum layout (replicated, or sharded
+        along ``spectrum_shard_dim``).  Returns (C, 2, Np) / (C, Np) channel
+        values in the caller's original point order."""
         base = self.base
         ax = self.axis_name
         uhat_ch = jnp.asarray(uhat_ch, base.real_dtype)
@@ -324,13 +365,55 @@ class SpatialNUFFT:
             jax.shard_map,
             mesh=self.mesh,
             check_vma=False,
-            in_specs=(P(), _state_specs(ax, state.num_points), P()),
+            in_specs=(
+                P(), _state_specs(ax, state.num_points),
+                self._spectrum_pspec(),
+            ),
             out_specs=out_spec,
         )
         def body(plan, st, u_full):
             return _exec_type2_body(self, plan, _unlead(st), u_full)
 
         return jax.jit(body)(base, state, uhat_ch)
+
+    def collective_bytes(self) -> dict:
+        """Estimated per-step ICI collective traffic (bytes a chip sends),
+        by stage — the back-of-envelope cost model for the engine choice,
+        recorded next to MULTICHIP_BENCH.json.  Spectrum terms scale with
+        the layout: a psum of X bytes moves ~2X(n-1)/n per chip
+        (reduce-scatter + all-gather); 'sharded' halves that on type 1
+        (reduce-scatter only) and replaces type-2's implicit broadcast with
+        a ring gather of (n-1)/n X."""
+        base = self.base
+        n = self.n
+        fs = np.dtype(base.real_dtype).itemsize
+        C = base.ntransforms
+        cr = C if base.is_real else 2 * C
+        spec_bytes = cr * int(np.prod(base.spectral_shape)) * fs
+        out = {"engine": self.engine, "spectrum": self.spectrum, "n": n}
+        if self.engine == "blockform":
+            if self.spectrum == "replicated":
+                out["t1_spectrum_psum"] = int(2 * spec_bytes * (n - 1) / n)
+                out["t2_spectrum"] = 0  # replicated input, no collective
+            else:
+                out["t1_spectrum_reduce_scatter"] = int(
+                    spec_bytes * (n - 1) / n
+                )
+                out["t2_spectrum_ring_gather"] = int(
+                    spec_bytes * (n - 1) / n
+                )
+        else:
+            grid_bytes = cr * int(np.prod(base.shape_over)) * fs
+            # all_to_all transposes move ~(n-1)/n of the (truncated) grid.
+            out["t1_transpose_all_to_all"] = int(
+                grid_bytes / base.sigma ** (base.ndim - 1) * (n - 1) / n
+            )
+            out["t2_transpose_all_to_all"] = out["t1_transpose_all_to_all"]
+            out["t1_spectrum_all_gather"] = (
+                0 if self.spectrum == "sharded"
+                else int(spec_bytes * (n - 1) / n)
+            )
+        return out
 
 
 def _state_specs(ax, num_points=0):
@@ -484,6 +567,122 @@ def _unroute_values(r_flat, send_pos, n, cap, ax):
     return jnp.take(rb, pos, axis=1)
 
 
+def _ring_perm(n):
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def _forward_blockform_z_sharded(buf, axes_l, k0c, n, me, ax, *, real, prec):
+    """Z-form forward DFT with the k0 (dim-0 mode) axis ring-reduce-scattered.
+
+    Memory-scaling counterpart of ``forward_dft_blockform_z`` + ``psum``:
+    axes D-1 .. 1 contract locally (the chip only holds its nb0_local padded
+    block rows), then the axis-0 contraction is computed one k0 *chunk* at a
+    time and reduce-scattered around the ring — chunk j is created at chip
+    j+1, visits every chip (each adds its local-row partial), and completes
+    at its owner chip j after n-1 ``ppermute`` hops.  No chip ever holds more
+    than one (C, 2, k0/n) + k_rest chunk of spectrum.
+
+    ``buf``: (C[, 2], nb0_local, pd0, .., L_last) local padded buffer;
+    ``axes_l``: per-chip blockform factors (axis 0 row-sliced, full k0).
+    Returns this chip's (C, 2, k0/n, k1, ..) spectrum shard (unnormalised).
+    """
+    D = len(axes_l)
+    if real:
+        axL = axes_l[D - 1]
+        p = matmul_fft.PRECISIONS[prec]
+        nd = buf.ndim
+        dn = (((nd - 1,), (0,)), ((), ()))
+        xr = jax.lax.dot_general(buf, axL.pcos_t, dn, precision=p)
+        xi = -jax.lax.dot_general(buf, axL.psin_t, dn, precision=p)
+    else:
+        xr, xi = buf[:, 0], buf[:, 1]
+        axL = axes_l[D - 1]
+        xr, xi = matmul_fft._cplx_pair_dot(
+            xr, xi, axL.pcos_t, axL.psin_t, 1.0, (xr.ndim - 1,), prec
+        )
+    # (C, nb0, pd0, nb1, pd1, .., k_{D-1}); contract middle (nb, pd) pairs —
+    # the next pending pair always sits at dims (3, 4).
+    for d in range(1, D - 1):
+        axd = axes_l[d]
+        xr, xi = matmul_fft._cplx_pair_dot(
+            xr, xi, axd.pcos_t, axd.psin_t, 1.0, (3, 4), prec
+        )
+    # Now (C, nb0, pd0, k_{D-1}, k_1, .., k_{D-2}).
+    ax0 = axes_l[0]
+
+    def partial_chunk(j):
+        f_c = jax.lax.dynamic_slice_in_dim(ax0.pcos_t, j * k0c, k0c, axis=2)
+        f_s = jax.lax.dynamic_slice_in_dim(ax0.psin_t, j * k0c, k0c, axis=2)
+        return matmul_fft._cplx_pair_dot(xr, xi, f_c, f_s, 1.0, (1, 2), prec)
+
+    acc_r, acc_i = partial_chunk(jnp.mod(me - 1, n))
+    perm = _ring_perm(n)
+    for t in range(1, n):
+        acc_r = jax.lax.ppermute(acc_r, ax, perm)
+        acc_i = jax.lax.ppermute(acc_i, ax, perm)
+        pr, pi = partial_chunk(jnp.mod(me - 1 - t, n))
+        acc_r, acc_i = acc_r + pr, acc_i + pi
+    # acc = the complete chunk owned by this chip (slice ``me``), laid out
+    # (C, k_{D-1}, k_1, .., k_{D-2}, k0c) -> natural (C, k0c, k1, .., k_{D-1}).
+    nd = acc_r.ndim
+    order = [D - 1] + list(range(1, D - 1)) + [0]  # dim index by position
+    perm_out = (0,) + tuple(1 + order.index(d) for d in range(D))
+    if perm_out != tuple(range(nd)):
+        acc_r = jnp.transpose(acc_r, perm_out)
+        acc_i = jnp.transpose(acc_i, perm_out)
+    return jnp.stack([acc_r, acc_i], axis=1)
+
+
+def _backward_blockform_z_sharded(spec_shard, axes_l, k0c, n, me, ax, *,
+                                  real, prec):
+    """Z-form backward DFT from a k0-sharded spectrum.
+
+    Ring gather-accumulate: the spectrum shards travel the ring (n-1
+    ``ppermute`` hops) and each chip contracts every visiting shard with the
+    matching k0-column slice of its row-sliced axis-0 backward factor — so
+    the full spectrum is never materialised on any chip.  Axes 1 .. D-1 then
+    contract locally, exactly like ``backward_dft_blockform_z``.
+
+    ``spec_shard``: (C, 2, k0/n, k1, ..) this chip's shard, already
+    deconvolution-scaled.  Returns the local padded buffer
+    (C[, 2], nb0_local, pd0, .., L_last)."""
+    D = len(axes_l)
+    ax0 = axes_l[0]
+    xr, xi = spec_shard[:, 0], spec_shard[:, 1]
+
+    def contrib(sr, si, j):
+        b_c = jax.lax.dynamic_slice_in_dim(ax0.bcos_t, j * k0c, k0c, axis=0)
+        b_s = jax.lax.dynamic_slice_in_dim(ax0.bsin_t, j * k0c, k0c, axis=0)
+        return matmul_fft._cplx_pair_dot(sr, si, b_c, b_s, -1.0, (1,), prec)
+
+    acc_r, acc_i = contrib(xr, xi, me)
+    perm = _ring_perm(n)
+    for t in range(1, n):
+        xr = jax.lax.ppermute(xr, ax, perm)
+        xi = jax.lax.ppermute(xi, ax, perm)
+        pr, pi = contrib(xr, xi, jnp.mod(me - t, n))
+        acc_r, acc_i = acc_r + pr, acc_i + pi
+    # acc: (C, k1, .., k_{D-1}, nb0_local, pd0) — the same layout the
+    # replicated driver reaches after its d=0 contraction; finish locally.
+    xr, xi = acc_r, acc_i
+    for d in range(1, D - 1):
+        axd = axes_l[d]
+        xr, xi = matmul_fft._cplx_pair_dot(
+            xr, xi, axd.bcos_t, axd.bsin_t, -1.0, (1,), prec
+        )
+    axL = axes_l[D - 1]
+    if real:
+        p = matmul_fft.PRECISIONS[prec]
+        dn = (((1,), (0,)), ((), ()))
+        return jax.lax.dot_general(xr, axL.bcos_t, dn, precision=p) - (
+            jax.lax.dot_general(xi, axL.bsin_t, dn, precision=p)
+        )
+    xr, xi = matmul_fft._cplx_pair_dot(
+        xr, xi, axL.bcos_t, axL.bsin_t, -1.0, (1,), prec
+    )
+    return jnp.stack([xr, xi], axis=1)
+
+
 def _axes_block_local(plan: Plan, me, nb0_local: int):
     """Per-chip view of the blockform factors: slice the axis-0 factor to
     the chip's block rows.  The factor matrix already maps every padded row
@@ -541,10 +740,17 @@ def _exec_type1_body(sp: SpatialNUFFT, plan: Plan, st, v_l):
             )
             buf = buf.reshape((C, 2) + buf.shape[1:])
         axes_l = _axes_block_local(plan, me, sp.nb0_local)
-        spec = matmul_fft.forward_dft_blockform_z(
-            buf, axes_l, real=plan.is_real, prec=plan.precision
-        )
-        spec = jax.lax.psum(spec, ax)
+        if sp.spectrum == "sharded":
+            k0c = plan.spectral_shape[0] // n
+            spec = _forward_blockform_z_sharded(
+                buf, axes_l, k0c, n, me, ax, real=plan.is_real,
+                prec=plan.precision,
+            )
+        else:
+            spec = matmul_fft.forward_dft_blockform_z(
+                buf, axes_l, real=plan.is_real, prec=plan.precision
+            )
+            spec = jax.lax.psum(spec, ax)
         return spec * jnp.asarray(plan.normfactor, spec.dtype)
     if plan.is_real:
         grid = blocked.spread_blocked(
@@ -595,6 +801,9 @@ def _exec_type1_body(sp: SpatialNUFFT, plan: Plan, st, v_l):
         xr = xr * ph.reshape(shape)
         xi = xi * ph.reshape(shape)
 
+    if sp.spectrum == "sharded":
+        # Dim-1 shards ARE the sharded layout; no gather.
+        return jnp.stack([xr, xi], axis=1)
     # Gather the dim-1 shards into the full replicated spectrum.
     xr = jax.lax.all_gather(xr, ax, axis=2, tiled=True)
     xi = jax.lax.all_gather(xi, ax, axis=2, tiled=True)
@@ -615,20 +824,31 @@ def _exec_type2_body(sp: SpatialNUFFT, plan: Plan, st, u_full):
     xr, xi = u_full[:, 0], u_full[:, 1]
 
     if sp.engine == "blockform":
-        # Deconvolution-scale the replicated spectrum (full factors), then
-        # the sliced backward blockform DFT emits this chip's padded block
-        # buffer directly — no collectives at all on type 2.
+        # Deconvolution-scale the spectrum (dim-0 factor sliced per chip
+        # when the input arrives k0-sharded), then the backward blockform
+        # DFT emits this chip's padded block buffer directly — collective-
+        # free with a replicated input; a ring shard gather when sharded.
+        sharded = sp.spectrum == "sharded"
+        k0c = plan.spectral_shape[0] // n if sharded else None
         for d in range(D):
             ph = plan.phihat_inv[d]
+            if sharded and d == 0:
+                ph = jax.lax.dynamic_slice(ph, (me * k0c,), (k0c,))
             shape = [1] * xr.ndim
             shape[1 + d] = ph.shape[0]
             xr = xr * ph.reshape(shape)
             xi = xi * ph.reshape(shape)
         spec = jnp.stack([xr, xi], axis=1)
         axes_l = _axes_block_local(plan, me, sp.nb0_local)
-        buf = matmul_fft.backward_dft_blockform_z(
-            spec, axes_l, real=plan.is_real, prec=plan.precision
-        )
+        if sharded:
+            buf = _backward_blockform_z_sharded(
+                spec, axes_l, k0c, n, me, ax, real=plan.is_real,
+                prec=plan.precision,
+            )
+        else:
+            buf = matmul_fft.backward_dft_blockform_z(
+                spec, axes_l, real=plan.is_real, prec=plan.precision
+            )
         L = sp._local_plan(st)
         offset = jnp.zeros((D,), jnp.int32).at[0].set(
             me.astype(jnp.int32) * sp.nb0_local
@@ -648,10 +868,14 @@ def _exec_type2_body(sp: SpatialNUFFT, plan: Plan, st, u_full):
         back = _unroute_values(flat, st.send_pos, n, cap, ax)
         return back if plan.is_real else back.reshape(C, 2, -1)
 
-    # Slice my dim-1 shard, apply deconvolution factors (dim-1 sliced).
-    k1 = xr.shape[2] // n
-    xr = jax.lax.dynamic_slice_in_dim(xr, me * k1, k1, axis=2)
-    xi = jax.lax.dynamic_slice_in_dim(xi, me * k1, k1, axis=2)
+    # Slice my dim-1 shard (already local when the spectrum arrives
+    # sharded), apply deconvolution factors (dim-1 sliced).
+    if sp.spectrum == "sharded":
+        k1 = xr.shape[2]
+    else:
+        k1 = xr.shape[2] // n
+        xr = jax.lax.dynamic_slice_in_dim(xr, me * k1, k1, axis=2)
+        xi = jax.lax.dynamic_slice_in_dim(xi, me * k1, k1, axis=2)
     for d in range(D):
         ph = plan.phihat_inv[d]
         if d == 1:

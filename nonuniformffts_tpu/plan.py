@@ -606,20 +606,24 @@ def PlanNUFFT(
         window_rows_y = None
 
     fft_axes = ()
+    fft_axes_np = ()
     if fft_method == "matmul":
         from .ops import matmul_fft
 
         if fft_variant == "pruned":
-            fft_axes = tuple(
+            pruned = [
                 matmul_fft.make_pruned_axis_dft(
                     n_over,
                     iranges[d],
                     phinv_np[d],
                     "pruned_r2c" if (is_real and d == D - 1) else "pruned_c2c",
                     real_dtype,
+                    return_np=True,
                 )
                 for d, n_over in enumerate(shape_over)
-            )
+            ]
+            fft_axes = tuple(ax for ax, _ in pruned)
+            fft_axes_np = tuple(npf for _, npf in pruned)
         else:
             fft_axes = tuple(
                 matmul_fft.make_axis_dft(
@@ -647,6 +651,7 @@ def PlanNUFFT(
                 padded_dims[d],
                 m,
                 merged=(kernel_form == "z" and d == D - 1),
+                np_factors=fft_axes_np[d],
             )
             for d, ax in enumerate(fft_axes)
         )

@@ -238,3 +238,70 @@ def test_spatial_dim1_window_engaged(rng):
     v_sp = np.asarray(sp.exec_type2(st, u_ref))
     v_ref = np.asarray(exec_type2_channels(ref, u_ref))
     np.testing.assert_allclose(v_sp, v_ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("engine", ["auto", "split"])
+def test_spectrum_sharded_matches_replicated(engine, rng):
+    """spectrum='sharded' (per-chip O(N^3/n) spectrum memory: ring
+    reduce-scatter on type 1, ring gather-accumulate on type 2 for the
+    blockform engine; dropped all_gather/slice for the split engine) must
+    agree with the replicated layout to roundoff, and the type-1 output
+    must actually carry the sharded layout."""
+    shape = (32, 32, 32)
+    n_chips = 4
+    Np = 160 * n_chips
+    mesh = make_mesh(n_chips)
+    kw = dict(mesh=mesh, m=4, sigma=1.5, interpret=True, engine=engine)
+    sp_r = SpatialNUFFT(np.complex128, shape, **kw)
+    sp_s = SpatialNUFFT(np.complex128, shape, spectrum="sharded", **kw)
+    assert sp_s.engine == sp_r.engine
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    v_ch = rng.standard_normal((1, 2, Np))
+    st_r = sp_r.set_points(pts)
+    st_s = sp_s.set_points(pts)
+    u_r = np.asarray(sp_r.exec_type1(st_r, v_ch))
+    u_s = sp_s.exec_type1(st_s, v_ch)
+    d = 2 + sp_s.spectrum_shard_dim
+    assert u_s.sharding.spec[d] == "grid", u_s.sharding
+    np.testing.assert_allclose(np.asarray(u_s), u_r, rtol=1e-10, atol=1e-12)
+    v_r = np.asarray(sp_r.exec_type2(st_r, u_r))
+    v_s = np.asarray(sp_s.exec_type2(st_s, u_s))
+    np.testing.assert_allclose(v_s, v_r, rtol=1e-10, atol=1e-12)
+    bytes_s = sp_s.collective_bytes()
+    bytes_r = sp_r.collective_bytes()
+    assert bytes_s["spectrum"] == "sharded" and bytes_r["n"] == n_chips
+
+
+def test_spectrum_sharded_real_blockform(rng):
+    """r2c plans through the sharded-spectrum blockform engine (the halved
+    axis is the last one; dim 0 shards evenly)."""
+    shape = (32, 32, 32)
+    n_chips = 4
+    Np = 128 * n_chips
+    mesh = make_mesh(n_chips)
+    kw = dict(mesh=mesh, m=4, sigma=1.5, interpret=True)
+    sp_r = SpatialNUFFT(np.float64, shape, **kw)
+    sp_s = SpatialNUFFT(np.float64, shape, spectrum="sharded", **kw)
+    assert sp_s.engine == "blockform"
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    v_ch = rng.standard_normal((1, Np))
+    st_r = sp_r.set_points(pts)
+    st_s = sp_s.set_points(pts)
+    u_r = np.asarray(sp_r.exec_type1(st_r, v_ch))
+    u_s = sp_s.exec_type1(st_s, v_ch)
+    assert u_s.sharding.spec[2] == "grid"
+    np.testing.assert_allclose(np.asarray(u_s), u_r, rtol=1e-10, atol=1e-12)
+    v_r = np.asarray(sp_r.exec_type2(st_r, u_r))
+    v_s = np.asarray(sp_s.exec_type2(st_s, u_s))
+    np.testing.assert_allclose(v_s, v_r, rtol=1e-10, atol=1e-12)
+
+
+def test_spectrum_sharded_indivisible_raises():
+    # Grid planes split over 2 chips fine (oversampled 50 -> 2 x 25-row
+    # slabs) but the 33-mode spectral dim 0 cannot shard evenly.
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="spectral dim"):
+        SpatialNUFFT(
+            np.complex128, (33, 32, 32), mesh=mesh, m=4, sigma=1.5,
+            interpret=True, spectrum="sharded",
+        )
