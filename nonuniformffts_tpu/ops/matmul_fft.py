@@ -246,6 +246,7 @@ def make_pruned_axis_dft(
     if return_np:
         np_factors = {
             "pcos_t": pcos, "psin_t": psin, "bcos_t": bcos, "bsin_t": bsin,
+            "ks": ks, "n_over": n_over,
         }
         return ax, np_factors
     return ax
@@ -525,20 +526,59 @@ def blockform_row_map(n_over: int, B: int, nb: int, pd: int, m: int) -> np.ndarr
 class BlockAxisDFT:
     """Block-form factor matrices for one axis: forward (nb, pd, n_keep),
     backward (n_keep, nb, pd); deconvolution + truncation baked in (built
-    from the pruned factors)."""
+    from the pruned factors).
+
+    ``fold``/``fold_P``/``fold_M`` + the f*-matrices are the +-k
+    symmetry-folded variants: a real even window gives phihat(-k) =
+    phihat(k), so the pruned factor's cos column for -k EQUALS the +k
+    column and the sin column is its negation.  The folded factors keep
+    only the U = max(P, M+1) unique |k| columns (P = #non-negative kept
+    modes, M = #negative); the contraction then runs 4 U-wide real dots
+    instead of 3 n_keep-wide Karatsuba dots — 2*U/n_keep ~ 0.67x the MACs
+    at unchanged contraction depth (K stays L, so no MXU tiling loss).
+    ``fold`` is 'fftw' (kept modes ordered 0..P-1, -M..-1) or 'shift'
+    (-M..P-1); None when the kept set is not +-symmetric-contiguous."""
 
     nb: int = static_field()
     pd: int = static_field()
     real_axis: bool = static_field(default=False)
+    fold: Optional[str] = static_field(default=None)
+    fold_P: int = static_field(default=0)
+    fold_M: int = static_field(default=0)
     pcos_t: Optional[jnp.ndarray] = data_field(default=None)
     psin_t: Optional[jnp.ndarray] = data_field(default=None)
     bcos_t: Optional[jnp.ndarray] = data_field(default=None)
     bsin_t: Optional[jnp.ndarray] = data_field(default=None)
+    # Folded forward (nb, pd, U) / (L, U) and backward (U, nb, pd) / (U, L).
+    fpcos_t: Optional[jnp.ndarray] = data_field(default=None)
+    fpsin_t: Optional[jnp.ndarray] = data_field(default=None)
+    fbcos_t: Optional[jnp.ndarray] = data_field(default=None)
+    fbsin_t: Optional[jnp.ndarray] = data_field(default=None)
+
+
+def _fold_structure(ks, n_over):
+    """Detect the +-k fold structure of the kept-mode set.
+
+    Returns ('fftw'|'shift', P, M) when the signed kept modes are exactly
+    the contiguous range [-M, P) in FFTW order (0..P-1, -M..-1) or shifted
+    ascending order (-M..P-1); None otherwise (fold not applicable)."""
+    ks = np.asarray(ks) % n_over
+    signed = np.where(ks >= (n_over + 1) // 2, ks - n_over, ks).astype(np.int64)
+    n = len(signed)
+    P = int(np.sum(signed >= 0))
+    M = n - P
+    if P and np.array_equal(signed[:P], np.arange(P)) and (
+        M == 0 or np.array_equal(signed[P:], np.arange(-M, 0))
+    ):
+        return ("fftw", P, M)
+    if np.array_equal(signed, np.arange(-M, P)):
+        return ("shift", P, M)
+    return None
 
 
 def make_blockform_axis(
     ax: AxisDFT, B: int, nb: int, pd: int, m: int, *,
-    merged: bool = False, np_factors=None,
+    merged: bool = False, np_factors=None, fold: bool = True,
 ) -> BlockAxisDFT:
     """Expand a pruned axis's factors to block-form via the row map.
 
@@ -574,10 +614,61 @@ def make_blockform_axis(
         shape = (k, nb * pd) if merged else (k, nb, pd)
         return jnp.asarray(out.reshape(shape))
 
+    real_axis = ax.kind == "pruned_r2c"
+    fold_info = None
+    if fold and not real_axis and np_factors is not None and "ks" in np_factors:
+        fold_info = _fold_structure(np_factors["ks"], np_factors["n_over"])
+    extra = {}
+    if fold_info is not None:
+        mode, P, M = fold_info
+        U = max(P, M + 1)
+        # Source column (in the dense natural order) for each unique |k|
+        # index u: the +u column where it exists, else the -u column with
+        # the sin negated (cos is even, sin odd; phihat is even for every
+        # real symmetric window, so paired columns agree up to sin sign).
+        src = np.zeros(U, np.int64)
+        neg = np.zeros(U, bool)
+        for u in range(U):
+            if mode == "fftw":
+                if u < P:
+                    src[u] = u
+                else:
+                    src[u], neg[u] = P + (M - u), True
+            else:
+                if u < P:
+                    src[u] = M + u
+                else:
+                    src[u], neg[u] = M - u, True
+        sgn = np.where(neg, -1.0, 1.0)
+
+        def fwd_f(mat, odd):
+            out = mat[gc, :][:, src].copy()
+            if odd:
+                out = out * sgn[None, :]
+            out[~valid] = 0.0
+            shape = (nb * pd, -1) if merged else (nb, pd, -1)
+            return jnp.asarray(out.reshape(shape).astype(mat.dtype))
+
+        def bwd_f(mat, odd):
+            out = mat[src, :][:, gc].copy()
+            if odd:
+                out = out * sgn[:, None]
+            out[:, ~valid] = 0.0
+            shape = (U, nb * pd) if merged else (U, nb, pd)
+            return jnp.asarray(out.reshape(shape).astype(mat.dtype))
+
+        extra = dict(
+            fold=mode, fold_P=P, fold_M=M,
+            fpcos_t=fwd_f(_host("pcos_t"), False),
+            fpsin_t=fwd_f(_host("psin_t"), True),
+            fbcos_t=bwd_f(_host("bcos_t"), False),
+            fbsin_t=bwd_f(_host("bsin_t"), True),
+        )
     return BlockAxisDFT(
-        nb=nb, pd=pd, real_axis=(ax.kind == "pruned_r2c"),
+        nb=nb, pd=pd, real_axis=real_axis,
         pcos_t=fwd(_host("pcos_t")), psin_t=fwd(_host("psin_t")),
         bcos_t=bwd(_host("bcos_t")), bsin_t=bwd(_host("bsin_t")),
+        **extra,
     )
 
 
@@ -592,6 +683,78 @@ def _cplx_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
     t2 = jax.lax.dot_general(ai, sm, dn, precision=p)
     t3 = jax.lax.dot_general(ar + ai, cm - sign * sm, dn, precision=p)
     return t1 + sign * t2, t3 - t1 + sign * t2
+
+
+def _cplx_fold_fwd(ar, ai, ax: "BlockAxisDFT", lhs_dims, prec):
+    """Forward contraction against the +-k folded factors: 4 real dots of
+    width U = max(P, M+1) instead of 3 Karatsuba dots of width P+M —
+    ~0.67x the MACs (K unchanged).  Emits (R, I) with the kept-mode axis
+    LAST, already reassembled to the axis's natural spectral order."""
+    p = PRECISIONS[prec]
+    fc, fs = ax.fpcos_t, ax.fpsin_t
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((lhs_dims, rdims), ((), ()))
+    a = jax.lax.dot_general(ar, fc, dn, precision=p)  # Xr.C
+    b = jax.lax.dot_general(ai, fs, dn, precision=p)  # Xi.S
+    c = jax.lax.dot_general(ai, fc, dn, precision=p)  # Xi.C
+    d = jax.lax.dot_general(ar, fs, dn, precision=p)  # Xr.S
+    P_, M_ = ax.fold_P, ax.fold_M
+
+    def seg(x, lo, hi, rev=False):
+        s = jax.lax.slice_in_dim(x, lo, hi, axis=x.ndim - 1)
+        return jnp.flip(s, axis=x.ndim - 1) if rev else s
+
+    # e^{-i theta_k}: +k -> R = Xr.C + Xi.S, I = Xi.C - Xr.S; -k flips sin.
+    rp, ip = seg(a + b, 0, P_), seg(c - d, 0, P_)
+    rm = seg(a - b, 1, M_ + 1, rev=True)
+    im = seg(c + d, 1, M_ + 1, rev=True)
+    if ax.fold == "fftw":  # natural order: 0..P-1, -M..-1
+        return (
+            jnp.concatenate([rp, rm], axis=-1),
+            jnp.concatenate([ip, im], axis=-1),
+        )
+    # 'shift': natural order -M..P-1 (ascending k).
+    return (
+        jnp.concatenate([rm, rp], axis=-1),
+        jnp.concatenate([im, ip], axis=-1),
+    )
+
+
+def _cplx_fold_bwd(xr, xi, ax: "BlockAxisDFT", prec):
+    """Backward contraction (sign -1, e^{+i theta_k}) against the folded
+    factors; the kept-mode axis of ``xr``/``xi`` is dim 1.  Pre-combines
+    the spectrum into even/odd parts S+/S- (elementwise) so the 4 real
+    dots contract only the U unique |k| rows."""
+    p = PRECISIONS[prec]
+    P_, M_ = ax.fold_P, ax.fold_M
+    U = max(P_, M_ + 1)
+
+    def parts(x):
+        if ax.fold == "fftw":
+            plus = jax.lax.slice_in_dim(x, 0, P_, axis=1)
+            minus = jnp.flip(
+                jax.lax.slice_in_dim(x, P_, P_ + M_, axis=1), axis=1
+            )
+        else:
+            minus = jnp.flip(jax.lax.slice_in_dim(x, 0, M_, axis=1), axis=1)
+            plus = jax.lax.slice_in_dim(x, M_, M_ + P_, axis=1)
+        # Align on u = 0..U-1: x+ occupies u = 0..P-1, x- occupies u = 1..M.
+        zc = lambda n: jnp.zeros(x.shape[:1] + (n,) + x.shape[2:], x.dtype)
+        pl = jnp.concatenate([plus, zc(U - P_)], axis=1) if U > P_ else plus
+        mi = jnp.concatenate([zc(1), minus, zc(U - M_ - 1)], axis=1)
+        return pl + mi, pl - mi  # S+, S-
+
+    srp, srm = parts(xr)
+    sip, sim = parts(xi)
+    dn = (((1,), (0,)), ((), ()))
+    # R = sum_k xr cos - xi sin = S+r.C - S-i.S;  I = S+i.C + S-r.S.
+    r = jax.lax.dot_general(srp, ax.fbcos_t, dn, precision=p) - (
+        jax.lax.dot_general(sim, ax.fbsin_t, dn, precision=p)
+    )
+    i = jax.lax.dot_general(sip, ax.fbcos_t, dn, precision=p) + (
+        jax.lax.dot_general(srm, ax.fbsin_t, dn, precision=p)
+    )
+    return r, i
 
 
 def forward_dft_blockform(buf, axes_block, *, real: bool, prec: str):
@@ -745,7 +908,12 @@ def forward_dft_blockform_z(buf, axes_block, *, real: bool, prec: str):
         width = 2 if entries[pos][0] == "pair" else 1
         lhs = tuple(range(off, off + width))
         ax = axes_block[a]
-        xr, xi = _cplx_pair_dot(xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec)
+        if ax.fold is not None:
+            xr, xi = _cplx_fold_fwd(xr, xi, ax, lhs, prec)
+        else:
+            xr, xi = _cplx_pair_dot(
+                xr, xi, ax.pcos_t, ax.psin_t, 1.0, lhs, prec
+            )
         entries.pop(pos)
         entries.append(("k", a))
     # entries now [('k', a) in completion order]; permute to natural order.
@@ -769,7 +937,12 @@ def backward_dft_blockform_z(spec_ch, axes_block, *, real: bool, prec: str):
     xr, xi = spec_ch[:, 0], spec_ch[:, 1]
     for d in range(D - 1):
         ax = axes_block[d]
-        xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
+        if ax.fold is not None:
+            xr, xi = _cplx_fold_bwd(xr, xi, ax, prec)
+        else:
+            xr, xi = _cplx_pair_dot(
+                xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec
+            )
     ax = axes_block[D - 1]
     if real:
         p = PRECISIONS[prec]
@@ -777,7 +950,10 @@ def backward_dft_blockform_z(spec_ch, axes_block, *, real: bool, prec: str):
         return jax.lax.dot_general(xr, ax.bcos_t, dn, precision=p) - (
             jax.lax.dot_general(xi, ax.bsin_t, dn, precision=p)
         )
-    xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
+    if ax.fold is not None:
+        xr, xi = _cplx_fold_bwd(xr, xi, ax, prec)
+    else:
+        xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
     return jnp.stack([xr, xi], axis=1)
 
 

@@ -696,6 +696,13 @@ def _axes_block_local(plan: Plan, me, nb0_local: int):
     start = me.astype(jnp.int32) * nb0_local
     sl_f = lambda a: jax.lax.dynamic_slice_in_dim(a, start, nb0_local, axis=0)
     sl_b = lambda a: jax.lax.dynamic_slice_in_dim(a, start, nb0_local, axis=1)
+    fold_kw = {}
+    if ax0.fold is not None:
+        # Folded factors slice identically: (nb, pd, U) rows / (U, nb, pd).
+        fold_kw = dict(
+            fpcos_t=sl_f(ax0.fpcos_t), fpsin_t=sl_f(ax0.fpsin_t),
+            fbcos_t=sl_b(ax0.fbcos_t), fbsin_t=sl_b(ax0.fbsin_t),
+        )
     ax0_l = dataclasses.replace(
         ax0,
         nb=nb0_local,
@@ -703,6 +710,7 @@ def _axes_block_local(plan: Plan, me, nb0_local: int):
         psin_t=sl_f(ax0.psin_t),
         bcos_t=sl_b(ax0.bcos_t),
         bsin_t=sl_b(ax0.bsin_t),
+        **fold_kw,
     )
     return (ax0_l,) + tuple(axes[1:])
 

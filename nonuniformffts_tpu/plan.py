@@ -329,6 +329,7 @@ def PlanNUFFT(
     dma_super: int = 4,
     spread_acc2: bool = False,
     value_permute: str = "auto",
+    dft_fold: bool = True,
     timer=None,
 ) -> Plan:
     """Construct a NUFFT plan (counterpart of ``PlanNUFFT`` in src/plan.jl).
@@ -652,6 +653,7 @@ def PlanNUFFT(
                 m,
                 merged=(kernel_form == "z" and d == D - 1),
                 np_factors=fft_axes_np[d],
+                fold=dft_fold,
             )
             for d, ax in enumerate(fft_axes)
         )
