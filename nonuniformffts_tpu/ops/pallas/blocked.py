@@ -145,7 +145,7 @@ def _build_wts_from_cells(plan, cells, fracs_rows, cs_ref, valid, pd, P,
             ds=(plan.precision == "double"),
         )
         if d == 0 and valid is not None:
-            vlist = [jnp.where(valid, v, 0.0) for v in vlist]
+            vlist = jnp.where(valid, vlist, 0.0)
         if d == 0 and window is not None:
             W, r0 = window
             wts.append(
@@ -537,7 +537,7 @@ def _spread_kernel_z(
             ds=(plan.precision == "double"),
         )
         if valid is not None:
-            vl0 = [jnp.where(valid, v, 0.0) for v in vl0]
+            vl0 = jnp.where(valid, vl0, 0.0)
         if window is None:
             w0 = common.build_wt_matrix(
                 vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0]

@@ -62,16 +62,21 @@ def padded_block_dims_z(block_dims: Sequence[int], m: int) -> Tuple[int, ...]:
 
 
 def coefficient_stack(kernel_data: Sequence[KernelData]) -> jnp.ndarray:
-    """Stack the per-dim window coefficient arrays into one (D, ncoef, 2M)
-    input for the kernels (dummy zeros when a kernel family needs none)."""
+    """Stack the per-dim window coefficient arrays into one (D, 2M, ncoef)
+    input for the kernels (dummy zeros when a kernel family needs none).
+
+    TAP-MAJOR: coefficient q of tap t sits at [d, t, q], so the in-kernel
+    all-taps Horner reads each step's coefficients as a (2M, 1) sublane
+    column — a natural layout slice.  (The per-tap layout would need a
+    lane->sublane transpose per step inside the kernel.)"""
     arrs = []
     for kd in kernel_data:
         if kd.cs_poly is not None:
-            arrs.append(kd.cs_poly)
+            arrs.append(kd.cs_poly.T)
         elif kd.cs_gauss is not None:
-            arrs.append(kd.cs_gauss[None, :])
+            arrs.append(kd.cs_gauss[:, None])
         else:
-            arrs.append(jnp.zeros((1, 2 * kd.m), dtype=jnp.float32))
+            arrs.append(jnp.zeros((2 * kd.m, 1), dtype=jnp.float32))
     return jnp.stack(arrs)
 
 
@@ -81,10 +86,10 @@ def window_values_lanes(kd: KernelData, evalmode, c_row: jnp.ndarray,
 
     ``c_row``: (1, P) cell indices stored as exact floats (set_points's
     high-accuracy split, windows.point_to_cell_split); ``X``: (1, P) in-cell
-    fractions; ``cs``: (ncoef, 2M) coefficient array for this dim (loaded
-    from VMEM).  Returns ``(c, vals)`` with ``c`` the (1, P) int32 cells and
-    ``vals`` a list of 2M (1, P) arrays; ``vals[t]`` is the weight of grid
-    node ``c - M + 1 + t``.
+    fractions; ``cs``: (2M, ncoef) tap-major coefficient array for this dim
+    (loaded from VMEM).  Returns ``(c, vals)`` with ``c`` the (1, P) int32
+    cells and ``vals`` the (2M, P) all-taps weight matrix; row ``t`` is the
+    weight of grid node ``c - M + 1 + t``.
     """
     return c_row.astype(jnp.int32), window_weights(kd, evalmode, X, cs)
 
@@ -114,9 +119,15 @@ def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray,
                    *, ds: bool = False):
     """Per-node window weights from in-cell fractions only.
 
-    ``X``: (1, P) in-cell fractions; ``cs``: (ncoef, 2M) coefficient array
-    for this dim.  Returns 2M (1, P) arrays; entry ``t`` is the weight of
-    grid node ``c - M + 1 + t``.
+    ``X``: (1, P) in-cell fractions; ``cs``: (2M, ncoef) TAP-MAJOR
+    coefficient array for this dim (see coefficient_stack).  Returns ONE
+    (2M, P) array; row ``t`` is the weight of grid node ``c - M + 1 + t``.
+
+    All 2M taps evaluate in a single (2M, P) op chain: the per-tap (1, P)
+    formulation occupied the VPU for full (8, P) vector-register ops while
+    using one sublane — stacking the taps on sublanes is ~8x fewer issued
+    vector ops for the same math (the dominant per-point cost of the
+    round-2 kernels).
 
     ``ds=True`` (precision='double' plans, f32 only): compensated Horner —
     every step's rounding error is captured with TwoProd/TwoSum and folded
@@ -124,71 +135,66 @@ def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray,
     floor, the dominant term of the f32 pipeline) to the f32 representation
     limit ~6e-8.
 
-    Same math as ops.windows.eval_window_frac, restructured as per-node
-    lane vectors (no trailing 2M axis) so everything stays in natural TPU
-    (sublane, lane) layouts.
+    Same math as ops.windows.eval_window_frac, restructured as (tap, lane)
+    matrices so everything stays in natural TPU (sublane, lane) layouts.
     """
     m, n = kd.m, kd.n
     dt = X.dtype
     fast = isinstance(evalmode, FastApproximation)
     two_m = 2 * m
+    P = X.shape[-1]
 
     if kd.kind in ("kb", "bkb") and fast:
-        z = 2.0 * X - 1.0
-        ncoef = cs.shape[0]
-        vals = []
+        z = jnp.broadcast_to(2.0 * X - 1.0, (two_m, P))
+        ncoef = cs.shape[-1]
         if ds and dt == jnp.float32:
-            for t in range(two_m):
-                v = jnp.full_like(z, cs[ncoef - 1, t])
-                ve = jnp.zeros_like(z)
-                for q in range(ncoef - 2, -1, -1):
-                    p, pe = _two_prod(v, z)
-                    v, se = _two_sum(p, jnp.full_like(z, cs[q, t]))
-                    ve = ve * z + (pe + se)
-                vals.append(v + ve)
-            return vals
-        for t in range(two_m):
-            v = jnp.full_like(z, cs[ncoef - 1, t])
+            v = jnp.broadcast_to(cs[:, ncoef - 1 : ncoef], (two_m, P))
+            ve = jnp.zeros((two_m, P), dt)
             for q in range(ncoef - 2, -1, -1):
-                v = v * z + cs[q, t]
-            vals.append(v)
-        return vals
+                p, pe = _two_prod(v, z)
+                v, se = _two_sum(p, jnp.broadcast_to(cs[:, q : q + 1], (two_m, P)))
+                ve = ve * z + (pe + se)
+            return v + ve
+        v = jnp.broadcast_to(cs[:, ncoef - 1 : ncoef], (two_m, P))
+        for q in range(ncoef - 2, -1, -1):
+            v = v * z + cs[:, q : q + 1]
+        return v
+
+    # Direct paths: the tap offset t is a (2M, 1) sublane iota.
+    t_col = jax.lax.broadcasted_iota(dt, (two_m, 1), 0)
 
     if kd.kind == "kb":  # direct
         beta = jnp.asarray(kd.beta, dt)
-        vals = []
-        for t in range(two_m):
-            y = (m - 1.0 - t + X) / m
-            s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
-            vals.append(windows.besseli0(beta * s))
-        return vals
+        y = (m - 1.0 - t_col + X) / m
+        s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+        return windows.besseli0(beta * s)
 
     if kd.kind == "bkb":  # direct: sinh via one exp
         beta = jnp.asarray(kd.beta, dt)
         pref = jnp.asarray(kd.beta / math.pi, dt)
-        vals = []
-        for t in range(two_m):
-            y = (m - 1.0 - t + X) / m
-            s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
-            bs = beta * s
-            e = jnp.exp(bs)
-            sinh = 0.5 * (e - 1.0 / e)
-            ratio = jnp.where(bs == 0.0, 1.0, sinh / jnp.where(bs == 0.0, 1.0, bs))
-            vals.append(ratio * pref)
-        return vals
+        y = (m - 1.0 - t_col + X) / m
+        s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+        bs = beta * s
+        e = jnp.exp(bs)
+        sinh = 0.5 * (e - 1.0 / e)
+        ratio = jnp.where(bs == 0.0, 1.0, sinh / jnp.where(bs == 0.0, 1.0, bs))
+        return ratio * pref
 
     if kd.kind == "gaussian":
         # One exp per node; the Greengard-Lee ladder saves nothing on the VPU.
         dx = jnp.asarray(kd.dx, dt)
         inv_tau = jnp.asarray(1.0 / kd.tau, dt)
-        vals = []
-        for t in range(two_m):
-            y = (m - 1.0 - t + X) * dx
-            vals.append(jnp.exp(-(y * y) * inv_tau))
-        return vals
+        y = (m - 1.0 - t_col + X) * dx
+        return jnp.exp(-(y * y) * inv_tau)
 
     if kd.kind == "bspline":
-        return windows.bspline_values_list(1.0 - X, two_m)
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(v, (1, P))
+                for v in windows.bspline_values_list(1.0 - X, two_m)
+            ],
+            axis=0,
+        )
 
     raise ValueError(kd.kind)
 
@@ -211,14 +217,18 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
     plain aligned slice + transpose (scripts/exp_bw2.py) instead of
     relayouting the whole padded buffer.  Built with 2M branchless
     compare-selects against a static sublane iota — no gather, no scatter.
+    ``vals``: the (2M, P) all-taps weight matrix (window_weights).  The taps
+    of one point land on DISTINCT rows, so each tap select writes INTO the
+    accumulator (no add needed).
     """
     lx = c - block_origin
     iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)
-    w = jnp.zeros((pd, P), dtype=vals[0].dtype)
-    for t, v in enumerate(vals):
+    w = jnp.zeros((pd, P), dtype=vals.dtype)
+    for t in range(vals.shape[0]):
+        v = jax.lax.slice_in_dim(vals, t, t + 1, axis=0)
         j = lx - (m - 1) + t
         i = jnp.where(j < 0, j + B + 2 * m - 1, j)
-        w = w + jnp.where(iota == i, v, 0.0)
+        w = jnp.where(iota == i, v, w)
     return w
 
 
@@ -228,10 +238,11 @@ def build_wt_matrix_window(vals, c, block_origin, m: int, W: int, P: int, r0):
     metadata guarantees no left-edge wrap: j = lx - M + 1 + t >= 0)."""
     lx = c - block_origin
     iota = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0)
-    w = jnp.zeros((W, P), dtype=vals[0].dtype)
-    for t, v in enumerate(vals):
+    w = jnp.zeros((W, P), dtype=vals.dtype)
+    for t in range(vals.shape[0]):
+        v = jax.lax.slice_in_dim(vals, t, t + 1, axis=0)
         i = lx - (m - 1) + t - r0
-        w = w + jnp.where(iota == i, v, 0.0)
+        w = jnp.where(iota == i, v, w)
     return w
 
 

@@ -263,10 +263,13 @@ def test_spectrum_sharded_matches_replicated(engine, rng):
     u_s = sp_s.exec_type1(st_s, v_ch)
     d = 2 + sp_s.spectrum_shard_dim
     assert u_s.sharding.spec[d] == "grid", u_s.sharding
-    np.testing.assert_allclose(np.asarray(u_s), u_r, rtol=1e-10, atol=1e-12)
+    # Ring reduce-scatter sums the per-chip shares in a different order than
+    # psum: identical math, roundoff-level reassociation (~1e-9 rel worst
+    # case observed over 64k f64 elements).
+    np.testing.assert_allclose(np.asarray(u_s), u_r, rtol=1e-8, atol=1e-11)
     v_r = np.asarray(sp_r.exec_type2(st_r, u_r))
     v_s = np.asarray(sp_s.exec_type2(st_s, u_s))
-    np.testing.assert_allclose(v_s, v_r, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(v_s, v_r, rtol=1e-8, atol=1e-11)
     bytes_s = sp_s.collective_bytes()
     bytes_r = sp_r.collective_bytes()
     assert bytes_s["spectrum"] == "sharded" and bytes_r["n"] == n_chips
