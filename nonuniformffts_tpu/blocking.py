@@ -486,7 +486,13 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
             first_c, last_c = lc_first, lc_last
         i_min = first_c - (m_ - 1)  # lowest row: j = lx - M + 1 (t = 0)
         i_max = last_c + m_  # highest row: j = lx + M (t = 2M - 1)
-        r0 = jnp.clip((i_min // align) * align, 0, pd0 - W)
+        # The clip ceiling must stay ``align``-aligned: the kernels promise
+        # Mosaic an 8-aligned dynamic sublane offset (pl.multiple_of), and a
+        # raw ``pd0 - W`` ceiling silently breaks that whenever the window
+        # would overrun the block rows (seen as device-only garbage at
+        # m=6/8 where pd0 - W is not a multiple of 8).  Batches the aligned
+        # ceiling cannot cover fall back to the full-block path via ``ok``.
+        r0 = jnp.clip((i_min // align) * align, 0, ((pd0 - W) // align) * align)
         ok = (first_c >= m_ - 1) & (i_max < r0 + W)
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 
@@ -503,7 +509,7 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
             ymax = jnp.max(jnp.where(v2d, c1_b, -big), axis=1)
             i_min1 = ymin - (m_ - 1)
             i_max1 = ymax + m_
-            r1 = jnp.clip((i_min1 // 8) * 8, 0, pd1 - W1)
+            r1 = jnp.clip((i_min1 // 8) * 8, 0, ((pd1 - W1) // 8) * 8)
             ok1 = ok & (ymin >= m_ - 1) & (i_max1 < r1 + W1)
             batch_r1 = jnp.where(ok1, r1, -1).astype(jnp.int32)
 
@@ -627,7 +633,13 @@ def packed_layout(
         last_c = kl // jnp.int32(yz_cells)
         i_min = first_c - (m_ - 1)
         i_max = last_c + m_
-        r0 = jnp.clip((i_min // align) * align, 0, pd0 - W)
+        # The clip ceiling must stay ``align``-aligned: the kernels promise
+        # Mosaic an 8-aligned dynamic sublane offset (pl.multiple_of), and a
+        # raw ``pd0 - W`` ceiling silently breaks that whenever the window
+        # would overrun the block rows (seen as device-only garbage at
+        # m=6/8 where pd0 - W is not a multiple of 8).  Batches the aligned
+        # ceiling cannot cover fall back to the full-block path via ``ok``.
+        r0 = jnp.clip((i_min // align) * align, 0, ((pd0 - W) // align) * align)
         ok = (first_c >= m_ - 1) & (i_max < r0 + W) & (last >= first)
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 
@@ -656,7 +668,7 @@ def packed_layout(
             ymax = jnp.take(c1max, widx)
             i_min1 = ymin - (m_ - 1)
             i_max1 = ymax + m_
-            r1 = jnp.clip((i_min1 // 8) * 8, 0, pd1 - W1)
+            r1 = jnp.clip((i_min1 // 8) * 8, 0, ((pd1 - W1) // 8) * 8)
             ok1 = ok & (ymin >= m_ - 1) & (i_max1 < r1 + W1)
             batch_r1 = jnp.where(ok1, r1, -1).astype(jnp.int32)
 

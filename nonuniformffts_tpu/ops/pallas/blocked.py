@@ -312,8 +312,32 @@ def _nbuf(SUPER: int) -> int:
     return NBUF if SUPER == 1 else NBUF_SUPER
 
 
+def _pack_r01(r0s, r1s):
+    """Pack the per-batch window row starts into ONE scalar-prefetch operand.
+
+    Scalar-prefetch operands live in SMEM (1 MB): two separate s32 arrays of
+    nbatches entries blow the budget at high density (131k batches at rho=1
+    -> 2 x 516 KB, the round-3 device SMEM OOM).  Both values are small
+    non-negative ints or the -1 full-fallback sentinel, so they ride one
+    word as (r0+1) | ((r1+1) << 16)."""
+    import jax.numpy as jnp
+
+    enc0 = r0s + 1
+    enc1 = (r1s + 1) if r1s is not None else jnp.zeros_like(r0s)
+    return (enc0 | (enc1 << 16)).astype(jnp.int32)
+
+
+def _unpack_r0(r01s_ref, idx):
+    return (r01s_ref[idx] & 0xFFFF) - 1
+
+
+def _unpack_r01(r01s_ref, idx):
+    v = r01s_ref[idx]
+    return (v & 0xFFFF) - 1, (v >> 16) - 1
+
+
 def _spread_kernel(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, pv_hbm, cs_ref,
+    starts_ref, pstarts_ref, offset_ref, r01s_ref, pv_hbm, cs_ref,
     out_ref, acc_ref, pv_buf, sem_pv,
     *, plan, CR, DP, nb, pd, yz, P, W, layout, SUPER,
 ):
@@ -417,7 +441,7 @@ def _spread_kernel(
                 prod, c * W, (c + 1) * W, axis=0
             )
 
-    nr0 = r0s_ref.shape[0]
+    nr = r01s_ref.shape[0]
 
     def body(i, carry):
         slot = i % NB
@@ -432,7 +456,7 @@ def _spread_kernel(
             src = pl.multiple_of(slot * SB + k * P, P)
             pv_b = pv_buf[:, pl.ds(src, P)]
             if W:
-                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
+                r0 = _unpack_r0(r01s_ref, jnp.minimum(start_b + gi, nr - 1))
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
                 def _(pv_b=pv_b, gi=gi, r0=r0):
@@ -459,7 +483,7 @@ def _spread_kernel(
 
 
 def _spread_kernel_z(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, pv_hbm, cs_ref,
+    starts_ref, pstarts_ref, offset_ref, r01s_ref, pv_hbm, cs_ref,
     out_ref, *scratch,
     plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
 ):
@@ -640,8 +664,7 @@ def _spread_kernel_z(
                 ).reshape(W, W1, pdL)
             )
 
-    nr0 = r0s_ref.shape[0]
-    nr1 = r1s_ref.shape[0]
+    nr = r01s_ref.shape[0]
 
     def body(i, carry):
         slot = i % NB
@@ -660,8 +683,9 @@ def _spread_kernel_z(
             # behind batch k's accumulator read-modify-write.
             aref = acc2_ref if (acc2_ref is not None and k % 2) else acc_ref
             if W and W1:
-                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
-                r1 = r1s_ref[jnp.minimum(start_b + gi, nr1 - 1)]
+                r0, r1 = _unpack_r01(
+                    r01s_ref, jnp.minimum(start_b + gi, nr - 1)
+                )
 
                 @pl.when((gi < nbatch) & (r1 >= 0))
                 def _(pv_b=pv_b, gi=gi, r0=r0, r1=r1, aref=aref):
@@ -675,7 +699,7 @@ def _spread_kernel_z(
                 def _(pv_b=pv_b, gi=gi, aref=aref):
                     compute(pv_b, gi, aref)
             elif W:
-                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
+                r0 = _unpack_r0(r01s_ref, jnp.minimum(start_b + gi, nr - 1))
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
                 def _(pv_b=pv_b, gi=gi, r0=r0, aref=aref):
@@ -753,15 +777,16 @@ def spread_blocked(
     out_index = _block_index_map(D, nb)
 
     W = plan.window_rows if plan.batch_r0 is not None else None
-    r0s = (
-        plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
-    )
     W1 = (
         plan.window_rows_y
         if (W and plan.kernel_form == "z" and plan.batch_r1 is not None)
         else None
     )
-    r1s = plan.batch_r1 if W1 else jnp.zeros((1,), jnp.int32)
+    r01s = (
+        _pack_r01(plan.batch_r0, plan.batch_r1 if W1 else None)
+        if W
+        else jnp.zeros((1,), jnp.int32)
+    )
     pstarts = (
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )
@@ -840,7 +865,7 @@ def spread_blocked(
                 P=P, W=W, layout=layout, SUPER=SUPER,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=4,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # pts++vals (DP+CRPc, Ns)
@@ -854,7 +879,7 @@ def spread_blocked(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=plan.interpret,
-        )(plan.block_starts, pstarts, block_offset, r0s, r1s, pv, cs)
+        )(plan.block_starts, pstarts, block_offset, r01s, pv, cs)
 
     # Channel chunking (large ntransforms): the VMEM accumulator scales with
     # CR, so components are processed in plan.cr_chunk-sized groups — the
@@ -893,7 +918,7 @@ def spread_blocked(
 
 
 def _interp_kernel(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, blk_ref, pts_hbm,
+    starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
     *, plan, CR, nb, pd, yz, P, W, layout, SUPER,
 ):
@@ -1019,7 +1044,7 @@ def _interp_kernel(
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
-    nr0 = r0s_ref.shape[0]
+    nr = r01s_ref.shape[0]
 
     def body(i, carry):
         slot = i % NB
@@ -1040,7 +1065,7 @@ def _interp_kernel(
             off = pl.multiple_of(slot * SB + k * P, P)
             pts_b = pts_buf[:, pl.ds(off, P)]
             if W:
-                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
+                r0 = _unpack_r0(r01s_ref, jnp.minimum(start_b + gi, nr - 1))
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
                 def _(pts_b=pts_b, off=off, gi=gi, r0=r0):
@@ -1068,7 +1093,7 @@ def _interp_kernel(
 
 
 def _interp_kernel_z(
-    starts_ref, pstarts_ref, offset_ref, r0s_ref, r1s_ref, blk_ref, pts_hbm,
+    starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
     *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
 ):
@@ -1274,8 +1299,7 @@ def _interp_kernel_z(
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
-    nr0 = r0s_ref.shape[0]
-    nr1 = r1s_ref.shape[0]
+    nr = r01s_ref.shape[0]
 
     def body(i, carry):
         slot = i % NB
@@ -1295,8 +1319,9 @@ def _interp_kernel_z(
             off = pl.multiple_of(slot * SB + k * P, P)
             pts_b = pts_buf[:, pl.ds(off, P)]
             if W and W1:
-                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
-                r1 = r1s_ref[jnp.minimum(start_b + gi, nr1 - 1)]
+                r0, r1 = _unpack_r01(
+                    r01s_ref, jnp.minimum(start_b + gi, nr - 1)
+                )
 
                 @pl.when((gi < nbatch) & (r1 >= 0))
                 def _(pts_b=pts_b, off=off, gi=gi, r0=r0, r1=r1):
@@ -1310,7 +1335,7 @@ def _interp_kernel_z(
                 def _(pts_b=pts_b, off=off, gi=gi):
                     compute(pts_b, off, gi)
             elif W:
-                r0 = r0s_ref[jnp.minimum(start_b + gi, nr0 - 1)]
+                r0 = _unpack_r0(r01s_ref, jnp.minimum(start_b + gi, nr - 1))
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
                 def _(pts_b=pts_b, off=off, gi=gi, r0=r0):
@@ -1398,13 +1423,16 @@ def interpolate_blocked(
         block_offset = jnp.zeros((D,), jnp.int32)
 
     W = plan.window_rows if plan.batch_r0 is not None else None
-    r0s = plan.batch_r0 if W else jnp.zeros((1,), jnp.int32)
     W1 = (
         plan.window_rows_y
         if (W and plan.kernel_form == "z" and plan.batch_r1 is not None)
         else None
     )
-    r1s = plan.batch_r1 if W1 else jnp.zeros((1,), jnp.int32)
+    r01s = (
+        _pack_r01(plan.batch_r0, plan.batch_r1 if W1 else None)
+        if W
+        else jnp.zeros((1,), jnp.int32)
+    )
     pstarts = (
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )
@@ -1437,7 +1465,7 @@ def interpolate_blocked(
                 W=W, layout=layout, SUPER=SUPER,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=4,
             grid=(nblocks,),
             in_specs=[
                 in_spec0,
@@ -1460,7 +1488,7 @@ def interpolate_blocked(
             interpret=plan.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(
-            plan.block_starts, pstarts, block_offset, r0s, r1s, halos_chunk,
+            plan.block_starts, pstarts, block_offset, r01s, halos_chunk,
             pts, cs,
         )[:nrows]
 

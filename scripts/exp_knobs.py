@@ -126,22 +126,25 @@ def main():
             halos = _t2_fft_stage(p, spec)
             jax.block_until_ready(halos)
 
-            def t_sp(c, v_a):
-                return jnp.sum(_t1_spread_stage(p, eps_of(c, v_a)))
+            # The plan pytree rides as a jit ARGUMENT: closing over it ships
+            # its device arrays (points_packed is ~600 MB at rho=1) inside
+            # the remote-compile request -> HTTP 413 on the axon tunnel.
+            def t_sp(c, p_a, v_a):
+                return jnp.sum(_t1_spread_stage(p_a, eps_of(c, v_a)))
 
-            def t_it(c, h_a):
-                return jnp.sum(_t2_interp_stage(p, eps_of(c, h_a)))
+            def t_it(c, p_a, h_a):
+                return jnp.sum(_t2_interp_stage(p_a, eps_of(c, h_a)))
 
-            def t_fwd(c, b_a):
-                return jnp.sum(jnp.abs(_t1_fft_stage(p, eps_of(c, b_a))))
+            def t_fwd(c, p_a, b_a):
+                return jnp.sum(jnp.abs(_t1_fft_stage(p_a, eps_of(c, b_a))))
 
-            def t_bwd(c, s_a):
-                return jnp.sum(jnp.abs(_t2_fft_stage(p, eps_of(c, s_a))))
+            def t_bwd(c, p_a, s_a):
+                return jnp.sum(jnp.abs(_t2_fft_stage(p_a, eps_of(c, s_a))))
 
-            t_spread = timed_scan(t_sp, (v,))
-            t_interp = timed_scan(t_it, (halos,))
-            t_f = timed_scan(t_fwd, (buf,))
-            t_b = timed_scan(t_bwd, (spec,))
+            t_spread = timed_scan(t_sp, (p, v))
+            t_interp = timed_scan(t_it, (p, halos))
+            t_f = timed_scan(t_fwd, (p, buf))
+            t_b = timed_scan(t_bwd, (p, spec))
             print(
                 f"cfg={cfg} blocks={plan.block_dims} W={plan.window_rows} "
                 f"W1={plan.window_rows_y} batch={plan.batch_size} "
