@@ -163,22 +163,30 @@ def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray,
     # Direct paths: the tap offset t is a (2M, 1) sublane iota.
     t_col = jax.lax.broadcasted_iota(dt, (two_m, 1), 0)
 
-    if kd.kind == "kb":  # direct
+    if kd.kind == "kb":  # direct (peak-normalised; see KernelData.peak)
         beta = jnp.asarray(kd.beta, dt)
         y = (m - 1.0 - t_col + X) / m
         s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
-        return windows.besseli0(beta * s)
+        return windows.besseli0(beta * s) * jnp.asarray(1.0 / kd.peak, dt)
 
-    if kd.kind == "bkb":  # direct: sinh via one exp
+    if kd.kind == "bkb":  # direct: one exp pair, peak-normalised with
+        # shifted exponents so every intermediate stays <= 1 (the raw
+        # sinh's e^beta over/underflows the f32 pipeline at m >= 6; see
+        # windows._eval_bkb_direct).
         beta = jnp.asarray(kd.beta, dt)
-        pref = jnp.asarray(kd.beta / math.pi, dt)
         y = (m - 1.0 - t_col + X) / m
         s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
         bs = beta * s
-        e = jnp.exp(bs)
-        sinh = 0.5 * (e - 1.0 / e)
-        ratio = jnp.where(bs == 0.0, 1.0, sinh / jnp.where(bs == 0.0, 1.0, bs))
-        return ratio * pref
+        em = jnp.exp(bs - beta)
+        ep = jnp.exp(-bs - beta)
+        sinh_s = 0.5 * (em - ep)  # sinh(bs) * e^{-beta}
+        ratio = jnp.where(
+            bs == 0.0,
+            jnp.asarray(math.exp(-kd.beta), dt),
+            sinh_s / jnp.where(bs == 0.0, 1.0, bs),
+        )
+        pref = kd.beta / (-0.5 * math.expm1(-2.0 * kd.beta))
+        return ratio * jnp.asarray(pref, dt)
 
     if kd.kind == "gaussian":
         # One exp per node; the Greengard-Lee ladder saves nothing on the VPU.

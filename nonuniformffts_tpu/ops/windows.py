@@ -124,6 +124,17 @@ class KernelData:
     tau: float = static_field(default=0.0)  # Gaussian: 2 l^2
     w: float = static_field(default=0.0)  # physical half-width = M * dx
     dx: float = static_field(default=0.0)  # oversampled grid step = 2 pi / N
+    # Window normalisation: every evaluation path returns phi(y)/peak with
+    # ``peak ~= phi(0)`` (FINUFFT normalises its ES kernel the same way) and
+    # the Fourier coefficients scale identically, so the factor cancels
+    # exactly in both transform types.  The raw (B)KB windows peak at
+    # ~e^beta/2pi (1.5e10 at m=6, 4e14 at m=8): unnormalised, the f32 fast
+    # path OVERFLOWS in the 3-dim tensor product at m=8 (inf - inf -> nan)
+    # and UNDERFLOWS in type-2's u/prod(phihat) padding at m=6 (the padded
+    # DC mode lands at 1e-31, the normalised inverse FFT flushes it to a
+    # subnormal zero).  The reference never sees this because it runs f64
+    # (src/Kernels/kaiser_bessel_backwards.jl evaluates the raw window).
+    peak: float = static_field(default=1.0)
     cs_poly: Optional[jnp.ndarray] = data_field(default=None)  # (Npoly, 2M)
     cs_gauss: Optional[jnp.ndarray] = data_field(default=None)  # (2M,)
 
@@ -195,26 +206,29 @@ def make_kernel_data(
         beta = kernel.beta if kernel.beta is not None else _optimal_beta_kb(m, sigma)
         from scipy.special import i0 as _i0
 
+        peak = float(_i0(beta))  # phi(0); see KernelData.peak
         cs = _solve_piecewise_polynomial_coefficients(
-            lambda y: _i0(beta * np.sqrt(np.maximum(1.0 - y**2, 0.0))), m, npoly
+            lambda y: _i0(beta * np.sqrt(np.maximum(1.0 - y**2, 0.0))) / peak,
+            m, npoly,
         )
         return KernelData(
-            kind="kb", m=m, n=n, beta=float(beta), w=w, dx=dx,
+            kind="kb", m=m, n=n, beta=float(beta), w=w, dx=dx, peak=peak,
             cs_poly=jnp.asarray(cs, dtype=real_dtype),
         )
 
     if isinstance(kernel, BackwardsKaiserBesselKernel):
         beta = kernel.beta if kernel.beta is not None else _optimal_beta_bkb(m, sigma)
+        peak = float(math.sinh(beta) / math.pi)  # phi(0); see KernelData.peak
 
         def f(y):
             s = np.sqrt(np.maximum(1.0 - y**2, 0.0))
             with np.errstate(divide="ignore", invalid="ignore"):
                 v = np.sinh(beta * s) / (s * np.pi)
-            return np.where(s == 0.0, beta / np.pi, v)
+            return np.where(s == 0.0, beta / np.pi, v) / peak
 
         cs = _solve_piecewise_polynomial_coefficients(f, m, npoly)
         return KernelData(
-            kind="bkb", m=m, n=n, beta=float(beta), w=w, dx=dx,
+            kind="bkb", m=m, n=n, beta=float(beta), w=w, dx=dx, peak=peak,
             cs_poly=jnp.asarray(cs, dtype=real_dtype),
         )
 
@@ -310,22 +324,38 @@ def point_to_cell_split(x: jnp.ndarray, n: int):
 
 
 def _eval_bkb_direct(kd: KernelData, y: jnp.ndarray) -> jnp.ndarray:
+    """Peak-normalised BKB window sinh(beta s)/(s sinh beta), s = sqrt(1-y^2).
+
+    Shifted exponents (multiply num and den by e^{-beta}) keep every
+    intermediate <= 1 instead of the raw sinh's e^beta; the s -> 0 edge
+    limit sinh(bs)/bs -> 1 becomes e^{-beta} after the shift (reference
+    handles the same limit on the raw form,
+    kaiser_bessel_backwards.jl:158-175)."""
     beta = jnp.asarray(kd.beta, dtype=y.dtype)
     z = jnp.maximum(1.0 - y * y, 0.0)
     s = jnp.sqrt(z)
     bs = beta * s
-    # sinh via a single exp; sinh(t)/t -> 1 as t -> 0 (reference:
-    # kaiser_bessel_backwards.jl:158-175).
-    ebs = jnp.exp(bs)
-    sinh = 0.5 * (ebs - 1.0 / ebs)
-    ratio = jnp.where(bs == 0.0, jnp.ones_like(bs), sinh / jnp.where(bs == 0.0, 1.0, bs))
-    return ratio * (beta / jnp.asarray(math.pi, dtype=y.dtype))
+    em = jnp.exp(bs - beta)
+    ep = jnp.exp(-bs - beta)
+    sinh_s = 0.5 * (em - ep)  # sinh(bs) * e^{-beta}
+    ratio = jnp.where(
+        bs == 0.0,
+        jnp.asarray(math.exp(-kd.beta), dtype=y.dtype),
+        sinh_s / jnp.where(bs == 0.0, 1.0, bs),
+    )
+    # beta / (sinh(beta) e^{-beta}); ratio * pref == 1 at the peak (y = 0).
+    pref = kd.beta / (-0.5 * math.expm1(-2.0 * kd.beta))
+    return ratio * jnp.asarray(pref, dtype=y.dtype)
 
 
 def _eval_kb_direct(kd: KernelData, y: jnp.ndarray) -> jnp.ndarray:
     beta = jnp.asarray(kd.beta, dtype=y.dtype)
     z = jnp.maximum(1.0 - y * y, 0.0)
-    return besseli0(beta * jnp.sqrt(z))
+    # Normalised by phi(0) = I0(beta) (see KernelData.peak); I0(beta) itself
+    # stays f32-representable up to beta ~ 88 (m ~ 22).
+    return besseli0(beta * jnp.sqrt(z)) * jnp.asarray(
+        1.0 / kd.peak, dtype=y.dtype
+    )
 
 
 def _eval_gaussian_direct(kd: KernelData, yphys: jnp.ndarray) -> jnp.ndarray:
@@ -428,7 +458,9 @@ def fourier_coefficients_np(kd: KernelData, k: np.ndarray) -> np.ndarray:
 
     These are the continuous Fourier transforms of the (physical-units)
     windows, matching the reference's ``evaluate_fourier_func`` of each kernel
-    file; used to build the deconvolution factors.
+    file — divided by the same ``kd.peak`` the evaluators use (the
+    normalisation cancels exactly in both transform types; see
+    KernelData.peak); used to build the deconvolution factors.
     """
     k = np.asarray(k, dtype=np.float64)
     if kd.kind == "kb":
@@ -437,13 +469,13 @@ def fourier_coefficients_np(kd: KernelData, k: np.ndarray) -> np.ndarray:
         s = np.sqrt(np.maximum(s2, 0.0))
         with np.errstate(divide="ignore", invalid="ignore"):
             v = 2.0 * kd.w * np.sinh(s) / s
-        return np.where(s == 0.0, 2.0 * kd.w, v)
+        return np.where(s == 0.0, 2.0 * kd.w, v) / kd.peak
     if kd.kind == "bkb":
         from scipy.special import i0 as _i0
 
         q = kd.w * k
         s = np.sqrt(np.maximum(kd.beta**2 - q**2, 0.0))
-        return kd.w * _i0(s)
+        return kd.w * _i0(s) / kd.peak
     if kd.kind == "gaussian":
         return np.sqrt(np.pi * kd.tau) * np.exp(-kd.tau * k**2 / 4.0)
     if kd.kind == "bspline":

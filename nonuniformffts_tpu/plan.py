@@ -415,12 +415,11 @@ def PlanNUFFT(
         # vectorised reference path is the sane default.
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # The blocked path wins on TPU at every density measured (XLA lowers
-        # the reference path's scatter serially there); density only shifts
-        # the geometry (choose_geometry picks coarse blocks at low np_hint).
-        # The reference path remains the default off-TPU and for truly tiny
-        # problems where even one Pallas grid launch dominates.
-        tiny = np_hint is not None and np_hint < 1024
-        spread_method = "blocked" if (on_tpu and not tiny) else "reference"
+        # the reference path's scatter serially there — ~250k updates/s, so
+        # even 1k points x (2M)^3 stencil cells is seconds); density only
+        # shifts the geometry (choose_geometry picks coarse blocks at low
+        # np_hint).  The reference path remains the default off-TPU.
+        spread_method = "blocked" if on_tpu else "reference"
 
     # FFT engine decision first — it determines the kernel buffer form.
     # XLA's native FFT where available; MXU matmul-DFT on TPU backends that
@@ -880,13 +879,20 @@ def set_points(plan: Plan, points) -> Plan:
             nblocks *= n_over // b
         if np_ > 0:
             waste = (np_ + 0.5 * min(nblocks, np_) * plan.batch_size) / np_
-            if waste > 2.0:
+            wasted = 0.5 * min(nblocks, np_) * plan.batch_size
+            total_over = 1
+            for n_over in plan.shape_over:
+                total_over *= n_over
+            # Only warn when the padded-slot work rivals the grid-sized
+            # stages: at low density the ratio is necessarily large but the
+            # absolute cost is noise next to the O(N^D) DFT/merge work.
+            if waste > 2.0 and wasted > 0.02 * total_over:
                 warnings.warn(
                     f"expected batch padding waste is ~{waste:.1f}x (Np="
                     f"{np_}, block_dims={plan.block_dims}, batch="
                     f"{plan.batch_size}); point density is low for this "
-                    "blocked geometry — pass np_hint to PlanNUFFT or use "
-                    "spread_method='reference'.",
+                    "blocked geometry — pass np_hint to PlanNUFFT so the "
+                    "geometry search can coarsen the blocks.",
                     stacklevel=2,
                 )
         return dataclasses.replace(
@@ -925,13 +931,20 @@ def set_points(plan: Plan, points) -> Plan:
         # geometry, src/gpu_common.jl:66-77): slot padding waste is known
         # statically here because nslots is a static shape.
         nslots = pts_slotted.shape[1]
-        if np_ > 0 and nslots / np_ > 2.0:
+        total_over = 1
+        for n_over in plan.shape_over:
+            total_over *= n_over
+        if (
+            np_ > 0
+            and nslots / np_ > 2.0
+            and nslots - np_ > 0.02 * total_over  # see the packed-path note
+        ):
             warnings.warn(
                 f"slot padding waste is {nslots / np_:.1f}x (Np={np_}, "
                 f"nslots={nslots}, block_dims={plan.block_dims}, batch="
                 f"{plan.batch_size}); point density is low for this blocked "
-                "geometry — pass np_hint to PlanNUFFT or use "
-                "spread_method='reference'.",
+                "geometry — pass np_hint to PlanNUFFT so the geometry "
+                "search can coarsen the blocks.",
                 stacklevel=2,
             )
         return dataclasses.replace(

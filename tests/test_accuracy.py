@@ -106,6 +106,24 @@ def test_f32(dtype, kernel):
     assert err2 < budget, (err2, budget)
 
 
+@pytest.mark.parametrize("m", [6, 8, 10])
+@pytest.mark.parametrize("kernel", [KB, BKB], ids=["KB", "BKB"])
+def test_f32_high_m_dynamic_range(kernel, m):
+    """Regression: unnormalised (B)KB windows peak at ~e^beta/2pi, which in
+    f32 OVERFLOWS the D-dim window product at m >= 8 (nan) and UNDERFLOWS
+    type-2's u/prod(phihat) padding at m >= 6 (the padded DC mode lands near
+    1e-31 and the normalised inverse FFT flushes it to zero — the transform
+    silently becomes a high-pass filter).  The peak-normalised windows
+    (KernelData.peak) must keep every m at the f32 floor."""
+    err1, err2 = run_1d(np.complex64, kernel, m, 2.0)
+    assert np.isfinite(err1) and np.isfinite(err2), (err1, err2)
+    # ~1.6e-5 = the f32 coordinate floor of the plain (x/L)*N cell split at
+    # N_over=512 (the blocked path's double-single split does better); the
+    # broken unnormalised windows gave 1e-2 .. nan here.
+    assert err1 < 5e-5, err1
+    assert err2 < 5e-5, err2
+
+
 @pytest.mark.parametrize("evalmode", [nufft.Direct(), nufft.FastApproximation()],
                          ids=["Direct", "FastApprox"])
 def test_evalmodes_equivalent_accuracy(evalmode):
