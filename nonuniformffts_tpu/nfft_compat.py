@@ -64,21 +64,19 @@ def accuracy_params(
     Uses the (Backwards)Kaiser-Bessel error model validated by our accuracy
     sweep (tests/test_accuracy.py error_budget; BASELINE.md accuracy table):
     at sigma = 2 the L2 relative error is ~6 x 10^(-1.9 m).  The floor is
-    device-aware: ~4e-14 for f64 plans (CPU/interpret), and for f32 plans
-    the measured TPU arithmetic floors — ~1.5e-6 at precision='highest'
-    (bf16x6 matmuls + double-single coordinate split) and ~1e-8 at
-    precision='double' (chunked double-single accumulation,
-    matmul_fft._mm_ds; on-device rows in docs/accuracy.md).  The reference
+    device-aware: ~4e-14 for f64 plans (CPU/interpret), and ~2.5e-7 for
+    f32 plans — the TPU arithmetic floor measured on device 2026-08-19
+    (docs/accuracy.md "On-device certification": m=6 sigma=2 lands at
+    1.7e-7..2.3e-7 for BOTH precision='double' and 'highest'; the floor is
+    f32 window evaluation + spread/interp accumulation, not the DFT
+    engine, so it is precision-independent at bench scale).  The reference
     performs the same kind of mapping in ``accuracyParams``
     (src/abstractNFFTs.jl:173-188).
     """
     if not 0.0 < reltol < 1.0:
         raise ValueError(f"reltol must be in (0, 1), got {reltol}")
     sigma = 2.0
-    if f32:
-        floor = 1e-8 if precision == "double" else 1.5e-6
-    else:
-        floor = 4e-14
+    floor = 2.5e-7 if f32 else 4e-14
     target = max(float(reltol), floor)
     m = math.ceil(math.log10(6.0 / target) / 1.9)
     m = min(max(m, 2), 10)
