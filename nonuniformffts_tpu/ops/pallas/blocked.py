@@ -41,12 +41,17 @@ from . import common
 TWO_PI = 2.0 * math.pi
 
 # Mosaic's dot lowering supports only DEFAULT and HIGHEST; map 'high' to
-# HIGHEST inside the kernels (the window contractions need >=f32-ish
-# accuracy anyway — bf16 single-pass would inject ~1e-3 window error).
+# Kernel contraction precision.  The MXU accumulates in f32 regardless of
+# the pass count, so the pass ladder only changes PRODUCT rounding:
+# bf16x1 (DEFAULT) injects ~1e-3 window error — never acceptable; bf16x3
+# (HIGH) reproduces the f32 product to ~2^-24 — i.e. the same arithmetic
+# as the f32 reference path, at 2x the MXU rate of bf16x6 (HIGHEST).
+# 'highest'/'double' keep x6 (products exact beyond f32, for when the
+# storage floor is attacked elsewhere); 'high'/'default' run x3.
 # The XLA-level matmul-DFT keeps true 3-pass HIGH (ops/matmul_fft.py).
 _PRECS = {
-    "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
     # 'double' runs the kernels' contractions at HIGHEST; the compensated
     # accumulation lives in the DFT drivers (matmul_fft._mm_ds).

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from .. import windows
 from ..windows import FastApproximation, KernelData
+from ...utils.besseli0 import besseli0_poly
 
 TWO_PI = 2.0 * math.pi
 
@@ -160,14 +161,18 @@ def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray,
             v = v * z + cs[:, q : q + 1]
         return v
 
-    # Direct paths: the tap offset t is a (2M, 1) sublane iota.
-    t_col = jax.lax.broadcasted_iota(dt, (two_m, 1), 0)
+    # Direct paths: the tap offset t is a (2M, 1) sublane iota.  Mosaic's
+    # tpu.iota only produces integers — a float iota verifies in interpret
+    # mode but fails Mosaic verification on device.
+    t_col = jax.lax.broadcasted_iota(jnp.int32, (two_m, 1), 0).astype(dt)
 
     if kd.kind == "kb":  # direct (peak-normalised; see KernelData.peak)
+        # besseli0_poly, not jax.scipy's i0: bessel_i0e has no Mosaic
+        # lowering (utils/besseli0.py).
         beta = jnp.asarray(kd.beta, dt)
         y = (m - 1.0 - t_col + X) / m
         s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
-        return windows.besseli0(beta * s) * jnp.asarray(1.0 / kd.peak, dt)
+        return besseli0_poly(beta * s) * jnp.asarray(1.0 / kd.peak, dt)
 
     if kd.kind == "bkb":  # direct: one exp pair, peak-normalised with
         # shifted exponents so every intermediate stays <= 1 (the raw

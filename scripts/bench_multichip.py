@@ -107,6 +107,15 @@ def main():
         "pts_per_sec": NP_PTS / t,
         "pts_per_sec_per_chip": NP_PTS / t / N_DEV,
         "err_vs_single_chip": err,
+        # Back-of-envelope ICI model for the engine choice: bytes one chip
+        # sends per step, by collective (SpatialNUFFT.collective_bytes),
+        # plus the implied seconds on a v5e ICI ring (~45 GB/s/link axis).
+        "collective_bytes_per_step": sp.collective_bytes(),
+        "ici_seconds_estimate": {
+            k: v / 45e9
+            for k, v in sp.collective_bytes().items()
+            if isinstance(v, int)
+        },
         "note": "CPU virtual mesh, Pallas interpret mode — regression "
         "tracking only, not TPU throughput",
     }

@@ -283,9 +283,9 @@ def test_compiled_large_batch_and_sort_permute():
     u_base = np.asarray(exec_type1_channels(pb, jax.device_put(v)))
 
     for cfg in (
-        dict(batch_size=256, block_dims=(32, 8, 64)),
+        dict(batch_size=256, block_dims=(32, 8, 48)),
         dict(value_permute="sort"),
-        dict(batch_size=256, block_dims=(32, 8, 64), value_permute="sort"),
+        dict(batch_size=256, block_dims=(32, 8, 48), value_permute="sort"),
     ):
         plan = nufft.PlanNUFFT(
             np.complex64, (N,) * 3, m=4, sigma=1.5,

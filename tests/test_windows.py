@@ -110,3 +110,24 @@ def test_optimal_parameters_match_reference_formulas():
         nufft.KaiserBesselKernel(beta=10.0), m, 64, sigma, np.float64
     )
     assert kd.beta == 10.0
+
+
+def test_besseli0_poly_matches_scipy():
+    """besseli0_poly (the Mosaic-lowerable Chebyshev form used by the
+    in-kernel direct KB path; jax.scipy's i0 primitive has no Mosaic
+    lowering) must track scipy's i0 to the f64 floor over the full kernel
+    argument range [0, beta_max]."""
+    from scipy.special import i0 as scipy_i0
+
+    from nonuniformffts_tpu.utils.besseli0 import besseli0_poly
+
+    x = np.linspace(0.0, 50.0, 20001)
+    got = np.asarray(besseli0_poly(jnp.asarray(x, jnp.float64)))
+    want = scipy_i0(x)
+    rel = np.max(np.abs(got - want) / want)
+    assert rel < 1e-13, rel
+    # f32: the exp(x) dynamic range bounds the relative error at ~x*eps
+    got32 = np.asarray(besseli0_poly(jnp.asarray(x, jnp.float32)))
+    assert np.all(np.isfinite(got32))
+    rel32 = np.max(np.abs(got32 - want) / want)
+    assert rel32 < 1e-5, rel32
