@@ -31,21 +31,24 @@ def _divisors(n: int):
     return out
 
 
-# Cost-model constants, calibrated on a TPU v5e through the axon runtime
-# (scripts/profile_stages.py, round 2: 1024-program spread kernel = 32 ms of
-# which ~13 ms MXU at 'highest'; 4096^3 matmul = 65 Tflop/s at 'high'):
-# fixed per-Pallas-program overhead, effective MXU MAC rate for f32
-# ('high'-precision bf16x3 passes) and HBM bandwidth.
-_PROGRAM_OVERHEAD_S = 15e-6
-_MXU_MACS_PER_S = 3.0e13
-_HBM_BYTES_PER_S = 6.0e11
-# Fixed cost per point batch inside the kernels (decode + weight build +
-# accumulator RMW issue + control flow, independent of the contraction
-# size).  Inferred from the rho=1 residual (~260 ms spread at ~131k batches
-# vs ~60 ms modelled without this term); device A/B (scripts/exp_knobs.py
-# EXP_RHO1) refines it.  This is what makes larger ``batch_size`` win at
-# high density.
-_BATCH_OVERHEAD_S = 1.2e-6
+# Cost-model constants, calibrated on a TPU v5e by non-negative least
+# squares against the 15-row round-3 device A/B ladder (PROFILE.md
+# "Round-3 device A/B results": Np = 1e6 and 16.7M, batch 128..512, five
+# block geometries; fit residual < 10% on every row outside the VMEM
+# cliff).  MXU MAC rate is PINNED to the physical bf16-pass rate, not
+# fitted (the free fit aliases MXU time into the VPU term): ~9e13 bf16
+# MACs/s on v5e -> /6 passes at 'highest', /3 at 'high'.
+_PROGRAM_OVERHEAD_S = 3.5e-6
+_MXU_MACS_PER_S = 3.0e13  # bf16x3 ('high'; the matmul-DFT always runs this)
+_MXU_MACS_PER_S_X6 = 1.5e13  # bf16x6 ('highest'/'double' kernel contractions)
+_HBM_BYTES_PER_S = 6.8e11
+# Fixed cost per point batch inside the kernels (control flow + DMA wait +
+# scalar work independent of contraction size); the per-batch VECTOR work
+# (weight builds, Khatri-Rao stack, accumulator RMW) is modelled separately
+# below via _VPU_CYCLE_S x the vreg-op count, which is what makes narrow
+# pd1/pdL geometries win at high density.
+_BATCH_OVERHEAD_S = 5.6e-7
+_VPU_CYCLE_S = 8.0e-10  # per modelled (8,128) vreg op, fitted
 
 #: Per-core VMEM budget for the blocked kernels' *estimated* working set
 #: (reference analogue: the 48 KiB CUDA shared-memory budget solved in
@@ -60,7 +63,7 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 def geometry_cost(
     shape_over, block_dims, m: int, cr: int, np_pts: int, batch: int,
     n_keep=None, form: str = "yz", spread_acc2: bool = False,
-    dma_super: int = 4,
+    dma_super: int = 4, precision: str = "highest",
 ):
     """Estimated seconds for one spread (or interpolation) pass, plus the
     kernel working-set VMEM bytes.  Returns (cost_s, vmem_bytes).
@@ -120,12 +123,26 @@ def geometry_cost(
         # throughput, pd_last=136 at 136/256).
         n_eff = -(-pd[-1] // 128) * 128
         macs = nbatches * m_eff * n_eff * batch
+        # Per-batch VECTOR work (the round-3 calibrated term): tap-scatter
+        # builds of the three weight matrices (2 ops x 2M taps x the
+        # sublane-vreg count of each), the Khatri-Rao + value stack, and the
+        # windowed accumulator read-add-write; one (8,128) vreg op per
+        # count, widths scale with batch/128 lanes.
+        v8 = lambda r: -(-r // 8)
+        vreg_ops = (
+            2 * (2 * m) * (v8(W0) + v8(rows_mid) + v8(pd[-1]))
+            + (cr + 1) * v8(W0 * rows_mid)
+            + 3 * v8(cr * W0 * rows_mid) * (-(-pd[-1] // 128))
+            + 100  # window chains + decode + control
+        )
+        vpu_s = nbatches * vreg_ops * (batch / 128) * _VPU_CYCLE_S
     else:
         # MXU output rows come in 128-tiles: a contraction with M = cr*pd0
         # rows costs ceil(M/128)*128 row-slots regardless of M (a CR=1 r2c
         # plan with pd0=24 wastes 81% of the MXU unless pd0 grows).
         m_eff = -(-(cr * pd[0]) // 128) * 128
         macs = nbatches * m_eff * yz * batch
+        vpu_s = nbatches * 100 * (batch / 128) * _VPU_CYCLE_S
     padded_bytes = nblocks * cr * pd[0] * yz * 4
     nslots = np_pts + nblocks * (batch - 1) / 2
     io_bytes = 2 * padded_bytes + nslots * (8 + max(8, cr)) * 4
@@ -145,10 +162,17 @@ def geometry_cost(
         for e in range(d):
             rows *= n_keep[e]
         dft_macs += 3.0 * C_est * rows * L[d] * n_keep[d]
+    kernel_mxu = (
+        _MXU_MACS_PER_S
+        if precision in ("high", "default")
+        else _MXU_MACS_PER_S_X6
+    )
     cost = (
         nblocks * _PROGRAM_OVERHEAD_S
         + nbatches * _BATCH_OVERHEAD_S
-        + (macs + 2 * dft_macs) / _MXU_MACS_PER_S
+        + vpu_s
+        + macs / kernel_mxu
+        + 2 * dft_macs / _MXU_MACS_PER_S
         + io_bytes / _HBM_BYTES_PER_S
     )
     # VMEM working set, per kernel form (the feasibility test must track the
@@ -203,6 +227,7 @@ def choose_geometry(
     form: str = "yz",
     spread_acc2: bool = False,
     dma_super: int = 4,
+    precision: str = "highest",
 ):
     """Pick per-dimension block sizes by minimising the geometry cost model
     under the VMEM budget (the C9 component: the TPU analogue of
@@ -227,7 +252,14 @@ def choose_geometry(
 
     per_dim = []
     for d, n in enumerate(shape_over):
-        lo = min(max(2 * m, 16), n)  # sub-16 dims measured slower (sublane waste)
+        if 0 < d < D - 1:
+            # Middle dims may go down to one 8-sublane granule: pd1 = b1+2M
+            # rounded to 8, and the per-batch vector work scales with it —
+            # blocks (32, 8, 96) measured 12% faster than (48, 16, 96) at
+            # rho = 1 (PROFILE.md round-3 ladder).
+            lo = min(max(m, 8), n)
+        else:
+            lo = min(max(2 * m, 16), n)  # sub-16 dim-0 measured slower
         cands = [b for b in _divisors(n) if lo <= b <= 512]
         # The only hard tiling constraint left is inside the kernels (the
         # padded dims are rounded to the 8-sublane granule and the DMA slot
@@ -256,6 +288,7 @@ def choose_geometry(
         cost, vmem = geometry_cost(
             shape_over, dims, m, cr, np_hint, batch_size, n_keep=n_keep,
             form=form, spread_acc2=spread_acc2, dma_super=dma_super,
+            precision=precision,
         )
         if vmem > vmem_budget:
             continue

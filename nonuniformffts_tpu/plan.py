@@ -317,7 +317,7 @@ def PlanNUFFT(
     sort_points: bool = False,
     point_transform: Callable = _identity,
     chunk_size: Optional[int] = None,
-    batch_size=128,  # points per kernel batch (int or 'auto')
+    batch_size="auto",  # points per kernel batch (int or 'auto')
     interpret: bool = False,
     fft_method: Optional[str] = None,
     fft_variant: str = "auto",
@@ -480,6 +480,7 @@ def PlanNUFFT(
                     shape_over, m, cr=cr, np_hint=np_hint,
                     batch_size=batch, n_keep=shape, form=kernel_form,
                     spread_acc2=spread_acc2, dma_super=dma_super,
+                    precision=precision,
                 )
                 if not any("VMEM" in w for w in geo_warnings) or cr <= cr_step:
                     break
@@ -494,7 +495,11 @@ def PlanNUFFT(
                 from .blocking import geometry_cost
 
                 best = None
-                for cand in (128, 256, 512):
+                # Candidates stop at 256: 384+ crossed a VMEM-pipeline
+                # cliff on device at every measured density (PROFILE.md
+                # round-3 ladder: 256 -> 384 at identical blocks = +66%),
+                # and 512 never beat 256 even at rho = 1.
+                for cand in (128, 256):
                     bd_c, warns_c, cr_c = _geometry_for(cand)
                     if any("VMEM" in w for w in warns_c) and best is not None:
                         continue
@@ -505,6 +510,7 @@ def PlanNUFFT(
                         shape_over, bd_c, m, cr_c, np_eff, cand,
                         n_keep=shape, form=kernel_form,
                         spread_acc2=spread_acc2, dma_super=dma_super,
+                        precision=precision,
                     )
                     if best is None or cost_c < best[0]:
                         best = (cost_c, cand, bd_c, warns_c, cr_c)

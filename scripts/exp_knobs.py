@@ -87,6 +87,17 @@ def main():
             dict(block_dims=(64, 8, 96), batch_size=512),
             dict(dma_super=8, batch_size=256),
         ]
+    elif os.environ.get("EXP_PREC") == "1":
+        # Kernel contraction precision A/B: bf16x3 (HIGH) vs bf16x6
+        # (HIGHEST) at the round-3 measured-winner geometries.  The MXU
+        # accumulator is f32 either way; x3 products are f32-exact, so the
+        # ladder isolates pure MXU-pass time.
+        configs = [
+            dict(),
+            dict(precision="high"),
+            dict(batch_size=256, block_dims=(32, 8, 96)),
+            dict(batch_size=256, block_dims=(32, 8, 96), precision="high"),
+        ]
     elif os.environ.get("EXP_BLOCKS_SWEEP") == "1":
         # Geometry ladder: fewer/fatter programs (per-program overhead vs
         # VMEM pipelining limits) and dim-1 narrowing (kernel rm vs DFT
