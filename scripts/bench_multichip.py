@@ -65,28 +65,37 @@ def main():
 
     mesh = make_mesh(N_DEV)
     shape = (N_GRID,) * 3
-    sp = SpatialNUFFT(
-        np.complex64, shape, mesh=mesh, m=4, sigma=1.5,
-        interpret=jax.default_backend() == "cpu",
-    )
     rng = np.random.default_rng(42)
     pts = rng.uniform(0, 2 * np.pi, (3, NP_PTS)).astype(np.float32)
     v = rng.standard_normal((1, 2, NP_PTS)).astype(np.float32)
 
-    def full_iter():
-        st = sp.set_points(pts)
-        u = sp.exec_type1(st, v)
-        vb = sp.exec_type2(st, u)
-        jax.block_until_ready((u, vb))
-        return u, vb
+    def run(spectrum):
+        sp = SpatialNUFFT(
+            np.complex64, shape, mesh=mesh, m=4, sigma=1.5,
+            spectrum=spectrum, interpret=jax.default_backend() == "cpu",
+        )
 
-    u, vb = full_iter()  # compile + warm
-    ts = []
-    for _ in range(K):
-        t0 = time.perf_counter()
-        full_iter()
-        ts.append(time.perf_counter() - t0)
-    t = min(ts)
+        def full_iter():
+            st = sp.set_points(pts)
+            u = sp.exec_type1(st, v)
+            vb = sp.exec_type2(st, u)
+            jax.block_until_ready((u, vb))
+            return u, vb
+
+        u, vb = full_iter()  # compile + warm
+        ts = []
+        for _ in range(K):
+            t0 = time.perf_counter()
+            full_iter()
+            ts.append(time.perf_counter() - t0)
+        if spectrum == "sharded":
+            # Gather the dim-0-sharded spectrum for the correctness check.
+            u = jnp.concatenate(
+                [np.asarray(s.data) for s in u.addressable_shards], axis=2
+            )
+        return sp, u, min(ts)
+
+    sp, u, t = run("replicated")
 
     # Correctness cross-check vs the single-chip reference-path library.
     import nonuniformffts_tpu as nufft
@@ -97,6 +106,11 @@ def main():
     )
     u_ref = exec_type1_channels(nufft.set_points(single, pts), v)
     err = float(jnp.linalg.norm(u - u_ref) / jnp.linalg.norm(u_ref))
+
+    # O(N^3/n)-memory spectrum layout: same pipeline with the type-1 psum
+    # replaced by a reduce_scatter and type-2 consuming the sharded layout.
+    sp_sh, u_sh, t_sh = run("sharded")
+    err_sh = float(jnp.linalg.norm(u_sh - u_ref) / jnp.linalg.norm(u_ref))
 
     out = {
         "n_devices": N_DEV,
@@ -114,7 +128,17 @@ def main():
         "ici_seconds_estimate": {
             k: v / 45e9
             for k, v in sp.collective_bytes().items()
-            if isinstance(v, int)
+            if isinstance(v, int) and k != "n"  # n = chip count, not bytes
+        },
+        "sharded_spectrum": {
+            "t_full_iter_s": t_sh,
+            "err_vs_single_chip": err_sh,
+            "collective_bytes_per_step": sp_sh.collective_bytes(),
+            "ici_seconds_estimate": {
+                k: v / 45e9
+                for k, v in sp_sh.collective_bytes().items()
+                if isinstance(v, int) and k != "n"
+            },
         },
         "note": "CPU virtual mesh, Pallas interpret mode — regression "
         "tracking only, not TPU throughput",
