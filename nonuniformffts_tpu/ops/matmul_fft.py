@@ -720,6 +720,21 @@ def _cplx_fold_fwd(ar, ai, ax: "BlockAxisDFT", lhs_dims, prec):
     )
 
 
+def _use_fold_bwd(ax: "BlockAxisDFT") -> bool:
+    """Whether the folded backward contraction is a net win for this axis.
+
+    The fold halves the contraction rows (U ~ n/2) but pays ~6 elementwise
+    passes over the stage INPUT to form S+/S- (_cplx_fold_bwd.parts).  On
+    the backward side that input is the LARGE progressively-expanded
+    buffer — unlike the forward fold, whose seg/concat runs on the small
+    contracted output, making it a pure win.  With the measured v5e rates
+    (PROFILE.md: ~11.7 Tmac/s effective MXU, ~300 GB/s elementwise), the
+    MAC time saved per input element is ~L/11.7e12 vs a prep cost of
+    ~24 B/300e9 — the fold only wins for L = nb*pd above ~900 lanes, which
+    none of the calibrated geometries reach (L in 416..768)."""
+    return ax.fold is not None and ax.nb * ax.pd > 936
+
+
 def _cplx_fold_bwd(xr, xi, ax: "BlockAxisDFT", prec):
     """Backward contraction (sign -1, e^{+i theta_k}) against the folded
     factors; the kept-mode axis of ``xr``/``xi`` is dim 1.  Pre-combines
@@ -937,7 +952,7 @@ def backward_dft_blockform_z(spec_ch, axes_block, *, real: bool, prec: str):
     xr, xi = spec_ch[:, 0], spec_ch[:, 1]
     for d in range(D - 1):
         ax = axes_block[d]
-        if ax.fold is not None:
+        if _use_fold_bwd(ax):
             xr, xi = _cplx_fold_bwd(xr, xi, ax, prec)
         else:
             xr, xi = _cplx_pair_dot(
@@ -950,7 +965,7 @@ def backward_dft_blockform_z(spec_ch, axes_block, *, real: bool, prec: str):
         return jax.lax.dot_general(xr, ax.bcos_t, dn, precision=p) - (
             jax.lax.dot_general(xi, ax.bsin_t, dn, precision=p)
         )
-    if ax.fold is not None:
+    if _use_fold_bwd(ax):
         xr, xi = _cplx_fold_bwd(xr, xi, ax, prec)
     else:
         xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)

@@ -234,6 +234,11 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
     of one point land on DISTINCT rows, so each tap select writes INTO the
     accumulator (no add needed).
     """
+    if pd >= 48 and pd % 8 == 0:
+        # Tall matrices: the octave-placement form does the same placement
+        # in ~2x fewer vector ops (it stages taps in a 16-row strip instead
+        # of selecting over all pd rows per tap).
+        return _build_wt_matrix_octave(vals, c, block_origin, m, pd, P, B)
     lx = c - block_origin
     iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)
     w = jnp.zeros((pd, P), dtype=vals.dtype)
@@ -243,6 +248,71 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
         i = jnp.where(j < 0, j + B + 2 * m - 1, j)
         w = jnp.where(iota == i, v, w)
     return w
+
+
+def _build_wt_matrix_octave(vals, c, block_origin, m: int, pd: int, P: int,
+                            B: int):
+    """Octave-placement variant of :func:`build_wt_matrix` (identical
+    output, used automatically for large ``pd``).  The per-tap form issues
+    2M compare-selects over the FULL (pd, P) matrix — O(2M * pd * P) VPU
+    work, the dominant in-kernel VPU item for the z-form kernels' last
+    dimension (pd ~ 104).  This form exploits that one point's 2M taps are
+    CONTIGUOUS rows j0..j0+2M-1: stage them into a small (SR, P) strip at
+    the in-octave offset d = j0 & 7 (2M selects over SR ~ 16 rows), then
+    place the strip's 8-row segments into the output octaves with one
+    select per (octave, segment) pair — O(2M*SR*P + (pd/8)*nseg*8*P),
+    ~2x fewer vector ops at pd = 104, m = 4.  The left-halo wrap rows
+    (j < 0 -> tail row B + 2m - 1 + j, disjoint from every non-wrap row)
+    are a static row-remap of the strip, gated on the q == -1 lanes."""
+    two_m = vals.shape[0]
+    j0 = c - block_origin - (m - 1)  # first tap's row, in [-(m-1), B-m]
+    d = jnp.bitwise_and(j0, 7)
+    q = jnp.right_shift(j0, 3)  # arithmetic shift: j0 < 0 -> q == -1
+    # Strip: rows s = d + t, s in [0, 7 + 2M).
+    SR = round_up(7 + two_m, 8)
+    nseg = SR // 8
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (SR, P), 0)
+    strip = jnp.zeros((SR, P), vals.dtype)
+    for t in range(two_m):
+        v = jax.lax.slice_in_dim(vals, t, t + 1, axis=0)
+        strip = jnp.where(iota_s == d + t, v, strip)
+    segs = [
+        jax.lax.slice_in_dim(strip, 8 * k, 8 * (k + 1), axis=0)
+        for k in range(nseg)
+    ]
+    # Wrap rows (static map): output row i = j + B + 2m - 1 for tap row
+    # j in [-(m-1), -1]; on the q == -1 lanes j = s - 8, so i sources
+    # strip row s = i - (B + 2m - 9).
+    wrap_src = {
+        j + B + 2 * m - 1: j + 8 for j in range(-(m - 1), 0)
+    }
+    zrow = jnp.zeros((1, P), vals.dtype)
+    is_q = {qq: q == qq for qq in range(-1, pd // 8)}
+    octs = []
+    for o in range(pd // 8):
+        w_oct = jnp.zeros((8, P), vals.dtype)
+        for k in range(nseg):
+            # Segment k of the strip lands at octave q + k.
+            qq = o - k
+            if -1 <= qq < pd // 8:
+                w_oct = w_oct + jnp.where(is_q[qq], segs[k], 0.0)
+        rows0 = 8 * o
+        if any(rows0 <= i < rows0 + 8 for i in wrap_src):
+            slab = jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(
+                        strip, wrap_src[rows0 + r], wrap_src[rows0 + r] + 1,
+                        axis=0,
+                    )
+                    if (rows0 + r) in wrap_src
+                    else zrow
+                    for r in range(8)
+                ],
+                axis=0,
+            )
+            w_oct = w_oct + jnp.where(is_q[-1], slab, 0.0)
+        octs.append(w_oct)
+    return jnp.concatenate(octs, axis=0)
 
 
 def build_wt_matrix_window(vals, c, block_origin, m: int, W: int, P: int, r0):

@@ -70,7 +70,9 @@ def main():
     pts = jax.device_put(pts_np)
     v = jax.device_put(v_np)
 
-    if os.environ.get("EXP_RHO1") == "1":
+    if os.environ.get("EXP_ONLY_DEFAULT") == "1":
+        configs = [dict()]  # quick A/B of the auto default only
+    elif os.environ.get("EXP_RHO1") == "1":
         # High-density attack: at rho=1 the spread kernel runs ~8x over its
         # MXU MAC floor (~131k batches x ~1.5us fixed per-batch cost), so
         # larger point batches and fewer/fatter programs should win even

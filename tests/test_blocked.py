@@ -404,3 +404,64 @@ def test_precision_double_path(rng):
         assert err < 5e-6, (prec, err)  # f32 data quantisation budget
         v2 = np.asarray(nufft.exec_type2(pb, u.astype(np.complex64)))
         assert np.all(np.isfinite(v2))
+
+
+def test_octave_wt_matrix_build_exact(rng):
+    """The octave-placement wt-matrix build (used automatically for tall
+    pd) must equal the per-tap compare-select form EXACTLY, including the
+    left-halo wrap lanes (lx < m-1 -> tail rows B + 2m - 1 + j)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nonuniformffts_tpu.ops.pallas import common
+
+    for (m, B, pd, P) in [
+        (4, 96, 104, 128), (4, 96, 104, 256), (6, 48, 64, 128),
+        (8, 96, 112, 128), (2, 64, 72, 128), (5, 88, 104, 128),
+    ]:
+        two_m = 2 * m
+        vals = jnp.asarray(rng.standard_normal((two_m, P)).astype(np.float32))
+        c = jnp.asarray(rng.integers(0, B, (1, P)).astype(np.int32))
+        # Force wrap lanes (lx < m-1) into the batch.
+        c = c.at[0, :8].set(jnp.arange(8, dtype=jnp.int32) % max(m - 1, 1))
+        lx = c
+        iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)
+        w_ref = jnp.zeros((pd, P), dtype=vals.dtype)
+        for t in range(two_m):
+            v = jax.lax.slice_in_dim(vals, t, t + 1, axis=0)
+            j = lx - (m - 1) + t
+            i = jnp.where(j < 0, j + B + 2 * m - 1, j)
+            w_ref = jnp.where(iota == i, v, w_ref)
+        w_oct = common._build_wt_matrix_octave(vals, c, 0, m, pd, P, B)
+        assert float(jnp.abs(w_oct - w_ref).max()) == 0.0, (m, B, pd, P)
+
+
+def test_backward_fold_gate_matches(rng):
+    """backward_dft_blockform_z with the static fold-vs-prep gate
+    (_use_fold_bwd) must match the always-folded contraction: the two
+    paths are the same DFT, the gate only changes which factor set is
+    contracted."""
+    import jax.numpy as jnp
+
+    from nonuniformffts_tpu.ops import matmul_fft as mf
+
+    p = nufft.PlanNUFFT(
+        np.complex64, (64, 64, 64), m=4, sigma=1.5,
+        spread_method="blocked", fft_method="matmul",
+    )
+    axes = p.fft_axes_block
+    assert any(ax.fold is not None for ax in axes)
+    spec = jnp.asarray(
+        rng.standard_normal(
+            (1, 2) + tuple(a.pcos_t.shape[-1] for a in axes)
+        ).astype(np.float32)
+    )
+    out_gated = mf.backward_dft_blockform_z(spec, axes, real=False, prec="highest")
+    orig = mf._use_fold_bwd
+    try:
+        mf._use_fold_bwd = lambda ax: ax.fold is not None
+        out_fold = mf.backward_dft_blockform_z(spec, axes, real=False, prec="highest")
+    finally:
+        mf._use_fold_bwd = orig
+    d = float(jnp.abs(out_gated - out_fold).max() / jnp.abs(out_fold).max())
+    assert d < 2e-6, d
