@@ -59,6 +59,24 @@ _VPU_CYCLE_S = 8.0e-10  # per modelled (8,128) vreg op, fitted
 #: correspond to actual usage comfortably under the 16 MiB limit.
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
+#: SMEM budget for the kernels' scalar-prefetch operands.  The hardware
+#: limit is 1 MiB per core; the dominant operand is the packed per-batch
+#: window metadata r01s (one i32 per point batch), next to the block
+#: segment tables (two i32 per block).  Leave headroom for Mosaic's own
+#: scalar allocations: at rho = 10 on 256^3 (167.8M points) batch = 256
+#: means 656k batches = 2.6 MiB and the compile fails with "would exceed
+#: memory (size=1048576) .. space=smem" — the geometry search must
+#: escalate the batch size instead.
+SMEM_BUDGET_BYTES = 768 * 1024
+
+
+def smem_bytes(np_pts: int, nblocks: int, batch: int) -> int:
+    """Estimated scalar-prefetch SMEM bytes for the packed layout: r01s
+    (one word per batch; each block can add one partial batch) plus the
+    per-block segment tables."""
+    nbatches = np_pts // batch + nblocks + 1
+    return 4 * nbatches + 8 * (nblocks + 1)
+
 
 def geometry_cost(
     shape_over, block_dims, m: int, cr: int, np_pts: int, batch: int,

@@ -492,20 +492,32 @@ def PlanNUFFT(
                 # Per-batch fixed kernel cost makes bigger point batches win
                 # at high density; search candidates jointly with geometry
                 # under the same cost model (blocking.geometry_cost).
-                from .blocking import geometry_cost
+                from .blocking import (
+                    SMEM_BUDGET_BYTES, geometry_cost, smem_bytes,
+                )
 
                 best = None
+                np_eff = np_hint if np_hint else max(
+                    int(0.05 * np.prod(shape_over)), 1
+                )
                 # Candidates stop at 256: 384+ crossed a VMEM-pipeline
                 # cliff on device at every measured density (PROFILE.md
                 # round-3 ladder: 256 -> 384 at identical blocks = +66%),
-                # and 512 never beat 256 even at rho = 1.
-                for cand in (128, 256):
+                # and 512 never beat 256 even at rho = 1.  The 512/1024
+                # tail exists only for SMEM: the per-batch window metadata
+                # is one scalar-prefetch word per batch, and at rho ~ 10
+                # (167.8M points) batch <= 256 overflows the 1 MiB SMEM.
+                for cand in (128, 256, 512, 1024):
+                    if best is not None and cand > 256:
+                        break  # escalation sizes: only if nothing smaller fits
                     bd_c, warns_c, cr_c = _geometry_for(cand)
                     if any("VMEM" in w for w in warns_c) and best is not None:
                         continue
-                    np_eff = np_hint if np_hint else max(
-                        int(0.05 * np.prod(shape_over)), 1
-                    )
+                    nblocks_c = int(np.prod(
+                        [n // b for n, b in zip(shape_over, bd_c)]
+                    ))
+                    if smem_bytes(np_eff, nblocks_c, cand) > SMEM_BUDGET_BYTES:
+                        continue
                     cost_c, _ = geometry_cost(
                         shape_over, bd_c, m, cr_c, np_eff, cand,
                         n_keep=shape, form=kernel_form,
@@ -514,6 +526,14 @@ def PlanNUFFT(
                     )
                     if best is None or cost_c < best[0]:
                         best = (cost_c, cand, bd_c, warns_c, cr_c)
+                if best is None:  # even 1024-point batches overflow SMEM
+                    bd_c, warns_c, cr_c = _geometry_for(1024)
+                    best = (float("inf"), 1024, bd_c, warns_c + [
+                        f"~{np_eff:,} points need more per-batch SMEM "
+                        "metadata than the chip has even at batch_size="
+                        "1024; expect a compile failure — shard the points "
+                        "over chips (SpatialNUFFT) instead."
+                    ], cr_c)
                 _, batch_size, block_dims, geo_warnings, cr = best
             else:
                 block_dims, geo_warnings, cr = _geometry_for(batch_size)
@@ -529,7 +549,15 @@ def PlanNUFFT(
                     raise ValueError(
                         f"block dim {b} must divide the oversampled grid size {n_over}"
                     )
-                if b < m:
+                if b < m and not (kernel_form == "z" and 0 < d < D - 1):
+                    # Middle dims of the z-form/blockform pipeline may go
+                    # below M: the halo lives entirely in the DFT factor
+                    # row map (blockform_row_map handles any B >= 1 — a
+                    # global row simply appears in several blocks' padded
+                    # rows and the factor contraction sums/duplicates
+                    # them), and block ownership means no cross-block
+                    # writes exist.  Every other path merges halos into
+                    # immediate neighbours only.
                     raise ValueError(
                         f"block dim {b} must be >= the kernel half-support M={m} "
                         "(halos may only touch immediate neighbour blocks)"

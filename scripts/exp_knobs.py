@@ -88,6 +88,13 @@ def main():
             dict(block_dims=(32, 8, 96), batch_size=256),
             dict(block_dims=(64, 8, 96), batch_size=512),
             dict(dma_super=8, batch_size=256),
+            # pd1 = 8 frontier (b1 = 1 is the only width whose padded dim
+            # hits the 8-row floor): halves the contraction's rm redundancy
+            # (M = CR*W0*8) against an 8x axis-1 DFT inflation (L1 = 384*8)
+            # and ~9k programs.  The calibrated model rejects it; measure.
+            dict(block_dims=(64, 1, 96), batch_size=128),
+            dict(block_dims=(64, 1, 96), batch_size=256),
+            dict(block_dims=(96, 1, 96), batch_size=256),
         ]
     elif os.environ.get("EXP_PREC") == "1":
         # Kernel contraction precision A/B: bf16x3 (HIGH) vs bf16x6

@@ -94,10 +94,14 @@ def main():
         base = vals[0] * 0.5 + vals[1] * 0.25
         return jnp.broadcast_to(base, (W, P)) * 1e-3
 
-    def ww_const(kd, evalmode, X, cs, ds=False):
+    def ww_const(kd, evalmode, X, cs, *, ds=False):
         # Trivial affine taps (no Horner chain; dead original is never
-        # traced so Mosaic cannot keep it alive).
-        return [X * 1e-3 + float(t) for t in range(2 * kd.m)]
+        # traced so Mosaic cannot keep it alive).  Tap-major (2M, P) form
+        # (window_weights' current contract).
+        t_col = jax.lax.broadcasted_iota(  # int iota: Mosaic has no f32 iota
+            jnp.int32, (2 * kd.m, 1), 0
+        ).astype(X.dtype)
+        return X * 1e-3 + t_col
 
     def wt_const_last_only(vals, c, block_origin, m, pd, P, B):
         if pd == plan.padded_dims[-1]:

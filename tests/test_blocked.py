@@ -465,3 +465,50 @@ def test_backward_fold_gate_matches(rng):
         mf._use_fold_bwd = orig
     d = float(jnp.abs(out_gated - out_fold).max() / jnp.abs(out_fold).max())
     assert d < 2e-6, d
+
+
+def test_sub_m_middle_block_dim(rng):
+    """Middle block dims below the kernel half-support are legal on the
+    z-form/blockform path (the halo lives in the DFT factor row map, which
+    handles any B >= 1); results must match the reference path."""
+    shape = (16, 16, 16)
+    Np = 1500
+    pts64, v64 = _make_inputs(shape, np.complex128, 1, Np, rng)
+    pts = pts64.astype(np.float32)
+    v = v64.astype(np.complex64)
+    ref = nufft.PlanNUFFT(np.complex64, shape, m=4, sigma=1.5)
+    u_ref, _ = _roundtrip(ref, pts, v)
+    blk = nufft.PlanNUFFT(
+        np.complex64, shape, m=4, sigma=1.5, spread_method="blocked",
+        interpret=True, fft_method="matmul", np_hint=Np,
+        block_dims=(8, 1, 24),
+    )
+    pb = nufft.set_points(blk, pts)
+    u = np.asarray(nufft.exec_type1(pb, v))
+    err = np.abs(u - u_ref).max() / np.abs(u_ref).max()
+    assert err < 1e-5, err
+
+
+def test_auto_batch_smem_escalation():
+    """At extreme density the per-batch window metadata (one SMEM word per
+    batch) must not overflow the 1 MiB scalar memory: the auto search
+    escalates the batch size past its measured-optimal 128/256 candidates."""
+    from nonuniformffts_tpu.blocking import SMEM_BUDGET_BYTES, smem_bytes
+
+    kw = dict(
+        m=4, sigma=1.5, spread_method="blocked", fft_method="matmul",
+        interpret=True,
+    )
+    p = nufft.PlanNUFFT(
+        np.complex64, (256, 256, 256), np_hint=167_772_160, **kw
+    )
+    assert p.batch_size >= 512
+    nblocks = int(
+        np.prod([n // b for n, b in zip(p.shape_over, p.block_dims)])
+    )
+    assert smem_bytes(167_772_160, nblocks, p.batch_size) <= SMEM_BUDGET_BYTES
+    # Moderate densities keep the measured-optimal small batches.
+    p1 = nufft.PlanNUFFT(
+        np.complex64, (256, 256, 256), np_hint=1_000_000, **kw
+    )
+    assert p1.batch_size <= 256
