@@ -181,7 +181,10 @@ def main():
         # Calibration audit (round-2 judge weak #6): the auto-batch search
         # trusts this model, so a >30% model-vs-measured drift at the main
         # point must be loud in the artifact and on stderr.
-        if not full_only and np.isfinite(t_1):
+        # Only at operating densities: below ~1e5 points the measured t1 is
+        # the grid-sized DFT floor and the spread-pass model has nothing to
+        # predict (it would warn on every near-empty row).
+        if not full_only and np.isfinite(t_1) and np_pts >= 100_000:
             ratio = model_s / t_1
             if not (0.7 <= ratio <= 1.43):
                 log(

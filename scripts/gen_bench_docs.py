@@ -18,8 +18,11 @@ def _fmt_row(r, real):
     mp = r["pts_per_sec"] / 1e6
     stages = ""
     if r.get("t_set_s") and r["t_set_s"] == r["t_set_s"]:  # not NaN
+        # Tiny rows can time below the dispatch-correction resolution;
+        # clamp the display (the artifact keeps the raw value).
+        t_set = max(r["t_set_s"], 0.0)
         stages = (
-            f"set {r['t_set_s']*1e3:.1f} / t1 {r['t_type1_s']*1e3:.1f} / "
+            f"set {t_set*1e3:.1f} / t1 {r['t_type1_s']*1e3:.1f} / "
             f"t2 {r['t_type2_s']*1e3:.1f} ms"
         )
     err = ""
