@@ -51,6 +51,8 @@ _B = os.environ.get("BENCH_BATCH", "")
 # None -> omit the kwarg so the bench tracks the library default.
 BATCH = (("auto" if _B == "auto" else int(_B)) if _B else None)
 STAGES = os.environ.get("BENCH_STAGES", "1") == "1"  # 0: full-iter A/B only
+# Kernel-contraction precision override (A/B knob; '' = plan default).
+KPREC = os.environ.get("BENCH_KPREC", "") or None
 SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
@@ -107,6 +109,8 @@ def main():
         kw = {}
         if BATCH is not None:
             kw["batch_size"] = BATCH
+        if KPREC:
+            kw["kernel_precision"] = KPREC
         return nufft.PlanNUFFT(
             np.float32 if REAL else np.complex64,
             shape,
@@ -318,6 +322,10 @@ def main():
     # in one committed artifact, mirroring the reference's per-dtype .dat
     # files (benchmark/CPU+CUDA/results.H100_*).
     sweep_path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_SWEEP.json")
+    if KPREC:
+        # A/B runs with a non-default kernel precision must not refresh the
+        # committed default-config sweep rows.
+        sweep_path = os.devnull
     doc = {}
     if os.path.exists(sweep_path):
         try:

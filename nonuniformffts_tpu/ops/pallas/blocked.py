@@ -59,6 +59,104 @@ _PRECS = {
 }
 
 
+def _kprec(plan):
+    """Contraction precision for the blocked kernels: the plan's
+    ``kernel_precision`` override when set, else its ``precision``."""
+    return _PRECS[getattr(plan, "kernel_precision", None) or plan.precision]
+
+
+# Limb scales for the int8 fixed-point contraction ('fxp'): three 7-bit
+# limbs at 2^-7 / 2^-14 / 2^-22 cover an operand in [-1, 1] to ~2^-23 —
+# the same coverage as HIGHEST's three bf16 limbs — while the v5e MXU runs
+# int8 x int8 -> int32 at 2x the bf16 pass rate (scripts/exp_int8.py:
+# 277.7 Top/s vs 104.8 Tflop/s bf16), and the int32 accumulation is EXACT
+# (max K = 1024-point batches x 127^2 products < 2^31).  Of the nine limb
+# products only six exceed ~2^-24 and are kept; the scheme is the int8
+# twin of XLA's bf16x6, at half the MXU passes-equivalent.
+_FXP_SHIFTS = (7, 14, 22)
+
+
+def _rn(x):
+    """Round-to-nearest (half up) via floor(x + 0.5) — two cheap VPU ops
+    whose result does not depend on the executor's float semantics.  The
+    magic-number trick ((x + 1.5*2^23) - 1.5*2^23) is NOT safe here: the
+    Pallas interpreter evaluates it at higher precision, turning the round
+    into the identity, which leaves non-integer limb0 values whose int8
+    cast truncates (measured 4e-2 end-to-end); jnp.round's device lowering
+    was similarly unreliable on the first probe."""
+    return jnp.floor(x + 0.5)
+
+
+def _fxp_split3(x):
+    """Split ``x`` (f32, |x| <= 1) into three int8 limbs (VPU, in-VMEM).
+
+    Nearest rounding bounds each residual by half an ulp, so limbs 2 and 3
+    stay within +-64 / +-128; the clip only acts on the rare exact-boundary
+    l2 = 128 case (residual <= 2^-22 there)."""
+    limbs = []
+    r = x
+    for sh in _FXP_SHIFTS:
+        l = jnp.clip(_rn(r * (2.0**sh)), -127.0, 127.0)
+        r = r - l * (2.0**-sh)
+        limbs.append(l.astype(jnp.int8))
+    return limbs
+
+
+def _fxp_dot(a, b, dims, out_dtype):
+    """``dot_general(a, b)`` over contracting ``dims`` via six int8 MXU
+    products with exact int32 accumulation (f32-grade result at ~2x the
+    HIGHEST pass rate).
+
+    ``b`` must already be in [-1, 1] (window-weight matrices are peak-
+    normalised); ``a`` is normalised here PER ROW (its contracting dim must
+    be dim 1) so every output row sees quantisation noise relative to its
+    own magnitude, not the batch max — one VPU row-reduction that folds
+    back into the recombine as a row-broadcast multiply.  Both sides carry
+    a (1 - 2^-6) margin so elements at the scale peak (weights == 1.0, the
+    row-max value) keep limb0 = rn(x*128) <= 127 — without it the
+    first-limb clip leaves ~2^-14 residuals on near-peak elements
+    (measured 1.2e-5 end-to-end)."""
+    s0, s1, s2 = _FXP_SHIFTS
+    margin = 1.0 - 2.0**-6
+    a_scale = jnp.max(jnp.abs(a), axis=1, keepdims=True) * (1.0 / margin)
+    inv = jnp.where(a_scale > 0, 1.0 / a_scale, 1.0)
+    al = _fxp_split3(a * inv)
+    bl = _fxp_split3(b * margin)
+    a_scale = a_scale * (1.0 / margin)  # undo the b-side margin at recombine
+    dn = (dims, ((), ()))
+
+    def d8(x, y):
+        return jax.lax.dot_general(
+            x, y, dn, preferred_element_type=jnp.int32
+        )
+
+    p00 = d8(al[0], bl[0])
+    p1 = d8(al[0], bl[1]) + d8(al[1], bl[0])
+    p11 = d8(al[1], bl[1])
+    p2 = d8(al[0], bl[2]) + d8(al[2], bl[0])
+    out = (
+        p00.astype(jnp.float32) * (2.0 ** -(2 * s0))
+        + p1.astype(jnp.float32) * (2.0 ** -(s0 + s1))
+        + p11.astype(jnp.float32) * (2.0 ** -(2 * s1))
+        + p2.astype(jnp.float32) * (2.0 ** -(s0 + s2))
+    )
+    return (out * a_scale).astype(out_dtype)
+
+
+def _kdot(plan, a, b, dims, out_dtype):
+    """The kernels' contraction primitive: int8 fixed-point when the plan's
+    kernel_precision is 'fxp', else a dot_general at the mapped precision.
+    ``a`` is the dynamic-range side (values / grid), ``b`` the weight side."""
+    kp = getattr(plan, "kernel_precision", None) or plan.precision
+    if kp == "fxp":
+        return _fxp_dot(a, b, dims, out_dtype)
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        preferred_element_type=out_dtype,
+        precision=_PRECS[kp],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Component packing: complex data <-> real channels (CR = C or 2C)
 # ---------------------------------------------------------------------------
@@ -415,11 +513,7 @@ def _spread_kernel(
         # M = CR*p0: MXU row utilisation and CR scaling both come from the
         # stacking (no Python channel loop in the contraction).
         wv = _stack_weighted(wts[0], vals_b, CR)  # (CR*p0, P)
-        prod = jax.lax.dot_general(
-            wv, qt, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=_PRECS[plan.precision],
-        )
+        prod = _kdot(plan, wv, qt, ((1,), (1,)), acc_ref.dtype)
         acc_ref[...] = acc_ref[...] + prod
 
     def compute_win(pv_b, i, r0):
@@ -434,11 +528,7 @@ def _spread_kernel(
         )
         qt = _qt_matrix(wts, yz, P)
         wv = _stack_weighted(wts[0], vals_b, CR)  # (CR*W, P)
-        prod = jax.lax.dot_general(
-            wv, qt, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_ref.dtype,
-            precision=_PRECS[plan.precision],
-        )  # (CR*W, yz)
+        prod = _kdot(plan, wv, qt, ((1,), (1,)), acc_ref.dtype)  # (CR*W, yz)
         for c in range(CR):
             off = pl.multiple_of(c * pd[0] + r0, 8)  # r0 is 8-aligned
             win = acc_ref[pl.ds(off, W), :]
@@ -612,11 +702,7 @@ def _spread_kernel_z(
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, None)  # (pd0*rm, P), (pdL, P)
         wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*pd0*rm, P)
-        prod = jax.lax.dot_general(
-            wv, wlast, (((1,), (1,)), ((), ())),
-            preferred_element_type=aref.dtype,
-            precision=_PRECS[plan.precision],
-        )
+        prod = _kdot(plan, wv, wlast, ((1,), (1,)), aref.dtype)
         if acc3:
             aref[...] = aref[...] + prod.reshape(CR * pd[0], rm, pdL)
         else:
@@ -627,11 +713,7 @@ def _spread_kernel_z(
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, r0)  # (W*rm, P), (pdL, P)
         wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*rm, P)
-        prod = jax.lax.dot_general(
-            wv, wlast, (((1,), (1,)), ((), ())),
-            preferred_element_type=aref.dtype,
-            precision=_PRECS[plan.precision],
-        )  # (CR*W*rm, pdL)
+        prod = _kdot(plan, wv, wlast, ((1,), (1,)), aref.dtype)  # (CR*W*rm, pdL)
         for c in range(CR):
             sl = jax.lax.slice_in_dim(
                 prod, c * W * rm, (c + 1) * W * rm, axis=0
@@ -653,11 +735,7 @@ def _spread_kernel_z(
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, r0, r1)  # (W*W1, P)
         wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*W1, P)
-        prod = jax.lax.dot_general(
-            wv, wlast, (((1,), (1,)), ((), ())),
-            preferred_element_type=aref.dtype,
-            precision=_PRECS[plan.precision],
-        )  # (CR*W*W1, pdL)
+        prod = _kdot(plan, wv, wlast, ((1,), (1,)), aref.dtype)  # (CR*W*W1, pdL)
         r1a = pl.multiple_of(r1, 8)
         for c in range(CR):
             off = c * pd[0] + r0
@@ -1010,11 +1088,7 @@ def _interp_kernel(
         qt = _qt_matrix(wts, yz, P)
         # T (CR*p0, P) = sum_yz G[cx, yz] * QT[yz, p]: one matmul with
         # M = CR*p0 (no Python channel loop; MXU rows scale with CR).
-        t = jax.lax.dot_general(
-            gblk_ref[...], qt, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=_PRECS[plan.precision],
-        )
+        t = _kdot(plan, gblk_ref[...], qt, ((1,), (0,)), res_buf.dtype)
         # v (CR, P) = sum_x W0T[x, p] * T[c*p0 + x, p]: per-channel weighted
         # VPU row reduction (replaces the round-1 0/1 selector matmul).
         res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
@@ -1038,11 +1112,7 @@ def _interp_kernel(
             ],
             axis=0,
         )  # (CR*W, yz)
-        t = jax.lax.dot_general(
-            g_w, qt, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=_PRECS[plan.precision],
-        )
+        t = _kdot(plan, g_w, qt, ((1,), (0,)), res_buf.dtype)
         res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
             t, wts[0], CR, W, plan.normfactor
         )
@@ -1234,11 +1304,7 @@ def _interp_kernel_z(
             if acc3
             else gblk_ref[...]
         )
-        t = jax.lax.dot_general(
-            g2, wlast, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=_PRECS[plan.precision],
-        )  # (CR*pd0*rm, P)
+        t = _kdot(plan, g2, wlast, ((1,), (0,)), res_buf.dtype)  # (CR*pd0*rm, P)
         res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
             t, wr, CR, pd[0] * rm, plan.normfactor
         )
@@ -1269,11 +1335,7 @@ def _interp_kernel_z(
                 ],
                 axis=0,
             )  # (CR*W*rm, pdL)
-        t = jax.lax.dot_general(
-            g_w, wlast, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=_PRECS[plan.precision],
-        )
+        t = _kdot(plan, g_w, wlast, ((1,), (0,)), res_buf.dtype)
         res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
             t, wr, CR, W * rm, plan.normfactor
         )
@@ -1293,11 +1355,7 @@ def _interp_kernel_z(
             ],
             axis=0,
         )  # (CR*W*W1, pdL)
-        t = jax.lax.dot_general(
-            g_w, wlast, (((1,), (0,)), ((), ())),
-            preferred_element_type=res_buf.dtype,
-            precision=_PRECS[plan.precision],
-        )
+        t = _kdot(plan, g_w, wlast, ((1,), (0,)), res_buf.dtype)
         res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
             t, wr, CR, W * W1, plan.normfactor
         )

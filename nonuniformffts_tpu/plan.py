@@ -72,6 +72,15 @@ class Plan:
     # engine's digit-reversal / twiddle / swapaxes passes are HBM-bound.
     fft_variant: str = static_field(default="split")
     precision: str = static_field(default="highest")  # TPU matmul precision
+    # Contraction precision override for the blocked Pallas kernels only
+    # (None = follow ``precision``).  Besides the _PRECS ladder this accepts
+    # 'fxp': six int8 MXU products over three 7-bit limbs per operand —
+    # f32-grade coverage (~2^-23, same structure as HIGHEST's bf16x6) at
+    # the v5e's 2x int8 pass rate (ops/pallas/blocked.py:_fxp_dot).  'high'
+    # (bf16x3) also halves pass count but its products carry only ~2^-16.
+    # The bench measures achieved error every run; the DFT stays on its own
+    # ``precision`` (K ~ L-term oscillatory sums, ops/matmul_fft.py:38-43).
+    kernel_precision: Optional[str] = static_field(default=None)
     # Host-side per-stage Timer (utils.timer.Timer) or None.  When set, the
     # execution functions run stage-by-stage with device sync between stages
     # (the analogue of the reference's TimerOutputs + synchronise=true,
@@ -322,6 +331,7 @@ def PlanNUFFT(
     fft_method: Optional[str] = None,
     fft_variant: str = "auto",
     precision: str = "highest",
+    kernel_precision: Optional[str] = None,
     np_hint: Optional[int] = None,
     window_rows: Optional[int] = "auto",
     window_rows_y: Optional[int] = "auto",
@@ -438,6 +448,10 @@ def PlanNUFFT(
     # DFT (pruned matmul engine) and D >= 2.
     if precision not in ("default", "high", "highest", "double"):
         raise ValueError(f"unknown precision {precision!r}")
+    if kernel_precision not in (
+        None, "default", "high", "highest", "double", "fxp"
+    ):
+        raise ValueError(f"unknown kernel_precision {kernel_precision!r}")
     if value_permute not in ("auto", "gather", "sort"):
         raise ValueError(f"unknown value_permute {value_permute!r}")
     kernel_form = (
@@ -713,6 +727,7 @@ def PlanNUFFT(
         fft_axes=fft_axes,
         fft_axes_block=fft_axes_block,
         precision=precision,
+        kernel_precision=kernel_precision,
         timer=timer,
         cr_chunk=cr_chunk,
         window_rows=window_rows,
