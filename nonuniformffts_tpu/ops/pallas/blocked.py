@@ -40,18 +40,17 @@ from . import common
 
 TWO_PI = 2.0 * math.pi
 
-# Mosaic's dot lowering supports only DEFAULT and HIGHEST; map 'high' to
-# Kernel contraction precision.  The MXU accumulates in f32 regardless of
-# the pass count, so the pass ladder only changes PRODUCT rounding:
-# bf16x1 (DEFAULT) injects ~1e-3 window error — never acceptable; bf16x3
-# (HIGH) reproduces the f32 product to ~2^-24 — i.e. the same arithmetic
-# as the f32 reference path, at 2x the MXU rate of bf16x6 (HIGHEST).
-# 'highest'/'double' keep x6 (products exact beyond f32, for when the
-# storage floor is attacked elsewhere); 'high'/'default' run x3.
-# The XLA-level matmul-DFT keeps true 3-pass HIGH (ops/matmul_fft.py).
+# Kernel contraction precision.  Mosaic's dot lowering supports ONLY
+# DEFAULT (bf16x1) and HIGHEST (bf16x6) — requesting HIGH raises
+# NotImplementedError at compile time on the device (measured; interpret
+# mode hides it).  bf16x1 injects ~1e-3 window error, so every accuracy-
+# bearing mode maps to HIGHEST; 'default' stays bf16x1 for callers that
+# explicitly trade accuracy for speed (and as the pass-count timing
+# probe).  The XLA-level matmul-DFT keeps true 3-pass HIGH
+# (ops/matmul_fft.py); the int8 'fxp' path is _fxp_dot below.
 _PRECS = {
-    "default": jax.lax.Precision.HIGH,
-    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
     # 'double' runs the kernels' contractions at HIGHEST; the compensated
     # accumulation lives in the DFT drivers (matmul_fft._mm_ds).

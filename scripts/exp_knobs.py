@@ -70,7 +70,18 @@ def main():
     pts = jax.device_put(pts_np)
     v = jax.device_put(v_np)
 
-    if os.environ.get("EXP_ONLY_DEFAULT") == "1":
+    if os.environ.get("EXP_KPREC") == "1":
+        # Kernel-contraction precision ladder (DFT stays at plan precision):
+        # fxp = 6 int8 limb products (probe: 1.87x vs HIGHEST at M=256);
+        # high = bf16x3.  Isolates whether the kernels are MXU-pass-bound.
+        configs = [
+            dict(),
+            dict(kernel_precision="fxp"),
+            # bf16x1: accuracy-useless, but isolates the MXU pass count
+            # (spread_hi - spread_def ~= 5/6 of the HIGHEST dot time).
+            dict(kernel_precision="default"),
+        ]
+    elif os.environ.get("EXP_ONLY_DEFAULT") == "1":
         configs = [dict()]  # quick A/B of the auto default only
     elif os.environ.get("EXP_RHO1") == "1":
         # High-density attack: at rho=1 the spread kernel runs ~8x over its
