@@ -180,11 +180,18 @@ def geometry_cost(
         for e in range(d):
             rows *= n_keep[e]
         dft_macs += 3.0 * C_est * rows * L[d] * n_keep[d]
-    kernel_mxu = (
-        _MXU_MACS_PER_S
-        if precision in ("high", "default")
-        else _MXU_MACS_PER_S_X6
-    )
+    # ``precision`` here is the KERNEL contraction precision (the plan's
+    # kernel_precision override when set, else its precision): 'default'
+    # is one bf16 pass (~6x the HIGHEST rate, modelled as the 'high'
+    # constant — the geometry search only needs the ranking), 'fxp' runs
+    # six int8 products at ~1.9x the HIGHEST rate (scripts/exp_int8_pallas:
+    # 512 vs 957 cyc at M=256).
+    if precision in ("high", "default"):
+        kernel_mxu = _MXU_MACS_PER_S
+    elif precision == "fxp":
+        kernel_mxu = 1.9 * _MXU_MACS_PER_S_X6
+    else:
+        kernel_mxu = _MXU_MACS_PER_S_X6
     cost = (
         nblocks * _PROGRAM_OVERHEAD_S
         + nbatches * _BATCH_OVERHEAD_S

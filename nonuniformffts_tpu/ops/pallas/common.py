@@ -234,10 +234,13 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
     of one point land on DISTINCT rows, so each tap select writes INTO the
     accumulator (no add needed).
     """
-    if pd >= 48 and pd % 8 == 0:
+    if pd >= 48 and pd % 8 == 0 and m <= 9:
         # Tall matrices: the octave-placement form does the same placement
         # in ~2x fewer vector ops (it stages taps in a 16-row strip instead
-        # of selecting over all pd rows per tap).
+        # of selecting over all pd rows per tap).  m >= 10 would put the
+        # first tap row j0 = lx - (m-1) at octave q = -2, which the strip
+        # wrap handling does not cover (the q == -1 gate and wrap_src map
+        # assume j0 >= -8); those plans take the per-tap form below.
         return _build_wt_matrix_octave(vals, c, block_origin, m, pd, P, B)
     lx = c - block_origin
     iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)

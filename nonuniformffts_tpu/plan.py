@@ -494,7 +494,7 @@ def PlanNUFFT(
                     shape_over, m, cr=cr, np_hint=np_hint,
                     batch_size=batch, n_keep=shape, form=kernel_form,
                     spread_acc2=spread_acc2, dma_super=dma_super,
-                    precision=precision,
+                    precision=kernel_precision or precision,
                 )
                 if not any("VMEM" in w for w in geo_warnings) or cr <= cr_step:
                     break
@@ -536,7 +536,7 @@ def PlanNUFFT(
                         shape_over, bd_c, m, cr_c, np_eff, cand,
                         n_keep=shape, form=kernel_form,
                         spread_acc2=spread_acc2, dma_super=dma_super,
-                        precision=precision,
+                        precision=kernel_precision or precision,
                     )
                     if best is None or cost_c < best[0]:
                         best = (cost_c, cand, bd_c, warns_c, cr_c)

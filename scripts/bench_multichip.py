@@ -90,8 +90,14 @@ def main():
             ts.append(time.perf_counter() - t0)
         if spectrum == "sharded":
             # Gather the dim-0-sharded spectrum for the correctness check.
+            # addressable_shards iteration order is NOT guaranteed to be
+            # shard-index order (advisor finding, round 3): sort by each
+            # shard's dim-2 start offset before concatenating.
+            shards = sorted(
+                u.addressable_shards, key=lambda s: s.index[2].start or 0
+            )
             u = jnp.concatenate(
-                [np.asarray(s.data) for s in u.addressable_shards], axis=2
+                [np.asarray(s.data) for s in shards], axis=2
             )
         return sp, u, min(ts)
 

@@ -406,6 +406,38 @@ def test_precision_double_path(rng):
         assert np.all(np.isfinite(v2))
 
 
+def test_kernel_precision_fxp(rng):
+    """kernel_precision='fxp' (three-limb int8 fixed-point contractions,
+    blocked.py:_fxp_dot) must run end-to-end through both transform types
+    and stay within its documented error budget: the int8 quantisation adds
+    ~1e-7..1e-6 relative to the f32 path (measured 3.2e-6 vs 1.37e-6 at the
+    device bench point), so against an f64 oracle at m=4 the budget is the
+    f32 budget with ~3x headroom."""
+    shape = (16, 16, 16)
+    Np = 2000
+    pts64, v64 = _make_inputs(shape, np.complex128, 1, Np, rng)
+    pts = pts64.astype(np.float32)
+    v = v64.astype(np.complex64)
+    ref = nufft.PlanNUFFT(np.complex128, shape, m=4, sigma=1.5)
+    u_ref, v2_ref = _roundtrip(
+        ref, pts.astype(np.float64), v.astype(np.complex128)
+    )
+    blk = nufft.PlanNUFFT(
+        np.complex64, shape, m=4, sigma=1.5, spread_method="blocked",
+        interpret=True, fft_method="matmul", kernel_precision="fxp",
+        np_hint=Np,
+    )
+    pb = nufft.set_points(blk, pts)
+    u = np.asarray(nufft.exec_type1(pb, v))
+    err1 = np.abs(u - u_ref).max() / np.abs(u_ref).max()
+    v2 = np.asarray(nufft.exec_type2(pb, u_ref.astype(np.complex64)))
+    err2 = np.abs(v2 - v2_ref).max() / np.abs(v2_ref).max()
+    # m=4 sigma=1.5 intrinsic kernel error ~1e-6; fxp quantisation budget
+    # on top (see docs/design.md).  The f32 path passes at ~2e-6 here.
+    assert err1 < 2e-5, err1
+    assert err2 < 2e-5, err2
+
+
 def test_octave_wt_matrix_build_exact(rng):
     """The octave-placement wt-matrix build (used automatically for tall
     pd) must equal the per-tap compare-select form EXACTLY, including the
@@ -434,6 +466,25 @@ def test_octave_wt_matrix_build_exact(rng):
             w_ref = jnp.where(iota == i, v, w_ref)
         w_oct = common._build_wt_matrix_octave(vals, c, 0, m, pd, P, B)
         assert float(jnp.abs(w_oct - w_ref).max()) == 0.0, (m, B, pd, P)
+
+    # m = 10 (the documented maximum) reaches first-tap octave q = -2,
+    # which the octave strip wrap cannot express: the public dispatch must
+    # take the per-tap path and still be exact (advisor finding, round 3).
+    for (m, B, pd, P) in [(10, 96, 120, 128), (10, 48, 72, 128)]:
+        two_m = 2 * m
+        vals = jnp.asarray(rng.standard_normal((two_m, P)).astype(np.float32))
+        c = jnp.asarray(rng.integers(0, B, (1, P)).astype(np.int32))
+        c = c.at[0, :12].set(jnp.arange(12, dtype=jnp.int32) % (m - 1))
+        lx = c
+        iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)
+        w_ref = jnp.zeros((pd, P), dtype=vals.dtype)
+        for t in range(two_m):
+            v = jax.lax.slice_in_dim(vals, t, t + 1, axis=0)
+            j = lx - (m - 1) + t
+            i = jnp.where(j < 0, j + B + 2 * m - 1, j)
+            w_ref = jnp.where(iota == i, v, w_ref)
+        w = common.build_wt_matrix(vals, c, 0, m, pd, P, B)
+        assert float(jnp.abs(w - w_ref).max()) == 0.0, (m, B, pd, P)
 
 
 def test_backward_fold_gate_matches(rng):
