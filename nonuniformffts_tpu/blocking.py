@@ -375,6 +375,19 @@ def cells_and_fracs(kernel_data, points: jnp.ndarray):
     return jnp.stack(cs), jnp.stack(xs)
 
 
+def cells_and_fracs_ds(kernel_data, pts_h: jnp.ndarray, pts_l: jnp.ndarray):
+    """Extended-precision twin of :func:`cells_and_fracs`: double-single
+    points (D, Np) pairs -> (cells int32, fracs_hi, fracs_lo), all (D, Np);
+    fraction accuracy ~2^-46 of a cell (windows.point_to_cell_split_ds)."""
+    cs, xh, xl = [], [], []
+    for d, kd in enumerate(kernel_data):
+        c, Xh, Xl = windows.point_to_cell_split_ds(pts_h[d], pts_l[d], kd.n)
+        cs.append(c)
+        xh.append(Xh)
+        xl.append(Xl)
+    return jnp.stack(cs), jnp.stack(xh), jnp.stack(xl)
+
+
 def block_ids_from_cells(cells: jnp.ndarray, kernel_data, block_dims) -> jnp.ndarray:
     """Flattened (row-major) block id per point from per-dim cell indices —
     the exact same cells the kernels use, so a point can never land outside
@@ -589,6 +602,7 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
 def packed_layout(
     kernel_data, block_dims, points: jnp.ndarray, P: int, *,
     window: Tuple[int, int, int] = None, window_y: Tuple[int, int] = None,
+    points_lo: jnp.ndarray = None,
 ):
     """Packed (gather-free) point layout: ONE multi-operand sort, no slot
     expansion.
@@ -626,7 +640,16 @@ def packed_layout(
     """
     D = points.shape[0]
     np_ = points.shape[1]
-    cells, fracs = cells_and_fracs(kernel_data, points)
+    if points_lo is not None:
+        # Extended-precision plans: double-single fractions ride the sort as
+        # D extra payload operands; the lo rows land AFTER the cell rows so
+        # the base row layout (and every non-ds kernel) is unchanged.
+        cells, fracs, fracs_lo = cells_and_fracs_ds(
+            kernel_data, points, points_lo
+        )
+        fracs = jnp.concatenate([fracs, fracs_lo], axis=0)
+    else:
+        cells, fracs = cells_and_fracs(kernel_data, points)
     nb = [kd.n // b for kd, b in zip(kernel_data, block_dims)]
     nblocks = int(np.prod(nb))
     sub_range = 1
@@ -655,12 +678,13 @@ def packed_layout(
         key = jnp.concatenate([key, jnp.full((pad,), 2**31 - 1, jnp.int32)])
         iota = jnp.concatenate([iota, jnp.zeros((pad,), jnp.int32)])
         fracs = jnp.pad(fracs, ((0, 0), (0, pad)))
+    NF = fracs.shape[0]  # D (f32 plans) or 2D (ds plans: hi + lo rows)
     ops = jax.lax.sort(
-        (key,) + tuple(fracs[d] for d in range(D)) + (iota,), num_keys=1
+        (key,) + tuple(fracs[r] for r in range(NF)) + (iota,), num_keys=1
     )
     skey = ops[0]
-    sfracs = ops[1 : 1 + D]
-    perm = ops[1 + D]
+    sfracs = ops[1 : 1 + NF]
+    perm = ops[1 + NF]
 
     pstarts = jnp.searchsorted(
         skey,
@@ -761,6 +785,9 @@ def packed_layout(
             stride *= int(bdim)
         rows.append((rem // jnp.int32(stride)).astype(rdt))
         rem = jax.lax.rem(rem, jnp.int32(stride))
+    # ds plans: lo-fraction rows after the cell rows (rows 2+2D .. 2+3D-1).
+    for r in range(D, NF):
+        rows.append(sfracs[r].astype(rdt))
     DP = -(-(len(rows)) // 8) * 8
     while len(rows) < DP:
         rows.append(jnp.zeros((np_pad,), rdt))

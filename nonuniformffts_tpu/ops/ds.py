@@ -1,0 +1,159 @@
+"""Double-single (ds) arithmetic helpers for the extended-precision pipeline.
+
+A ds number is an unevaluated pair of f32 values ``(hi, lo)`` with
+``|lo| <= ulp(hi)/2``, carrying ~48 significand bits — the classic
+double-single / "float-float" representation, which is how a TPU (whose MXU
+and VPU are f32-native; f64 is emulated and has no MXU path) can run the
+high-accuracy NUFFT regime the reference covers with native Float64
+(reference: test/accuracy.jl:7-27 certifies to ~4e-14 in f64).
+
+The blocked extended-precision path (``precision='double'`` on 64-bit-dtype
+plans) carries every value-bearing tensor — non-uniform values, spread
+buffers, spectra, interpolation results — as (hi, lo) channel pairs through
+spread -> DFT -> interpolation, with:
+
+- window weights evaluated by a double-single Horner over (hi, lo)
+  coefficient pairs (ds_horner below);
+- MXU contractions split as ``hh`` (exact-f32 products at HIGHEST, the
+  dominant term) plus ``hl + lh`` cross terms (at DEFAULT: the cross terms
+  are ~2^-24 of the total, so one bf16 pass gives them 2^-32 absolute);
+- all cross-batch / cross-chunk accumulation compensated with exact TwoSum.
+
+All primitives here are branchless elementwise VPU ops, valid inside Pallas
+kernels and in plain jnp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def two_sum(a, b):
+    """Exact sum: a + b = s + e with s = fl(a + b)."""
+    s = a + b
+    z = s - a
+    e = (a - (s - z)) + (b - z)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Exact sum assuming |a| >= |b| (one branchless chain shorter)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def two_prod(a, b):
+    """Exact f32 product a*b = p + e via Veltkamp splitting (no FMA on the
+    jnp surface; f32 ops are exactly rounded so the split is error-free)."""
+    p = a * b
+    c = 4097.0 * a  # 2^12 + 1 splits f32's 24-bit mantissa
+    a_hi = c - (c - a)
+    a_lo = a - a_hi
+    c = 4097.0 * b
+    b_hi = c - (c - b)
+    b_lo = b - b_hi
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def ds_add(ah, al, bh, bl):
+    """(ah, al) + (bh, bl), renormalised."""
+    s, e = two_sum(ah, bh)
+    e = e + (al + bl)
+    return fast_two_sum(s, e)
+
+
+def ds_mul(ah, al, bh, bl):
+    """(ah, al) * (bh, bl), renormalised (drops the ~2^-48 al*bl term)."""
+    p, e = two_prod(ah, bh)
+    e = e + (ah * bl + al * bh)
+    return fast_two_sum(p, e)
+
+
+def ds_scale(ah, al, sh: float, sl: float):
+    """(ah, al) * ds scalar (sh, sl) with host-side scalar split."""
+    return ds_mul(ah, al, jnp.asarray(sh, ah.dtype), jnp.asarray(sl, ah.dtype))
+
+
+def split_scalar(x: float):
+    """Host-side f64 -> (f32 hi, f32 lo) split."""
+    hi = np.float32(x)
+    lo = np.float32(np.float64(x) - np.float64(hi))
+    return float(hi), float(lo)
+
+
+def split_array_np(x: np.ndarray):
+    """Host-side f64 array -> (f32 hi, f32 lo) arrays (exact)."""
+    x = np.asarray(x, dtype=np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def split_array(x: jnp.ndarray):
+    """In-graph f64 array -> (f32 hi, f32 lo) (requires x64)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def ds_horner(cs_h: jnp.ndarray, cs_l: jnp.ndarray, zh: jnp.ndarray,
+              zl: jnp.ndarray):
+    """Double-single Horner: evaluate the tap-major piecewise polynomials at
+    the ds coordinate ``(zh, zl)`` with ds coefficient pairs.
+
+    ``cs_h``/``cs_l``: (2M, ncoef) tap-major (see common.coefficient_stack);
+    ``zh``/``zl``: (1, P).  Returns the (2M, P) weight pair.  Each step is
+    v <- v*z + c in ds arithmetic (TwoProd + TwoSum, lo-terms folded in) —
+    the full-pair version of the compensated Horner already used by
+    ``precision='double'`` f32 plans (common.window_weights ds=True).
+    """
+    two_m = cs_h.shape[0]
+    P = zh.shape[-1]
+    ncoef = cs_h.shape[-1]
+    zh_b = jnp.broadcast_to(zh, (two_m, P))
+    zl_b = jnp.broadcast_to(zl, (two_m, P))
+    vh = jnp.broadcast_to(cs_h[:, ncoef - 1 : ncoef], (two_m, P))
+    vl = jnp.broadcast_to(cs_l[:, ncoef - 1 : ncoef], (two_m, P))
+    for q in range(ncoef - 2, -1, -1):
+        ph, pe = two_prod(vh, zh_b)
+        pe = pe + (vh * zl_b + vl * zh_b)
+        sh, se = two_sum(ph, jnp.broadcast_to(cs_h[:, q : q + 1], (two_m, P)))
+        vl = se + pe + jnp.broadcast_to(cs_l[:, q : q + 1], (two_m, P))
+        vh, vl = fast_two_sum(sh, vl)
+    return vh, vl
+
+
+def ds_rowsum(ph: jnp.ndarray, pl: jnp.ndarray, axis: int = 0):
+    """Compensated reduction over ``axis``: pairwise TwoSum tree, so the only
+    uncompensated adds are on the ~2^-48-scale lo channel.  Returns the
+    (hi, lo) pair with the reduced axis removed (kept as size 1 then
+    squeezed by slicing is up to the caller — here it is dropped)."""
+    n = ph.shape[axis]
+    while n > 1:
+        half = n // 2
+        a_h = jax.lax.slice_in_dim(ph, 0, half, axis=axis)
+        b_h = jax.lax.slice_in_dim(ph, half, 2 * half, axis=axis)
+        a_l = jax.lax.slice_in_dim(pl, 0, half, axis=axis)
+        b_l = jax.lax.slice_in_dim(pl, half, 2 * half, axis=axis)
+        s, e = two_sum(a_h, b_h)
+        l = e + (a_l + b_l)
+        if n % 2:
+            tail_h = jax.lax.slice_in_dim(ph, 2 * half, n, axis=axis)
+            tail_l = jax.lax.slice_in_dim(pl, 2 * half, n, axis=axis)
+            s0 = jax.lax.slice_in_dim(s, 0, 1, axis=axis)
+            l0 = jax.lax.slice_in_dim(l, 0, 1, axis=axis)
+            s0n, e0 = two_sum(s0, tail_h)
+            l0n = l0 + e0 + tail_l
+            s = jnp.concatenate(
+                [s0n, jax.lax.slice_in_dim(s, 1, half, axis=axis)], axis=axis
+            ) if half > 1 else s0n
+            l = jnp.concatenate(
+                [l0n, jax.lax.slice_in_dim(l, 1, half, axis=axis)], axis=axis
+            ) if half > 1 else l0n
+        ph, pl = s, l
+        n = half
+    return ph, pl

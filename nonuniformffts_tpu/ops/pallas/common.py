@@ -212,6 +212,36 @@ def window_weights(kd: KernelData, evalmode, X: jnp.ndarray, cs: jnp.ndarray,
     raise ValueError(kd.kind)
 
 
+def coefficient_stack_ds(kernel_data: Sequence[KernelData]):
+    """Double-single coefficient stacks for the extended-precision kernels:
+    two (D, 2M, ncoef) f32 arrays (hi, lo) from the f64 host solve (the lo
+    residual is stored by windows.make_kernel_data(ds=True))."""
+    hs, ls = [], []
+    for kd in kernel_data:
+        if kd.cs_poly is None or kd.cs_poly_lo is None:
+            raise ValueError(
+                "extended-precision plans require (B)KB kernels with "
+                "FastApproximation (ds coefficient pairs)"
+            )
+        hs.append(kd.cs_poly.T.astype(jnp.float32))
+        ls.append(kd.cs_poly_lo.T.astype(jnp.float32))
+    return jnp.stack(hs), jnp.stack(ls)
+
+
+def window_weights_ds(kd: KernelData, Xh: jnp.ndarray, Xl: jnp.ndarray,
+                      cs_h: jnp.ndarray, cs_l: jnp.ndarray):
+    """Double-single window weights: (2M, P) (hi, lo) pair from ds in-cell
+    fractions and ds coefficient pairs — the full-pair version of the
+    compensated Horner (window_weights ds=True), used by the
+    extended-precision kernels.  (B)KB FastApproximation only."""
+    from ..ds import ds_horner, two_sum
+
+    # z = 2X - 1 in ds: 2*Xh is exact; the -1 rounding is captured.
+    zh, ze = two_sum(2.0 * Xh, -1.0)
+    zl = ze + 2.0 * Xl
+    return ds_horner(cs_h, cs_l, zh, zl)
+
+
 def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
     """Build the transposed window matrix W^T (pd, P) for one dimension, in
     the **core-first** padded-block layout.

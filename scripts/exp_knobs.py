@@ -92,6 +92,13 @@ def main():
             dict(),
             dict(batch_size=256),
             dict(batch_size=512),
+            # rho=1 ladder round 4: the kprec A/B showed ~60% of the rho=1
+            # kernel time is per-batch fixed cost (bf16x1 only -33%), so the
+            # lever is batch count, VMEM cliff permitting.
+            dict(block_dims=(64, 8, 96), batch_size=1024),
+            dict(block_dims=(64, 8, 96), batch_size=512, spread_acc2=True),
+            dict(block_dims=(64, 8, 96), batch_size=1024, dma_super=2),
+            dict(block_dims=(96, 8, 96), batch_size=1024),
             dict(batch_size=256, spread_acc2=True),
             dict(block_dims=(64, 16, 96), batch_size=256),
             dict(block_dims=(96, 16, 96), batch_size=256),
