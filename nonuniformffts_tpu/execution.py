@@ -184,6 +184,12 @@ def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
     return _spread(plan, vp)
 
 
+def _dft_prec(plan: Plan) -> str:
+    """Contraction precision for the block-form DFT stages: the plan's
+    ``dft_precision`` override when set, else its ``precision``."""
+    return getattr(plan, "dft_precision", None) or plan.precision
+
+
 def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
     if _use_blockform(plan):
         fwd = (
@@ -192,7 +198,7 @@ def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
             else matmul_fft.forward_dft_blockform
         )
         spec = fwd(
-            g, plan.fft_axes_block, real=plan.is_real, prec=plan.precision
+            g, plan.fft_axes_block, real=plan.is_real, prec=_dft_prec(plan)
         )
         return spec * jnp.asarray(plan.normfactor, spec.dtype)
     if plan.fft_method == "matmul":
@@ -267,7 +273,8 @@ def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
             else matmul_fft.backward_dft_blockform
         )
         return bwd(
-            spec_ch, plan.fft_axes_block, real=plan.is_real, prec=plan.precision
+            spec_ch, plan.fft_axes_block, real=plan.is_real,
+            prec=_dft_prec(plan),
         )
     if plan.fft_method == "matmul":
         if plan.fft_variant == "pruned":

@@ -99,6 +99,105 @@ def _mm_ds(a, b):
     return hi + lo
 
 
+# ---------------------------------------------------------------------------
+# int8 fixed-point DFT contractions ('fxp' = three 7-bit limbs, 'fxp4' =
+# four).  The XLA-level twin of the blocked kernels' _fxp_dot
+# (ops/pallas/blocked.py): each f32 operand splits into int8 limbs, the MXU
+# runs int8 x int8 -> int32 products with EXACT integer accumulation
+# (limb products <= 127^2 ~ 2^14 and K = nb*pd <= ~1.2k keeps sums < 2^25),
+# and the scaled f32 recombine restores magnitudes.  On the v5e the int8
+# MXU pass rate is ~2.65x the bf16 pass rate (scripts/exp_int8.py: 277.7
+# Top/s vs 104.8 Tflop/s), so the 6-product 'fxp' Karatsuba pair-dot costs
+# ~18 int8 passes against HIGHEST's 18 bf16-pass-equivalents — ~2x less MXU
+# time at ~2^-21-grade (per output row) quantisation noise.  Factor-side
+# scales are per COLUMN (deconvolution factors baked into the pruned
+# matrices grow toward high k); value-side scales are per output row.
+# ---------------------------------------------------------------------------
+
+_FXP_DFT_SHIFTS = {"fxp": (7, 14, 22), "fxp4": (7, 14, 21, 28)}
+
+
+def _is_fxp(prec: str) -> bool:
+    return prec in _FXP_DFT_SHIFTS
+
+
+def _fxp_split(x, shifts):
+    """f32 (|x| <= 1) -> int8 limbs; nearest rounding bounds residuals by
+    half an ulp per limb (see blocked._fxp_split3 for the rounding note)."""
+    limbs, r = [], x
+    for sh in shifts:
+        l = jnp.clip(jnp.floor(r * (2.0 ** sh) + 0.5), -127.0, 127.0)
+        r = r - l * (2.0 ** -sh)
+        limbs.append(l.astype(jnp.int8))
+    return limbs
+
+
+_FXP_MARGIN = 1.0 - 2.0 ** -6  # keeps peak elements' limb0 <= 127
+
+
+def _fxp_quant(x, reduce_dims, shifts):
+    """Quantise ``x`` into int8 limbs with a scale per non-reduced slice.
+
+    Returns ``(limbs, scale)`` where ``scale`` has the reduce_dims removed
+    and already includes the margin undo — ``x ~ scale * sum limbs*2^-s``.
+    """
+    rd = tuple(reduce_dims)
+    scale = jnp.max(jnp.abs(x), axis=rd)
+    inv = jnp.where(scale > 0, _FXP_MARGIN / scale, 1.0)
+    limbs = _fxp_split(x * jnp.expand_dims(inv, rd), shifts)
+    return limbs, scale * (1.0 / _FXP_MARGIN)
+
+
+def _fxp_dot_limbs(al, bl, dn, shifts):
+    """Unscaled limb contraction: int8 dot_generals grouped by shift sum
+    (int32 adds inside a group), f32 recombine.  Keeps products with
+    si + sj <= shifts[-1] + shifts[0] (the ~2^-29-and-finer tail is below
+    the limb-0 quantisation floor)."""
+    cover = shifts[-1] + shifts[0]
+    groups = {}
+    for i, si in enumerate(shifts):
+        for j, sj in enumerate(shifts):
+            if si + sj <= cover:
+                groups.setdefault(si + sj, []).append((i, j))
+    out = None
+    for s, pairs in sorted(groups.items()):
+        acc = None
+        for i, j in pairs:
+            p = jax.lax.dot_general(
+                al[i], bl[j], dn, preferred_element_type=jnp.int32
+            )
+            acc = p if acc is None else acc + p
+        term = acc.astype(jnp.float32) * (2.0 ** -s)
+        out = term if out is None else out + term
+    return out
+
+
+def _fxp_dot_general(a, b, lhs_dims, prec):
+    """``dot_general(a, b)`` contracting ``lhs_dims`` of ``a`` against the
+    LEADING dims of ``b``, via int8 limbs (see module comment above)."""
+    shifts = _FXP_DFT_SHIFTS[prec]
+    lhs_dims = tuple(lhs_dims)
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((lhs_dims, rdims), ((), ()))
+    al, sa = _fxp_quant(a, lhs_dims, shifts)
+    bl, sb = _fxp_quant(b, rdims, shifts)
+    out = _fxp_dot_limbs(al, bl, dn, shifts)
+    # out dims: lhs free (in order) then rhs free; sa needs trailing 1s,
+    # sb broadcasts by trailing alignment.
+    sa_b = jnp.expand_dims(sa, tuple(range(sa.ndim, out.ndim)))
+    return out * sa_b * sb
+
+
+def _fxp_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
+    """Karatsuba complex pair-dot in int8 fixed point: the three real dots
+    of _cplx_pair_dot, each via _fxp_dot_general (18 int8 passes total for
+    'fxp')."""
+    t1 = _fxp_dot_general(ar, cm, lhs_dims, prec)
+    t2 = _fxp_dot_general(ai, sm, lhs_dims, prec)
+    t3 = _fxp_dot_general(ar + ai, cm - sign * sm, lhs_dims, prec)
+    return t1 + sign * t2, t3 - t1 + sign * t2
+
+
 def _best_split(n: int) -> Optional[Tuple[int, int]]:
     """Pick N = N1*N2 with N1, N2 as balanced as possible; None if prime or
     small."""
@@ -676,6 +775,8 @@ def _cplx_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
     """(ar + i ai) contracted over ``lhs_dims`` with (cm - i*sign*sm) whose
     contracting dims are the leading ones; Karatsuba (3 real dots).  The rhs
     free dim (n_keep / (nb, pd)) is appended after the lhs free dims."""
+    if _is_fxp(prec):
+        return _fxp_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec)
     p = PRECISIONS[prec]
     rdims = tuple(range(len(lhs_dims)))
     dn = ((lhs_dims, rdims), ((), ()))
@@ -685,19 +786,46 @@ def _cplx_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
     return t1 + sign * t2, t3 - t1 + sign * t2
 
 
+def _real_dot(x, mat, lhs_dims, prec):
+    """Single real contraction (r2c last-axis dots) with fxp dispatch."""
+    if _is_fxp(prec):
+        return _fxp_dot_general(x, mat, lhs_dims, prec)
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((tuple(lhs_dims), rdims), ((), ()))
+    return jax.lax.dot_general(x, mat, dn, precision=PRECISIONS[prec])
+
+
 def _cplx_fold_fwd(ar, ai, ax: "BlockAxisDFT", lhs_dims, prec):
     """Forward contraction against the +-k folded factors: 4 real dots of
     width U = max(P, M+1) instead of 3 Karatsuba dots of width P+M —
     ~0.67x the MACs (K unchanged).  Emits (R, I) with the kept-mode axis
     LAST, already reassembled to the axis's natural spectral order."""
-    p = PRECISIONS[prec]
     fc, fs = ax.fpcos_t, ax.fpsin_t
     rdims = tuple(range(len(lhs_dims)))
-    dn = ((lhs_dims, rdims), ((), ()))
-    a = jax.lax.dot_general(ar, fc, dn, precision=p)  # Xr.C
-    b = jax.lax.dot_general(ai, fs, dn, precision=p)  # Xi.S
-    c = jax.lax.dot_general(ai, fc, dn, precision=p)  # Xi.C
-    d = jax.lax.dot_general(ar, fs, dn, precision=p)  # Xr.S
+    dn = ((tuple(lhs_dims), rdims), ((), ()))
+    if _is_fxp(prec):
+        # Direct 4-dot form shares limb quantisation: 2 lhs + 2 rhs splits.
+        shifts = _FXP_DFT_SHIFTS[prec]
+        arl, sar = _fxp_quant(ar, lhs_dims, shifts)
+        ail, sai = _fxp_quant(ai, lhs_dims, shifts)
+        fcl, sfc = _fxp_quant(fc, rdims, shifts)
+        fsl, sfs = _fxp_quant(fs, rdims, shifts)
+
+        def _dot(xl, sx, yl, sy):
+            out = _fxp_dot_limbs(xl, yl, dn, shifts)
+            sx_b = jnp.expand_dims(sx, tuple(range(sx.ndim, out.ndim)))
+            return out * sx_b * sy
+
+        a = _dot(arl, sar, fcl, sfc)  # Xr.C
+        b = _dot(ail, sai, fsl, sfs)  # Xi.S
+        c = _dot(ail, sai, fcl, sfc)  # Xi.C
+        d = _dot(arl, sar, fsl, sfs)  # Xr.S
+    else:
+        p = PRECISIONS[prec]
+        a = jax.lax.dot_general(ar, fc, dn, precision=p)  # Xr.C
+        b = jax.lax.dot_general(ai, fs, dn, precision=p)  # Xi.S
+        c = jax.lax.dot_general(ai, fc, dn, precision=p)  # Xi.C
+        d = jax.lax.dot_general(ar, fs, dn, precision=p)  # Xr.S
     P_, M_ = ax.fold_P, ax.fold_M
 
     def seg(x, lo, hi, rev=False):
@@ -740,7 +868,6 @@ def _cplx_fold_bwd(xr, xi, ax: "BlockAxisDFT", prec):
     factors; the kept-mode axis of ``xr``/``xi`` is dim 1.  Pre-combines
     the spectrum into even/odd parts S+/S- (elementwise) so the 4 real
     dots contract only the U unique |k| rows."""
-    p = PRECISIONS[prec]
     P_, M_ = ax.fold_P, ax.fold_M
     U = max(P_, M_ + 1)
 
@@ -762,6 +889,21 @@ def _cplx_fold_bwd(xr, xi, ax: "BlockAxisDFT", prec):
     srp, srm = parts(xr)
     sip, sim = parts(xi)
     dn = (((1,), (0,)), ((), ()))
+    if _is_fxp(prec):
+        shifts = _FXP_DFT_SHIFTS[prec]
+        fcl, sfc = _fxp_quant(ax.fbcos_t, (0,), shifts)
+        fsl, sfs = _fxp_quant(ax.fbsin_t, (0,), shifts)
+
+        def _dot(x, yl, sy):
+            xl, sx = _fxp_quant(x, (1,), shifts)
+            out = _fxp_dot_limbs(xl, yl, dn, shifts)
+            sx_b = jnp.expand_dims(sx, tuple(range(sx.ndim, out.ndim)))
+            return out * sx_b * sy
+
+        r = _dot(srp, fcl, sfc) - _dot(sim, fsl, sfs)
+        i = _dot(sip, fcl, sfc) + _dot(srm, fsl, sfs)
+        return r, i
+    p = PRECISIONS[prec]
     # R = sum_k xr cos - xi sin = S+r.C - S-i.S;  I = S+i.C + S-r.S.
     r = jax.lax.dot_general(srp, ax.fbcos_t, dn, precision=p) - (
         jax.lax.dot_general(sim, ax.fbsin_t, dn, precision=p)
@@ -784,10 +926,8 @@ def forward_dft_blockform(buf, axes_block, *, real: bool, prec: str):
     D = len(axes_block)
     if real:
         ax = axes_block[D - 1]
-        p = PRECISIONS[prec]
-        dn = (((D, 2 * D), (0, 1)), ((), ()))
-        xr = jax.lax.dot_general(buf, ax.pcos_t, dn, precision=p)
-        xi = -jax.lax.dot_general(buf, ax.psin_t, dn, precision=p)
+        xr = _real_dot(buf, ax.pcos_t, (D, 2 * D), prec)
+        xi = -_real_dot(buf, ax.psin_t, (D, 2 * D), prec)
         # now (C, nb0..nbD-2, pd0..pdD-2, k_{D-1}); contract remaining axes.
         for d in range(D - 1):
             lhs = (1, 1 + (D - 1 - d))
@@ -823,10 +963,8 @@ def backward_dft_blockform(spec_ch, axes_block, *, real: bool, prec: str):
         xr, xi = _cplx_pair_dot(xr, xi, ax.bcos_t, ax.bsin_t, -1.0, (1,), prec)
     ax = axes_block[D - 1]
     if real:
-        p = PRECISIONS[prec]
-        dn = (((1,), (0,)), ((), ()))
-        out = jax.lax.dot_general(xr, ax.bcos_t, dn, precision=p) - (
-            jax.lax.dot_general(xi, ax.bsin_t, dn, precision=p)
+        out = _real_dot(xr, ax.bcos_t, (1,), prec) - (
+            _real_dot(xi, ax.bsin_t, (1,), prec)
         )
         # interleaved (C, nb0, pd0, .., nbD-1, pdD-1) -> kernel layout.
         perm = (
@@ -901,11 +1039,9 @@ def forward_dft_blockform_z(buf, axes_block, *, real: bool, prec: str):
     D = len(axes_block)
     if real:
         ax = axes_block[D - 1]
-        p = PRECISIONS[prec]
         nd = buf.ndim
-        dn = (((nd - 1,), (0,)), ((), ()))
-        xr = jax.lax.dot_general(buf, ax.pcos_t, dn, precision=p)
-        xi = -jax.lax.dot_general(buf, ax.psin_t, dn, precision=p)
+        xr = _real_dot(buf, ax.pcos_t, (nd - 1,), prec)
+        xi = -_real_dot(buf, ax.psin_t, (nd - 1,), prec)
         # (C, nb0, pd0, .., k_last); contract the (nb, pd) pairs.
         order = (D - 1,) + _best_fwd_order(axes_block, range(D - 1))
         entries = [("pair", d) for d in range(D - 1)] + [("k", D - 1)]
@@ -960,10 +1096,8 @@ def backward_dft_blockform_z(spec_ch, axes_block, *, real: bool, prec: str):
             )
     ax = axes_block[D - 1]
     if real:
-        p = PRECISIONS[prec]
-        dn = (((1,), (0,)), ((), ()))
-        return jax.lax.dot_general(xr, ax.bcos_t, dn, precision=p) - (
-            jax.lax.dot_general(xi, ax.bsin_t, dn, precision=p)
+        return _real_dot(xr, ax.bcos_t, (1,), prec) - (
+            _real_dot(xi, ax.bsin_t, (1,), prec)
         )
     if _use_fold_bwd(ax):
         xr, xi = _cplx_fold_bwd(xr, xi, ax, prec)

@@ -81,6 +81,13 @@ class Plan:
     # The bench measures achieved error every run; the DFT stays on its own
     # ``precision`` (K ~ L-term oscillatory sums, ops/matmul_fft.py:38-43).
     kernel_precision: Optional[str] = static_field(default=None)
+    # Contraction precision override for the block-form DFT stages only
+    # (None = follow ``precision``).  Accepts the _PRECS ladder values plus
+    # 'fxp' / 'fxp4': int8 fixed-point limb contractions with exact int32
+    # accumulation (ops/matmul_fft.py:_fxp_dot_general) — ~2x less MXU time
+    # than HIGHEST at ~2^-21 (fxp) / ~2^-27 (fxp4) per-output-row
+    # quantisation noise.  The bench measures achieved error every run.
+    dft_precision: Optional[str] = static_field(default=None)
     # Host-side per-stage Timer (utils.timer.Timer) or None.  When set, the
     # execution functions run stage-by-stage with device sync between stages
     # (the analogue of the reference's TimerOutputs + synchronise=true,
@@ -332,6 +339,7 @@ def PlanNUFFT(
     fft_variant: str = "auto",
     precision: str = "highest",
     kernel_precision: Optional[str] = None,
+    dft_precision: Optional[str] = None,
     np_hint: Optional[int] = None,
     window_rows: Optional[int] = "auto",
     window_rows_y: Optional[int] = "auto",
@@ -452,6 +460,8 @@ def PlanNUFFT(
         None, "default", "high", "highest", "double", "fxp"
     ):
         raise ValueError(f"unknown kernel_precision {kernel_precision!r}")
+    if dft_precision not in (None, "default", "high", "highest", "fxp", "fxp4"):
+        raise ValueError(f"unknown dft_precision {dft_precision!r}")
     if value_permute not in ("auto", "gather", "sort"):
         raise ValueError(f"unknown value_permute {value_permute!r}")
     kernel_form = (
@@ -705,6 +715,15 @@ def PlanNUFFT(
             for d, ax in enumerate(fft_axes)
         )
 
+    if dft_precision is not None and not fft_axes_block:
+        raise ValueError(
+            "dft_precision is implemented for the block-form DFT engine only "
+            "(blocked spread_method + pruned matmul FFT, precision != "
+            "'double'); this plan resolved to "
+            f"spread_method={spread_method!r}, fft_method={fft_method!r}, "
+            f"fft_variant={fft_variant!r}"
+        )
+
     return Plan(
         dtype=dtype,
         shape=shape,
@@ -728,6 +747,7 @@ def PlanNUFFT(
         fft_axes_block=fft_axes_block,
         precision=precision,
         kernel_precision=kernel_precision,
+        dft_precision=dft_precision,
         timer=timer,
         cr_chunk=cr_chunk,
         window_rows=window_rows,
