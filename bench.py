@@ -53,6 +53,7 @@ BATCH = (("auto" if _B == "auto" else int(_B)) if _B else None)
 STAGES = os.environ.get("BENCH_STAGES", "1") == "1"  # 0: full-iter A/B only
 # Kernel-contraction precision override (A/B knob; '' = plan default).
 KPREC = os.environ.get("BENCH_KPREC", "") or None
+DFTPREC = os.environ.get("BENCH_DFTPREC", "") or None
 SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
@@ -111,6 +112,8 @@ def main():
             kw["batch_size"] = BATCH
         if KPREC:
             kw["kernel_precision"] = KPREC
+        if DFTPREC:
+            kw["dft_precision"] = DFTPREC
         return nufft.PlanNUFFT(
             np.float32 if REAL else np.complex64,
             shape,

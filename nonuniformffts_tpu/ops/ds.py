@@ -127,6 +127,120 @@ def ds_horner(cs_h: jnp.ndarray, cs_l: jnp.ndarray, zh: jnp.ndarray,
     return vh, vl
 
 
+# ---------------------------------------------------------------------------
+# Double-single contraction on the MXU: int8 limb cascade with EXACT int32
+# accumulation.
+#
+# This is how a TPU runs an f64-grade dot product at MXU rates: each ds
+# operand slice is scaled by a POWER OF TWO (so scaling is error-free),
+# split into ``nl`` 7-bit int8 limbs by a round-to-nearest cascade (the lo
+# channel folds into the residual stream once the hi residual reaches its
+# scale), and the limb products accumulate in int32 — exactly, because
+# 7-bit x 7-bit products over K <= ~20k rows stay far below 2^31.  The
+# recombine splits each int32 group at 12 bits (both halves exact in f32)
+# and TwoSum-accumulates groups smallest-first into an (hi, lo) pair; the
+# final power-of-two unscaling is again exact.  End-to-end error is the
+# quantisation residual only: ~2^-(7*nl)*|row max|*|col max| per element,
+# i.e. ~1e-11-grade output accuracy at nl=6 and ~1e-13 at nl=7, while the
+# MXU cost is nl*(nl+1)/2 int8 passes — at the v5e's ~2.65x int8-vs-bf16
+# pass rate, nl=6 costs ~1.3x ONE bf16x6 (f32 HIGHEST) dot.
+# ---------------------------------------------------------------------------
+
+
+def _pow2_scale(m: jnp.ndarray):
+    """Per-slice power-of-two scale: ``scale = 2^(e+1) > m`` for
+    ``m in [2^e, 2^(e+1))``, with its exact inverse; zero slices get 1.
+    Built by exponent-field bit surgery (branchless, Mosaic-safe)."""
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    e = (bits >> 23) & 0xFF
+    one = jnp.int32(127 << 23)
+    scale = jax.lax.bitcast_convert_type(
+        jnp.where(m > 0, (e + 1) << 23, one), jnp.float32
+    )
+    inv = jax.lax.bitcast_convert_type(
+        jnp.where(m > 0, (253 - e) << 23, one), jnp.float32
+    )
+    return scale, inv
+
+
+def ds_fxp_quant(xh: jnp.ndarray, xl, reduce_dims, nl: int):
+    """Quantise a ds (hi, lo) slice into ``nl`` int8 limbs.
+
+    ``xl`` may be None (plain f32 input).  Returns ``(limbs, scale)`` with
+    ``scale`` a power of two per non-reduced slice (reduce_dims REMOVED),
+    such that ``xh + xl ~ scale * sum_q limbs[q] * 2^-7(q+1)`` to
+    ``2^-(7*nl) * scale`` absolute.  Every step is error-free: the
+    power-of-two scaling, the cascade subtractions (Sterbenz), and the
+    ``l * 2^-s`` products; the single rounding is the lo-channel fold-in at
+    ~2^-46 relative.  Peak elements clip limb0 at 127 and the cascade
+    absorbs the remainder in later limbs (the geometric tail sums to 1.0)."""
+    rd = tuple(reduce_dims)
+    m = jnp.max(jnp.abs(xh), axis=rd, keepdims=True)
+    scale, inv = _pow2_scale(m)
+    limbs = []
+    r = xh * inv  # exact (power-of-two scale)
+    for q in range(nl):
+        sh = 7 * (q + 1)
+        l = jnp.clip(jnp.floor(r * (2.0 ** sh) + 0.5), -127.0, 127.0)
+        r = r - l * (2.0 ** -sh)
+        if q == 2 and xl is not None:
+            r = r + xl * inv  # lo channel enters at the 2^-22 residual scale
+        limbs.append(l.astype(jnp.int8))
+    if rd:
+        scale = jnp.squeeze(scale, rd)
+    return limbs, scale
+
+
+def _exact_i32_to_ds(acc: jnp.ndarray):
+    """int32 -> exact (f32 top, f32 low) split at 12 bits (|acc| < 2^27)."""
+    low = (acc & 0xFFF).astype(jnp.float32)
+    top = (acc - (acc & 0xFFF)).astype(jnp.float32)
+    return top, low
+
+
+def ds_fxp_dot_general(a, b, lhs_dims, nl: int = 6):
+    """ds x ds ``dot_general`` with exact integer accumulation.
+
+    ``a``/``b``: (hi, lo) tuples (lo may be None); ``lhs_dims`` of ``a``
+    contract against the LEADING dims of ``b``.  Returns the (hi, lo) f32
+    pair of the product, accurate to ~2^-(7*nl) of |row max|*|col max| per
+    output element (quantisation only — accumulation is exact int32 and
+    the recombine is compensated).  Works identically under jnp/XLA and
+    inside Pallas kernels (elementwise VPU ops + int8 MXU dots only)."""
+    ah, al = a
+    bh, bl = b
+    lhs_dims = tuple(lhs_dims)
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((lhs_dims, rdims), ((), ()))
+    albs, sa = ds_fxp_quant(ah, al, lhs_dims, nl)
+    blbs, sb = ds_fxp_quant(bh, bl, rdims, nl)
+    groups = {}
+    for i in range(nl):
+        for j in range(nl):
+            if i + j < nl:  # deeper cross products are below the floor
+                groups.setdefault(i + j, []).append((i, j))
+    hi = lo = None
+    for g in sorted(groups, reverse=True):  # smallest terms first
+        acc = None
+        for i, j in groups[g]:
+            p = jax.lax.dot_general(
+                albs[i], blbs[j], dn, preferred_element_type=jnp.int32
+            )
+            acc = p if acc is None else acc + p
+        top, low = _exact_i32_to_ds(acc)
+        s2 = 2.0 ** -(7 * (g + 2))  # limb q carries 2^-7(q+1); pair adds
+        if hi is None:
+            hi, lo = top * s2, low * s2  # exact products
+        else:
+            hi, e1 = two_sum(hi, top * s2)
+            hi, e2 = two_sum(hi, low * s2)
+            lo = lo + e1 + e2
+    hi, lo = fast_two_sum(hi, lo)
+    # Exact unscaling: both scales are powers of two.
+    s = jnp.expand_dims(sa, tuple(range(sa.ndim, hi.ndim))) * sb
+    return hi * s, lo * s
+
+
 def ds_rowsum(ph: jnp.ndarray, pl: jnp.ndarray, axis: int = 0):
     """Compensated reduction over ``axis``: pairwise TwoSum tree, so the only
     uncompensated adds are on the ~2^-48-scale lo channel.  Returns the
