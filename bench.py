@@ -53,7 +53,6 @@ BATCH = (("auto" if _B == "auto" else int(_B)) if _B else None)
 STAGES = os.environ.get("BENCH_STAGES", "1") == "1"  # 0: full-iter A/B only
 # Kernel-contraction precision override (A/B knob; '' = plan default).
 KPREC = os.environ.get("BENCH_KPREC", "") or None
-DFTPREC = os.environ.get("BENCH_DFTPREC", "") or None
 SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
@@ -112,8 +111,6 @@ def main():
             kw["batch_size"] = BATCH
         if KPREC:
             kw["kernel_precision"] = KPREC
-        if DFTPREC:
-            kw["dft_precision"] = DFTPREC
         return nufft.PlanNUFFT(
             np.float32 if REAL else np.complex64,
             shape,
@@ -337,9 +334,18 @@ def main():
     # in one committed artifact, mirroring the reference's per-dtype .dat
     # files (benchmark/CPU+CUDA/results.H100_*).
     sweep_path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_SWEEP.json")
-    if KPREC:
-        # A/B runs with a non-default kernel precision must not refresh the
-        # committed default-config sweep rows.
+    if (
+        KPREC
+        or BLOCKS is not None
+        or BATCH is not None
+        or SIGMA != 1.5
+        or M_HS != 4
+        or PRECISION != "highest"
+        or N_GRID != 256
+    ):
+        # A/B runs with any non-default knob must not refresh the committed
+        # default-config sweep rows (a dft_precision A/B once overwrote the
+        # committed 1M row with its degraded numbers).
         sweep_path = os.devnull
     doc = {}
     if os.path.exists(sweep_path):

@@ -76,6 +76,27 @@ def _host_to_channels(x, dtype) -> np.ndarray:
     return np.stack([x.real, x.imag], axis=1).astype(np.dtype(dtype).type(0).real.dtype)
 
 
+def _host_to_channels_ds(x) -> np.ndarray:
+    """complex128 host data -> ds channel form (C, 2, 2, ...) f32 with
+    axis 2 = (hi, lo).  The hi/lo split happens on the host: f64 arrays do
+    not exist on TPU devices."""
+    from .ops.ds import split_array_np
+
+    x = np.asarray(x)
+    ch = np.stack([x.real, x.imag], axis=1)  # (C, 2, ...) f64
+    h, l = split_array_np(ch)
+    return np.stack([h, l], axis=2)
+
+
+def _ds_channels_to_complex(out) -> np.ndarray:
+    """ds channel form (C, 2, 2, ...) -> complex128 HOST array (the device
+    cannot hold complex128; extended-precision results return as numpy)."""
+    out = np.asarray(out, dtype=np.float64)
+    re = out[:, 0, 0] + out[:, 0, 1]
+    im = out[:, 1, 0] + out[:, 1, 1]
+    return re + 1j * im
+
+
 def _spread(plan: Plan, vp: jnp.ndarray) -> jnp.ndarray:
     """Spreading with native (complex or real) values."""
     if plan.spread_method == "blocked":
@@ -141,6 +162,10 @@ def _apply_nonuniform_ch(plan, vp_ch, callback):
     on device — elementwise complex ops only)."""
     if callback is None:
         return vp_ch
+    if plan.ds:
+        raise NotImplementedError(
+            "callbacks are not supported on extended-precision plans"
+        )
     if plan.is_real:
         return apply_nonuniform_callback(vp_ch, callback)
     v = _from_channels(vp_ch).astype(plan.dtype)
@@ -168,6 +193,10 @@ def _use_blockform_t2(plan: Plan) -> bool:
 
 
 def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
+    if plan.ds:
+        from .ops.pallas.blocked_ds import spread_blocked_ds
+
+        return spread_blocked_ds(plan, vp_ch)  # (hi, lo) buffer pair
     if _use_blockform(plan):
         from .ops.pallas import spread_blocked
 
@@ -184,13 +213,15 @@ def _t1_spread_stage(plan: Plan, vp_ch: jnp.ndarray):
     return _spread(plan, vp)
 
 
-def _dft_prec(plan: Plan) -> str:
-    """Contraction precision for the block-form DFT stages: the plan's
-    ``dft_precision`` override when set, else its ``precision``."""
-    return getattr(plan, "dft_precision", None) or plan.precision
-
-
 def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
+    if plan.ds:
+        from .ops.ds import ds_mul, split_scalar
+
+        hi, lo = matmul_fft.forward_dft_blockform_ds(
+            g[0], g[1], plan.fft_axes_block, nl=plan.ds_nl
+        )
+        nh, nl_ = split_scalar(plan.normfactor)
+        return ds_mul(hi, lo, jnp.float32(nh), jnp.float32(nl_))
     if _use_blockform(plan):
         fwd = (
             matmul_fft.forward_dft_blockform_z
@@ -198,7 +229,7 @@ def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
             else matmul_fft.forward_dft_blockform
         )
         spec = fwd(
-            g, plan.fft_axes_block, real=plan.is_real, prec=_dft_prec(plan)
+            g, plan.fft_axes_block, real=plan.is_real, prec=plan.precision
         )
         return spec * jnp.asarray(plan.normfactor, spec.dtype)
     if plan.fft_method == "matmul":
@@ -222,6 +253,12 @@ def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
 
 
 def _t1_deconv_stage(plan: Plan, spec, callbacks: NUFFTCallbacks):
+    if plan.ds:
+        if callbacks.uniform is not None:
+            raise NotImplementedError(
+                "callbacks are not supported on extended-precision plans"
+            )
+        return jnp.stack(spec, axis=2)  # ds channel form (C, 2, 2) + spec
     if plan.fft_method == "matmul":
         out_ch = spec  # already truncated + scaled in the fused DFT
     else:
@@ -237,6 +274,20 @@ def _t1_deconv_stage(plan: Plan, spec, callbacks: NUFFTCallbacks):
 
 
 def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
+    if plan.ds:
+        from .ops.ds import ds_mul
+
+        if callbacks.uniform is not None:
+            raise NotImplementedError(
+                "callbacks are not supported on extended-precision plans"
+            )
+        xh, xl = uhat_ch[:, :, 0], uhat_ch[:, :, 1]  # (C, 2) + spec each
+        D = plan.ndim
+        for d, (ph, pl_) in enumerate(zip(plan.phihat_inv, plan.phihat_inv_lo)):
+            shp = [1] * xh.ndim
+            shp[2 + d] = ph.shape[0]
+            xh, xl = ds_mul(xh, xl, ph.reshape(shp), pl_.reshape(shp))
+        return xh, xl
     C = uhat_ch.shape[0]
     if callbacks.uniform is not None:
         u = _from_channels(uhat_ch).astype(plan.complex_dtype)
@@ -264,6 +315,10 @@ def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
 
 
 def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
+    if plan.ds:
+        return matmul_fft.backward_dft_blockform_ds(
+            spec_ch[0], spec_ch[1], plan.fft_axes_block, nl=plan.ds_nl
+        )
     if _use_blockform_t2(plan):
         # Emits the halo-gathered padded block buffer directly (input is
         # already deconvolution-scaled by _t2_pad_stage).
@@ -274,7 +329,7 @@ def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
         )
         return bwd(
             spec_ch, plan.fft_axes_block, real=plan.is_real,
-            prec=_dft_prec(plan),
+            prec=plan.precision,
         )
     if plan.fft_method == "matmul":
         if plan.fft_variant == "pruned":
@@ -293,6 +348,10 @@ def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
 
 
 def _t2_interp_stage(plan: Plan, grid):
+    if plan.ds:
+        from .ops.pallas.blocked_ds import interpolate_blocked_ds
+
+        return interpolate_blocked_ds(plan, grid[0], grid[1])
     if _use_blockform_t2(plan):
         from .ops.pallas import interpolate_blocked
 
@@ -447,6 +506,14 @@ def exec_type1(plan: Plan, vp, callbacks: NUFFTCallbacks = None) -> jnp.ndarray:
         raise ValueError(
             f"number of values {vp.shape[1]} != number of points {plan.num_points}"
         )
+    if plan.ds:
+        # Extended-precision plans: values split into (hi, lo) f32 channel
+        # pairs on the host; the result returns as a HOST complex128 array
+        # (f64 cannot live on the device).
+        vp_ch = jnp.asarray(_host_to_channels_ds(np.asarray(vp)))
+        out_ch = _dispatch_type1(plan, vp_ch, callbacks)
+        uhat = _ds_channels_to_complex(out_ch)
+        return uhat if had_axis else uhat[0]
     if plan.is_real:
         vp_ch = jnp.asarray(vp)
     elif is_host:
@@ -480,6 +547,11 @@ def exec_type2(plan: Plan, uhat, callbacks: NUFFTCallbacks = None) -> jnp.ndarra
         raise ValueError(
             f"uniform data shape {uhat.shape[1:]} != expected {plan.spectral_shape}"
         )
+    if plan.ds:
+        uhat_ch = jnp.asarray(_host_to_channels_ds(np.asarray(uhat)))
+        vp_ch = _dispatch_type2(plan, uhat_ch, callbacks)
+        vp = _ds_channels_to_complex(vp_ch)
+        return vp if had_axis else vp[0]
     if is_host:
         uhat_ch = jnp.asarray(
             np.stack([uhat.real, uhat.imag], axis=1).astype(plan.real_dtype)
@@ -510,7 +582,7 @@ def exec_type1_channels(plan: Plan, vp_ch, callbacks: NUFFTCallbacks = None):
     _check_points(plan)
     callbacks = callbacks or _EMPTY_CALLBACKS
     vp_ch = jnp.asarray(vp_ch)
-    tail = 1 if plan.is_real else 2
+    tail = 1 if plan.is_real else (3 if plan.ds else 2)
     vp_ch, had_axis = _as_components(vp_ch, plan, expected_tail_ndim=tail)
     out_ch = _dispatch_type1(plan, vp_ch, callbacks)
     return out_ch if had_axis else out_ch[0]
@@ -527,7 +599,8 @@ def exec_type2_channels(plan: Plan, uhat_ch, callbacks: NUFFTCallbacks = None):
     callbacks = callbacks or _EMPTY_CALLBACKS
     uhat_ch = jnp.asarray(uhat_ch)
     uhat_ch, had_axis = _as_components(
-        uhat_ch, plan, expected_tail_ndim=plan.ndim + 1
+        uhat_ch, plan,
+        expected_tail_ndim=plan.ndim + (2 if plan.ds else 1),
     )
     vp_ch = _dispatch_type2(plan, uhat_ch, callbacks)
     return vp_ch if had_axis else vp_ch[0]

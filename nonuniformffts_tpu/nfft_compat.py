@@ -76,7 +76,16 @@ def accuracy_params(
     if not 0.0 < reltol < 1.0:
         raise ValueError(f"reltol must be in (0, 1), got {reltol}")
     sigma = 2.0
-    floor = 2.5e-7 if f32 else 4e-14
+    if f32:
+        floor = 2.5e-7
+    elif precision == "double":
+        # Extended-precision (double-single) pipeline: (hi, lo) f32 pairs
+        # with int8 limb-cascade contractions — measured ~5e-12 end-to-end
+        # vs the f64 reference at m=8, sigma=2 (tests/test_ds.py), the
+        # TPU-native route to tolerances the f32 pipeline cannot reach.
+        floor = 5e-12
+    else:
+        floor = 4e-14
     target = max(float(reltol), floor)
     m = math.ceil(math.log10(6.0 / target) / 1.9)
     m = min(max(m, 2), 10)
@@ -131,6 +140,15 @@ class NFFTPlan:
                 f"NFFT-convention plans are complex transforms, got {dtype}"
             )
         f32 = dtype == np.dtype(np.complex64)
+        if not f32 and "precision" not in plan_kw:
+            import jax
+
+            if jax.default_backend() in ("tpu", "axon"):
+                # complex128 on TPU: the extended-precision (double-single)
+                # pipeline is the only route — f64 device arrays do not
+                # exist there.  A reltol below the f32 floor now actually
+                # DELIVERS on device instead of silently clamping.
+                plan_kw["precision"] = "double"
         m_auto, sigma_auto = accuracy_params(
             reltol, f32=f32, precision=plan_kw.get("precision")
         )

@@ -163,6 +163,59 @@ def _pow2_scale(m: jnp.ndarray):
     return scale, inv
 
 
+def ds_limb_cascade(xh: jnp.ndarray, xl, nl: int):
+    """Round-to-nearest int8 limb cascade for pre-scaled input (|x| <~ 1).
+
+    Returns ``nl`` int8 limb arrays with ``x ~ sum_q limbs[q] * 2^-7(q+1)``
+    to ``2^-(7*nl)`` absolute.  The lo channel (may be None) folds into the
+    residual stream once the hi residual reaches the 2^-22 scale.  Peak
+    elements clip limb0 at 127; the cascade absorbs the remainder in later
+    limbs (the geometric tail sums to 1.0)."""
+    limbs = []
+    r = xh
+    for q in range(nl):
+        sh = 7 * (q + 1)
+        l = jnp.clip(jnp.floor(r * (2.0 ** sh) + 0.5), -127.0, 127.0)
+        r = r - l * (2.0 ** -sh)
+        if q == 2 and xl is not None:
+            r = r + xl
+        limbs.append(l.astype(jnp.int8))
+    return limbs
+
+
+def ds_limb_groups(nl: int):
+    """Limb-product groups by shift sum: {g: [(i, j)...]} keeping
+    i + j < nl (deeper cross products fall below the quantisation floor)."""
+    groups = {}
+    for i in range(nl):
+        for j in range(nl):
+            if i + j < nl:
+                groups.setdefault(i + j, []).append((i, j))
+    return groups
+
+
+def ds_limb_recombine(group_fn, nl: int):
+    """Shared recombine: ``group_fn(i, j) -> int32 dot``; groups the limb
+    products by shift sum, converts each int32 group exactly to ds, and
+    TwoSum-accumulates smallest-first.  Returns the unscaled (hi, lo)."""
+    groups = ds_limb_groups(nl)
+    hi = lo = None
+    for g in sorted(groups, reverse=True):
+        acc = None
+        for i, j in groups[g]:
+            p = group_fn(i, j)
+            acc = p if acc is None else acc + p
+        top, low = _exact_i32_to_ds(acc)
+        s2 = 2.0 ** -(7 * (g + 2))
+        if hi is None:
+            hi, lo = top * s2, low * s2
+        else:
+            hi, e1 = two_sum(hi, top * s2)
+            hi, e2 = two_sum(hi, low * s2)
+            lo = lo + e1 + e2
+    return fast_two_sum(hi, lo)
+
+
 def ds_fxp_quant(xh: jnp.ndarray, xl, reduce_dims, nl: int):
     """Quantise a ds (hi, lo) slice into ``nl`` int8 limbs.
 
@@ -177,15 +230,9 @@ def ds_fxp_quant(xh: jnp.ndarray, xl, reduce_dims, nl: int):
     rd = tuple(reduce_dims)
     m = jnp.max(jnp.abs(xh), axis=rd, keepdims=True)
     scale, inv = _pow2_scale(m)
-    limbs = []
-    r = xh * inv  # exact (power-of-two scale)
-    for q in range(nl):
-        sh = 7 * (q + 1)
-        l = jnp.clip(jnp.floor(r * (2.0 ** sh) + 0.5), -127.0, 127.0)
-        r = r - l * (2.0 ** -sh)
-        if q == 2 and xl is not None:
-            r = r + xl * inv  # lo channel enters at the 2^-22 residual scale
-        limbs.append(l.astype(jnp.int8))
+    limbs = ds_limb_cascade(
+        xh * inv, None if xl is None else xl * inv, nl
+    )  # power-of-two scaling is exact
     if rd:
         scale = jnp.squeeze(scale, rd)
     return limbs, scale
@@ -198,47 +245,37 @@ def _exact_i32_to_ds(acc: jnp.ndarray):
     return top, low
 
 
-def ds_fxp_dot_general(a, b, lhs_dims, nl: int = 6):
-    """ds x ds ``dot_general`` with exact integer accumulation.
-
-    ``a``/``b``: (hi, lo) tuples (lo may be None); ``lhs_dims`` of ``a``
-    contract against the LEADING dims of ``b``.  Returns the (hi, lo) f32
-    pair of the product, accurate to ~2^-(7*nl) of |row max|*|col max| per
-    output element (quantisation only — accumulation is exact int32 and
-    the recombine is compensated).  Works identically under jnp/XLA and
-    inside Pallas kernels (elementwise VPU ops + int8 MXU dots only)."""
-    ah, al = a
-    bh, bl = b
-    lhs_dims = tuple(lhs_dims)
-    rdims = tuple(range(len(lhs_dims)))
-    dn = ((lhs_dims, rdims), ((), ()))
-    albs, sa = ds_fxp_quant(ah, al, lhs_dims, nl)
-    blbs, sb = ds_fxp_quant(bh, bl, rdims, nl)
-    groups = {}
-    for i in range(nl):
-        for j in range(nl):
-            if i + j < nl:  # deeper cross products are below the floor
-                groups.setdefault(i + j, []).append((i, j))
-    hi = lo = None
-    for g in sorted(groups, reverse=True):  # smallest terms first
-        acc = None
-        for i, j in groups[g]:
-            p = jax.lax.dot_general(
-                albs[i], blbs[j], dn, preferred_element_type=jnp.int32
-            )
-            acc = p if acc is None else acc + p
-        top, low = _exact_i32_to_ds(acc)
-        s2 = 2.0 ** -(7 * (g + 2))  # limb q carries 2^-7(q+1); pair adds
-        if hi is None:
-            hi, lo = top * s2, low * s2  # exact products
-        else:
-            hi, e1 = two_sum(hi, top * s2)
-            hi, e2 = two_sum(hi, low * s2)
-            lo = lo + e1 + e2
-    hi, lo = fast_two_sum(hi, lo)
+def ds_fxp_contract(albs, sa, blbs, sb, dn, nl: int):
+    """Limb-level core of :func:`ds_fxp_dot_general`: pre-quantised limb
+    lists + power-of-two scales -> (hi, lo) pair.  Exposed so callers that
+    reuse an operand across several dots (the complex pair-dots) quantise
+    it once."""
+    hi, lo = ds_limb_recombine(
+        lambda i, j: jax.lax.dot_general(
+            albs[i], blbs[j], dn, preferred_element_type=jnp.int32
+        ),
+        nl,
+    )
     # Exact unscaling: both scales are powers of two.
     s = jnp.expand_dims(sa, tuple(range(sa.ndim, hi.ndim))) * sb
     return hi * s, lo * s
+
+
+def ds_fxp_dot_general(a, b, dims, nl: int = 6):
+    """ds x ds ``dot_general`` with exact integer accumulation.
+
+    ``a``/``b``: (hi, lo) tuples (lo may be None); ``dims`` =
+    ``(lhs_contract_dims, rhs_contract_dims)`` as in lax.dot_general.
+    Returns the (hi, lo) f32 pair of the product — dims: lhs free then rhs
+    free, in order — accurate to ~2^-(7*nl) of |row max|*|col max| per
+    output element (quantisation only: accumulation is exact int32 and the
+    recombine is compensated).  Works identically under jnp/XLA and inside
+    Pallas kernels (elementwise VPU ops + int8 MXU dots only)."""
+    lhs_dims, rhs_dims = (tuple(dims[0]), tuple(dims[1]))
+    dn = ((lhs_dims, rhs_dims), ((), ()))
+    albs, sa = ds_fxp_quant(a[0], a[1], lhs_dims, nl)
+    blbs, sb = ds_fxp_quant(b[0], b[1], rhs_dims, nl)
+    return ds_fxp_contract(albs, sa, blbs, sb, dn, nl)
 
 
 def ds_rowsum(ph: jnp.ndarray, pl: jnp.ndarray, axis: int = 0):

@@ -99,103 +99,15 @@ def _mm_ds(a, b):
     return hi + lo
 
 
-# ---------------------------------------------------------------------------
-# int8 fixed-point DFT contractions ('fxp' = three 7-bit limbs, 'fxp4' =
-# four).  The XLA-level twin of the blocked kernels' _fxp_dot
-# (ops/pallas/blocked.py): each f32 operand splits into int8 limbs, the MXU
-# runs int8 x int8 -> int32 products with EXACT integer accumulation
-# (limb products <= 127^2 ~ 2^14 and K = nb*pd <= ~1.2k keeps sums < 2^25),
-# and the scaled f32 recombine restores magnitudes.  On the v5e the int8
-# MXU pass rate is ~2.65x the bf16 pass rate (scripts/exp_int8.py: 277.7
-# Top/s vs 104.8 Tflop/s), so the 6-product 'fxp' Karatsuba pair-dot costs
-# ~18 int8 passes against HIGHEST's 18 bf16-pass-equivalents — ~2x less MXU
-# time at ~2^-21-grade (per output row) quantisation noise.  Factor-side
-# scales are per COLUMN (deconvolution factors baked into the pruned
-# matrices grow toward high k); value-side scales are per output row.
-# ---------------------------------------------------------------------------
-
-_FXP_DFT_SHIFTS = {"fxp": (7, 14, 22), "fxp4": (7, 14, 21, 28)}
-
-
-def _is_fxp(prec: str) -> bool:
-    return prec in _FXP_DFT_SHIFTS
-
-
-def _fxp_split(x, shifts):
-    """f32 (|x| <= 1) -> int8 limbs; nearest rounding bounds residuals by
-    half an ulp per limb (see blocked._fxp_split3 for the rounding note)."""
-    limbs, r = [], x
-    for sh in shifts:
-        l = jnp.clip(jnp.floor(r * (2.0 ** sh) + 0.5), -127.0, 127.0)
-        r = r - l * (2.0 ** -sh)
-        limbs.append(l.astype(jnp.int8))
-    return limbs
-
-
-_FXP_MARGIN = 1.0 - 2.0 ** -6  # keeps peak elements' limb0 <= 127
-
-
-def _fxp_quant(x, reduce_dims, shifts):
-    """Quantise ``x`` into int8 limbs with a scale per non-reduced slice.
-
-    Returns ``(limbs, scale)`` where ``scale`` has the reduce_dims removed
-    and already includes the margin undo — ``x ~ scale * sum limbs*2^-s``.
-    """
-    rd = tuple(reduce_dims)
-    scale = jnp.max(jnp.abs(x), axis=rd)
-    inv = jnp.where(scale > 0, _FXP_MARGIN / scale, 1.0)
-    limbs = _fxp_split(x * jnp.expand_dims(inv, rd), shifts)
-    return limbs, scale * (1.0 / _FXP_MARGIN)
-
-
-def _fxp_dot_limbs(al, bl, dn, shifts):
-    """Unscaled limb contraction: int8 dot_generals grouped by shift sum
-    (int32 adds inside a group), f32 recombine.  Keeps products with
-    si + sj <= shifts[-1] + shifts[0] (the ~2^-29-and-finer tail is below
-    the limb-0 quantisation floor)."""
-    cover = shifts[-1] + shifts[0]
-    groups = {}
-    for i, si in enumerate(shifts):
-        for j, sj in enumerate(shifts):
-            if si + sj <= cover:
-                groups.setdefault(si + sj, []).append((i, j))
-    out = None
-    for s, pairs in sorted(groups.items()):
-        acc = None
-        for i, j in pairs:
-            p = jax.lax.dot_general(
-                al[i], bl[j], dn, preferred_element_type=jnp.int32
-            )
-            acc = p if acc is None else acc + p
-        term = acc.astype(jnp.float32) * (2.0 ** -s)
-        out = term if out is None else out + term
-    return out
-
-
-def _fxp_dot_general(a, b, lhs_dims, prec):
-    """``dot_general(a, b)`` contracting ``lhs_dims`` of ``a`` against the
-    LEADING dims of ``b``, via int8 limbs (see module comment above)."""
-    shifts = _FXP_DFT_SHIFTS[prec]
-    lhs_dims = tuple(lhs_dims)
-    rdims = tuple(range(len(lhs_dims)))
-    dn = ((lhs_dims, rdims), ((), ()))
-    al, sa = _fxp_quant(a, lhs_dims, shifts)
-    bl, sb = _fxp_quant(b, rdims, shifts)
-    out = _fxp_dot_limbs(al, bl, dn, shifts)
-    # out dims: lhs free (in order) then rhs free; sa needs trailing 1s,
-    # sb broadcasts by trailing alignment.
-    sa_b = jnp.expand_dims(sa, tuple(range(sa.ndim, out.ndim)))
-    return out * sa_b * sb
-
-
-def _fxp_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
-    """Karatsuba complex pair-dot in int8 fixed point: the three real dots
-    of _cplx_pair_dot, each via _fxp_dot_general (18 int8 passes total for
-    'fxp')."""
-    t1 = _fxp_dot_general(ar, cm, lhs_dims, prec)
-    t2 = _fxp_dot_general(ai, sm, lhs_dims, prec)
-    t3 = _fxp_dot_general(ar + ai, cm - sign * sm, lhs_dims, prec)
-    return t1 + sign * t2, t3 - t1 + sign * t2
+# NOTE (negative result, measured 2026-08-20 on v5e): an XLA-level int8
+# limb-cascade variant of the block-form contractions (dft_precision=
+# 'fxp'/'fxp4') was built and device-A/B'd — fwd 16.2 -> 34.5 ms, bwd
+# 15.0 -> 54.7 ms at the 1M bench point, err 1.4e-6 -> 4.1e-6.  Unlike the
+# in-Pallas kernel fxp (whose limbs live in VMEM), the XLA form
+# materialises limb arrays and recombine passes through HBM, swamping the
+# int8 pass-rate gain.  The machinery survives where it wins: the
+# extended-precision ds drivers below (accuracy, not speed) and the
+# in-kernel fxp dot (ops/pallas/blocked.py).
 
 
 def _best_split(n: int) -> Optional[Tuple[int, int]]:
@@ -297,7 +209,7 @@ def make_axis_dft(n: int, kind: str, dtype, *, use_split: bool = True) -> AxisDF
 
 def make_pruned_axis_dft(
     n_over: int, ranges, phinv, kind: str, dtype, *,
-    scale: float = 1.0, return_np: bool = False,
+    scale: float = 1.0, return_np: bool = False, host_only: bool = False,
 ):
     """Pruned direct DFT factors for one axis: truncation to the kept modes
     (``ranges``: (start, length) segments of the oversampled spectrum, in
@@ -337,11 +249,17 @@ def make_pruned_axis_dft(
     # the AxisDFT so make_blockform_axis can expand them without pulling the
     # device arrays back to the host (each jax->numpy pull compiles a copy
     # program — ~2 s/array on a slow host, ~55 s per plan before this).
-    ax = AxisDFT(
-        kind=kind, n=n_over,
-        pcos_t=jnp.asarray(pcos), psin_t=jnp.asarray(psin),
-        bcos_t=jnp.asarray(bcos), bsin_t=jnp.asarray(bsin),
-    )
+    if host_only:
+        # ds plans: keep the f64 factors host-side only (f64 device arrays
+        # do not exist on TPU); make_blockform_axis splits them into
+        # (hi, lo) f32 pairs.
+        ax = AxisDFT(kind=kind, n=n_over)
+    else:
+        ax = AxisDFT(
+            kind=kind, n=n_over,
+            pcos_t=jnp.asarray(pcos), psin_t=jnp.asarray(psin),
+            bcos_t=jnp.asarray(bcos), bsin_t=jnp.asarray(bsin),
+        )
     if return_np:
         np_factors = {
             "pcos_t": pcos, "psin_t": psin, "bcos_t": bcos, "bsin_t": bsin,
@@ -653,6 +571,13 @@ class BlockAxisDFT:
     fpsin_t: Optional[jnp.ndarray] = data_field(default=None)
     fbcos_t: Optional[jnp.ndarray] = data_field(default=None)
     fbsin_t: Optional[jnp.ndarray] = data_field(default=None)
+    # Double-single residuals of the f64 factor solve (extended-precision
+    # plans): factor ~ *_t + *_lo as an (hi, lo) pair consumed by the ds
+    # drivers (forward_dft_blockform_ds).
+    pcos_lo: Optional[jnp.ndarray] = data_field(default=None)
+    psin_lo: Optional[jnp.ndarray] = data_field(default=None)
+    bcos_lo: Optional[jnp.ndarray] = data_field(default=None)
+    bsin_lo: Optional[jnp.ndarray] = data_field(default=None)
 
 
 def _fold_structure(ks, n_over):
@@ -677,7 +602,7 @@ def _fold_structure(ks, n_over):
 
 def make_blockform_axis(
     ax: AxisDFT, B: int, nb: int, pd: int, m: int, *,
-    merged: bool = False, np_factors=None, fold: bool = True,
+    merged: bool = False, np_factors=None, fold: bool = True, ds: bool = False,
 ) -> BlockAxisDFT:
     """Expand a pruned axis's factors to block-form via the row map.
 
@@ -700,20 +625,40 @@ def make_blockform_axis(
             return np_factors[name]
         return np.asarray(getattr(ax, name))
 
+    def _split_ds(out):
+        hi = out.astype(np.float32)
+        lo = (out - hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
     def fwd(mat):
         out = mat[gc, :].copy()
         out[~valid] = 0.0
         shape = (nb * pd, -1) if merged else (nb, pd, -1)
-        return jnp.asarray(out.reshape(shape))
+        out = out.reshape(shape)
+        return _split_ds(out) if ds else jnp.asarray(out)
 
     def bwd(mat):
         out = mat[:, gc].copy()
         out[:, ~valid] = 0.0
         k = out.shape[0]
         shape = (k, nb * pd) if merged else (k, nb, pd)
-        return jnp.asarray(out.reshape(shape))
+        out = out.reshape(shape)
+        return _split_ds(out) if ds else jnp.asarray(out)
 
     real_axis = ax.kind == "pruned_r2c"
+    if ds:
+        # Extended-precision factors: f64 host factors split into (hi, lo)
+        # f32 pairs for the ds drivers; the +-k fold is skipped (the ds
+        # pair-dots share limb quantisation instead).
+        fc, fcl = fwd(_host("pcos_t"))
+        fs, fsl = fwd(_host("psin_t"))
+        bc, bcl = bwd(_host("bcos_t"))
+        bs, bsl = bwd(_host("bsin_t"))
+        return BlockAxisDFT(
+            nb=nb, pd=pd, real_axis=real_axis,
+            pcos_t=fc, pcos_lo=fcl, psin_t=fs, psin_lo=fsl,
+            bcos_t=bc, bcos_lo=bcl, bsin_t=bs, bsin_lo=bsl,
+        )
     fold_info = None
     if fold and not real_axis and np_factors is not None and "ks" in np_factors:
         fold_info = _fold_structure(np_factors["ks"], np_factors["n_over"])
@@ -775,8 +720,6 @@ def _cplx_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
     """(ar + i ai) contracted over ``lhs_dims`` with (cm - i*sign*sm) whose
     contracting dims are the leading ones; Karatsuba (3 real dots).  The rhs
     free dim (n_keep / (nb, pd)) is appended after the lhs free dims."""
-    if _is_fxp(prec):
-        return _fxp_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec)
     p = PRECISIONS[prec]
     rdims = tuple(range(len(lhs_dims)))
     dn = ((lhs_dims, rdims), ((), ()))
@@ -787,9 +730,7 @@ def _cplx_pair_dot(ar, ai, cm, sm, sign, lhs_dims, prec):
 
 
 def _real_dot(x, mat, lhs_dims, prec):
-    """Single real contraction (r2c last-axis dots) with fxp dispatch."""
-    if _is_fxp(prec):
-        return _fxp_dot_general(x, mat, lhs_dims, prec)
+    """Single real contraction (r2c last-axis dots)."""
     rdims = tuple(range(len(lhs_dims)))
     dn = ((tuple(lhs_dims), rdims), ((), ()))
     return jax.lax.dot_general(x, mat, dn, precision=PRECISIONS[prec])
@@ -803,29 +744,11 @@ def _cplx_fold_fwd(ar, ai, ax: "BlockAxisDFT", lhs_dims, prec):
     fc, fs = ax.fpcos_t, ax.fpsin_t
     rdims = tuple(range(len(lhs_dims)))
     dn = ((tuple(lhs_dims), rdims), ((), ()))
-    if _is_fxp(prec):
-        # Direct 4-dot form shares limb quantisation: 2 lhs + 2 rhs splits.
-        shifts = _FXP_DFT_SHIFTS[prec]
-        arl, sar = _fxp_quant(ar, lhs_dims, shifts)
-        ail, sai = _fxp_quant(ai, lhs_dims, shifts)
-        fcl, sfc = _fxp_quant(fc, rdims, shifts)
-        fsl, sfs = _fxp_quant(fs, rdims, shifts)
-
-        def _dot(xl, sx, yl, sy):
-            out = _fxp_dot_limbs(xl, yl, dn, shifts)
-            sx_b = jnp.expand_dims(sx, tuple(range(sx.ndim, out.ndim)))
-            return out * sx_b * sy
-
-        a = _dot(arl, sar, fcl, sfc)  # Xr.C
-        b = _dot(ail, sai, fsl, sfs)  # Xi.S
-        c = _dot(ail, sai, fcl, sfc)  # Xi.C
-        d = _dot(arl, sar, fsl, sfs)  # Xr.S
-    else:
-        p = PRECISIONS[prec]
-        a = jax.lax.dot_general(ar, fc, dn, precision=p)  # Xr.C
-        b = jax.lax.dot_general(ai, fs, dn, precision=p)  # Xi.S
-        c = jax.lax.dot_general(ai, fc, dn, precision=p)  # Xi.C
-        d = jax.lax.dot_general(ar, fs, dn, precision=p)  # Xr.S
+    p = PRECISIONS[prec]
+    a = jax.lax.dot_general(ar, fc, dn, precision=p)  # Xr.C
+    b = jax.lax.dot_general(ai, fs, dn, precision=p)  # Xi.S
+    c = jax.lax.dot_general(ai, fc, dn, precision=p)  # Xi.C
+    d = jax.lax.dot_general(ar, fs, dn, precision=p)  # Xr.S
     P_, M_ = ax.fold_P, ax.fold_M
 
     def seg(x, lo, hi, rev=False):
@@ -889,20 +812,6 @@ def _cplx_fold_bwd(xr, xi, ax: "BlockAxisDFT", prec):
     srp, srm = parts(xr)
     sip, sim = parts(xi)
     dn = (((1,), (0,)), ((), ()))
-    if _is_fxp(prec):
-        shifts = _FXP_DFT_SHIFTS[prec]
-        fcl, sfc = _fxp_quant(ax.fbcos_t, (0,), shifts)
-        fsl, sfs = _fxp_quant(ax.fbsin_t, (0,), shifts)
-
-        def _dot(x, yl, sy):
-            xl, sx = _fxp_quant(x, (1,), shifts)
-            out = _fxp_dot_limbs(xl, yl, dn, shifts)
-            sx_b = jnp.expand_dims(sx, tuple(range(sx.ndim, out.ndim)))
-            return out * sx_b * sy
-
-        r = _dot(srp, fcl, sfc) - _dot(sim, fsl, sfs)
-        i = _dot(sip, fcl, sfc) + _dot(srm, fsl, sfs)
-        return r, i
     p = PRECISIONS[prec]
     # R = sum_k xr cos - xi sin = S+r.C - S-i.S;  I = S+i.C + S-r.S.
     r = jax.lax.dot_general(srp, ax.fbcos_t, dn, precision=p) - (
@@ -982,6 +891,88 @@ def backward_dft_blockform(spec_ch, axes_block, *, real: bool, prec: str):
     return jnp.stack(
         [jnp.transpose(xr, perm), jnp.transpose(xi, perm)], axis=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended-precision (double-single) block-form drivers: every value tensor
+# is an (hi, lo) f32 pair and every contraction runs as int8 limb cascades
+# with exact int32 accumulation (ops/ds.ds_fxp_contract) — the TPU-native
+# replacement for the reference's native-Float64 transform path
+# (reference: src/plan.jl Float64 plans; test/accuracy.jl:7-27 certifies
+# ~4e-14 in f64).  Complex pair-dots run the direct 4-dot form sharing one
+# limb quantisation per operand; the +-k fold is not used (ds factors are
+# stored unfolded).
+# ---------------------------------------------------------------------------
+
+
+def _ds_pair_dot(xr, xi, cm, sm, sign, lhs_dims, nl):
+    """(xr + i xi) contracted with (cm - i*sign*sm), everything (hi, lo)
+    ds pairs; 4 real ds dots sharing limb quantisation."""
+    from .ds import ds_add, ds_fxp_contract, ds_fxp_quant
+
+    lhs_dims = tuple(lhs_dims)
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((lhs_dims, rdims), ((), ()))
+    xrl, sxr = ds_fxp_quant(xr[0], xr[1], lhs_dims, nl)
+    xil, sxi = ds_fxp_quant(xi[0], xi[1], lhs_dims, nl)
+    cml, scm = ds_fxp_quant(cm[0], cm[1], rdims, nl)
+    sml, ssm = ds_fxp_quant(sm[0], sm[1], rdims, nl)
+    rc = ds_fxp_contract(xrl, sxr, cml, scm, dn, nl)
+    is_ = ds_fxp_contract(xil, sxi, sml, ssm, dn, nl)
+    ic = ds_fxp_contract(xil, sxi, cml, scm, dn, nl)
+    rs = ds_fxp_contract(xrl, sxr, sml, ssm, dn, nl)
+    re = ds_add(rc[0], rc[1], sign * is_[0], sign * is_[1])
+    im = ds_add(ic[0], ic[1], -sign * rs[0], -sign * rs[1])
+    return re, im
+
+
+def forward_dft_blockform_ds(buf_hi, buf_lo, axes_block, *, nl: int = 6):
+    """ds forward DFT + halo merge + relayout + truncation + deconvolution.
+
+    ``buf_hi``/``buf_lo``: the ds spread kernel's padded block buffer pair,
+    channel-split (C, 2, nb0.., pd0..).  Returns the (hi, lo) channel-form
+    non-oversampled spectrum pair (C, 2) + spectral_shape (unnormalised;
+    caller applies normfactor in ds)."""
+    D = len(axes_block)
+    xr = (buf_hi[:, 0], buf_lo[:, 0])
+    xi = (buf_hi[:, 1], buf_lo[:, 1])
+    for d in range(D):
+        lhs = (1, 1 + (D - d))
+        ax = axes_block[d]
+        xr, xi = _ds_pair_dot(
+            xr, xi, (ax.pcos_t, ax.pcos_lo), (ax.psin_t, ax.psin_lo),
+            1.0, lhs, nl,
+        )
+    hi = jnp.stack([xr[0], xi[0]], axis=1)
+    lo = jnp.stack([xr[1], xi[1]], axis=1)
+    return hi, lo
+
+
+def backward_dft_blockform_ds(spec_hi, spec_lo, axes_block, *, nl: int = 6):
+    """ds backward DFT emitting the halo-gathered padded block buffer pair
+    (C, 2, nb0.., pd0..) directly.  Input: (hi, lo) channel-form spectrum
+    pair, already deconvolution-scaled in ds by the caller."""
+    D = len(axes_block)
+    xr = (spec_hi[:, 0], spec_lo[:, 0])
+    xi = (spec_hi[:, 1], spec_lo[:, 1])
+    for d in range(D):
+        ax = axes_block[d]
+        xr, xi = _ds_pair_dot(
+            xr, xi, (ax.bcos_t, ax.bcos_lo), (ax.bsin_t, ax.bsin_lo),
+            -1.0, (1,), nl,
+        )
+    perm = (
+        (0,)
+        + tuple(1 + 2 * d for d in range(D))
+        + tuple(2 + 2 * d for d in range(D))
+    )
+    hi = jnp.stack(
+        [jnp.transpose(xr[0], perm), jnp.transpose(xi[0], perm)], axis=1
+    )
+    lo = jnp.stack(
+        [jnp.transpose(xr[1], perm), jnp.transpose(xi[1], perm)], axis=1
+    )
+    return hi, lo
 
 
 def _axis_sizes(axes_block):

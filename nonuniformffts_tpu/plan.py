@@ -81,13 +81,6 @@ class Plan:
     # The bench measures achieved error every run; the DFT stays on its own
     # ``precision`` (K ~ L-term oscillatory sums, ops/matmul_fft.py:38-43).
     kernel_precision: Optional[str] = static_field(default=None)
-    # Contraction precision override for the block-form DFT stages only
-    # (None = follow ``precision``).  Accepts the _PRECS ladder values plus
-    # 'fxp' / 'fxp4': int8 fixed-point limb contractions with exact int32
-    # accumulation (ops/matmul_fft.py:_fxp_dot_general) — ~2x less MXU time
-    # than HIGHEST at ~2^-21 (fxp) / ~2^-27 (fxp4) per-output-row
-    # quantisation noise.  The bench measures achieved error every run.
-    dft_precision: Optional[str] = static_field(default=None)
     # Host-side per-stage Timer (utils.timer.Timer) or None.  When set, the
     # execution functions run stage-by-stage with device sync between stages
     # (the analogue of the reference's TimerOutputs + synchronise=true,
@@ -133,10 +126,23 @@ class Plan:
     # positions (cheaper past a few million points); 'auto' picks by Np at
     # set_points time.
     value_permute: str = static_field(default="auto")
+    # Extended-precision (double-single) pipeline: complex128 plans with
+    # precision='double' on the blocked method.  Every value-bearing tensor
+    # is an (hi, lo) f32 pair; kernels and DFT contract via int8 limb
+    # cascades with exact int32 accumulation (ops/ds.py,
+    # ops/pallas/blocked_ds.py, matmul_fft.forward_dft_blockform_ds) —
+    # the TPU-native replacement for the reference's native-Float64 path.
+    ds: bool = static_field(default=False)
+    # int8 limbs per ds operand: 6 -> ~2^-42-grade contractions (~1.3x one
+    # f32-HIGHEST dot of MXU time), 7 -> ~2^-48 (~1.8x).
+    ds_nl: int = static_field(default=6)
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
     phihat_inv: Tuple[jnp.ndarray, ...] = data_field(default=())  # 1/phi_hat per dim
+    # ds plans: f32 residuals of the f64 deconvolution factors (hi = the
+    # phihat_inv entries themselves, forced f32).
+    phihat_inv_lo: Tuple[jnp.ndarray, ...] = data_field(default=())
     # Per-dim (src_start, length) slice ranges mapping output modes into the
     # oversampled FFT axis — static so trunc/pad lower to slices, not gathers.
     index_ranges: Tuple = static_field(default=())
@@ -339,7 +345,6 @@ def PlanNUFFT(
     fft_variant: str = "auto",
     precision: str = "highest",
     kernel_precision: Optional[str] = None,
-    dft_precision: Optional[str] = None,
     np_hint: Optional[int] = None,
     window_rows: Optional[int] = "auto",
     window_rows_y: Optional[int] = "auto",
@@ -386,6 +391,18 @@ def PlanNUFFT(
     if kernel_evalmode is None:
         kernel_evalmode = FastApproximation()
 
+    # Extended-precision (double-single) pipeline: 64-bit COMPLEX dtype +
+    # precision='double' on the blocked method.  (precision='double' on
+    # 32-bit dtypes keeps its existing meaning: compensated f32
+    # accumulation.)  Resolved fully after spread_method below.
+    ds_requested = precision == "double" and dtype == np.dtype(np.complex128)
+    if precision == "double" and dtype == np.dtype(np.float64):
+        if spread_method == "blocked":
+            raise NotImplementedError(
+                "extended-precision real (float64) plans are not supported "
+                "yet; use complex128 (the ds pipeline is complex-only)"
+            )
+
     # Oversampled grid dims: next 5-smooth integer >= sigma*N; for real-data
     # plans the halved (last) axis is forced even (reference: plan.jl:485-498,
     # which applies the rule to its halved *first* axis).
@@ -401,10 +418,27 @@ def PlanNUFFT(
 
     sigma_actual = max(no / n for no, n in zip(shape_over, shape))
 
+    if spread_method == "auto":
+        pass  # resolved below; ds gating needs the resolved method
+    ds_mode = ds_requested and (
+        spread_method in ("blocked", "auto")
+        # 'auto' resolves to 'blocked' on TPU only; on other backends an
+        # explicit spread_method='blocked' opts in (tests run interpret).
+        and (spread_method == "blocked" or jax.default_backend() in ("tpu", "axon"))
+    )
+    if ds_mode and not isinstance(kernel_evalmode, FastApproximation):
+        raise ValueError(
+            "extended-precision (complex128 + precision='double') plans "
+            "require FastApproximation kernel evaluation (ds coefficient "
+            "pairs)"
+        )
+
     # Per-dimension kernel data with the per-dim actual oversampling factor
     # (plan.jl:500-505).
     kernel_data = tuple(
-        windows.make_kernel_data(kernel, m, n_over, n_over / n, real_dtype)
+        windows.make_kernel_data(
+            kernel, m, n_over, n_over / n, real_dtype, ds=ds_mode
+        )
         for n, n_over in zip(shape, shape_over)
     )
 
@@ -442,7 +476,27 @@ def PlanNUFFT(
     # FFT engine decision first — it determines the kernel buffer form.
     # XLA's native FFT where available; MXU matmul-DFT on TPU backends that
     # do not implement the FFT op (ops/matmul_fft.py).
-    if fft_method is None:
+    if ds_mode:
+        # The ds pipeline needs the block-form DFT: the halo merge must
+        # live inside the ds factor contraction (a separate f32 merge pass
+        # would round the hi channels at 2^-24).
+        if fft_method not in (None, "matmul") or fft_variant not in (
+            "auto", "pruned"
+        ):
+            raise ValueError(
+                "extended-precision plans require the pruned matmul-DFT "
+                f"engine; got fft_method={fft_method!r}, "
+                f"fft_variant={fft_variant!r}"
+            )
+        if layout != "packed":
+            raise ValueError("extended-precision plans require layout='packed'")
+        fft_method, fft_variant = "matmul", "pruned"
+        # ds kernels carry double buffers everywhere; one batch per DMA
+        # descriptor keeps the scoped-VMEM stack under the chip limit at
+        # m >= 8 (measured: m=8 interp overflowed 16 MiB by 36 KB at
+        # dma_super=4).
+        dma_super = 1
+    elif fft_method is None:
         fft_method = "matmul" if jax.default_backend() in ("tpu", "axon") else "xla"
     if fft_method == "matmul":
         if fft_variant == "auto":
@@ -460,8 +514,6 @@ def PlanNUFFT(
         None, "default", "high", "highest", "double", "fxp"
     ):
         raise ValueError(f"unknown kernel_precision {kernel_precision!r}")
-    if dft_precision not in (None, "default", "high", "highest", "fxp", "fxp4"):
-        raise ValueError(f"unknown dft_precision {dft_precision!r}")
     if value_permute not in ("auto", "gather", "sort"):
         raise ValueError(f"unknown value_permute {value_permute!r}")
     kernel_form = (
@@ -493,6 +545,12 @@ def PlanNUFFT(
             )
         cr_total = ntransforms * (1 if is_real else 2)
         cr_step = 1 if is_real else 2  # keep a component's re/im together
+        if ds_mode:
+            # ds kernels carry (hi, lo) pairs: the VMEM working set doubles
+            # and channel chunking is not supported — geometry must fit the
+            # full 2*CR accumulator.
+            cr_total *= 2
+            cr_step = cr_total
 
         def _geometry_for(batch):
             # Find the largest channel chunk whose geometry fits VMEM
@@ -616,6 +674,8 @@ def PlanNUFFT(
         for n_over in shape_over:
             total_ *= n_over
         avg = (np_hint if np_hint else max(int(0.05 * total_), 1)) / nblocks_
+        if ds_mode:
+            window_rows = None  # ds kernels run the full-accumulator form
         if window_rows == "auto":
             # Expected dim-0 cell span of one batch + the 2M window rows;
             # batches exceeding W take the full-accumulator fallback, so
@@ -675,8 +735,9 @@ def PlanNUFFT(
                     iranges[d],
                     phinv_np[d],
                     "pruned_r2c" if (is_real and d == D - 1) else "pruned_c2c",
-                    real_dtype,
+                    np.float64 if ds_mode else real_dtype,
                     return_np=True,
+                    host_only=ds_mode,  # ds: f64 factors stay host-side
                 )
                 for d, n_over in enumerate(shape_over)
             ]
@@ -697,7 +758,7 @@ def PlanNUFFT(
         fft_method == "matmul"
         and fft_variant == "pruned"
         and spread_method == "blocked"
-        and precision != "double"
+        and (precision != "double" or ds_mode)
     ):
         from .ops import matmul_fft
 
@@ -710,18 +771,10 @@ def PlanNUFFT(
                 m,
                 merged=(kernel_form == "z" and d == D - 1),
                 np_factors=fft_axes_np[d],
-                fold=dft_fold,
+                fold=dft_fold and not ds_mode,
+                ds=ds_mode,
             )
             for d, ax in enumerate(fft_axes)
-        )
-
-    if dft_precision is not None and not fft_axes_block:
-        raise ValueError(
-            "dft_precision is implemented for the block-form DFT engine only "
-            "(blocked spread_method + pruned matmul FFT, precision != "
-            "'double'); this plan resolved to "
-            f"spread_method={spread_method!r}, fft_method={fft_method!r}, "
-            f"fft_variant={fft_variant!r}"
         )
 
     return Plan(
@@ -747,7 +800,6 @@ def PlanNUFFT(
         fft_axes_block=fft_axes_block,
         precision=precision,
         kernel_precision=kernel_precision,
-        dft_precision=dft_precision,
         timer=timer,
         cr_chunk=cr_chunk,
         window_rows=window_rows,
@@ -759,9 +811,23 @@ def PlanNUFFT(
         kernel_form=kernel_form,
         padded_dims=padded_dims,
         kernel_data=kernel_data,
-        phihat_inv=tuple(jnp.asarray(p, dtype=real_dtype) for p in phinv_np),
+        phihat_inv=tuple(
+            jnp.asarray(p, dtype=np.float32 if ds_mode else real_dtype)
+            for p in phinv_np
+        ),
+        phihat_inv_lo=tuple(
+            jnp.asarray(
+                (np.asarray(p, np.float64) - np.asarray(p, np.float32)
+                 .astype(np.float64)).astype(np.float32)
+            )
+            for p in phinv_np
+        ) if ds_mode else (),
         index_ranges=tuple(iranges),
-        kvec=tuple(jnp.asarray(k, dtype=real_dtype) for k in kvec_np),
+        kvec=tuple(
+            jnp.asarray(k, dtype=np.float32 if ds_mode else real_dtype)
+            for k in kvec_np
+        ),
+        ds=ds_mode,
     )
 
 
@@ -854,6 +920,57 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
 
 
 @jax.jit
+def _pack_points_ds_jit(plan: Plan, pts_h: jnp.ndarray, pts_l: jnp.ndarray):
+    """Extended-precision packed-layout preparation: double-single points
+    (two (D, Np) f32 arrays) ride the ONE multi-operand sort with the lo
+    fractions as extra payload rows (blocking.packed_layout points_lo)."""
+    from .blocking import packed_layout
+
+    pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm = packed_layout(
+        plan.kernel_data, plan.block_dims, pts_h, plan.batch_size,
+        points_lo=pts_l,
+    )
+    extra = plan.dma_super_eff * plan.batch_size
+    if extra > plan.batch_size:
+        pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
+        perm = jnp.pad(perm, (0, extra))
+    np_ = pts_h.shape[1]
+    sort_inv = None
+    if plan.value_permute == "sort" or (
+        plan.value_permute == "auto" and np_ >= _SORT_PERMUTE_MIN_NP
+    ):
+        iota = jnp.arange(np_, dtype=jnp.int32)
+        _, sort_inv = jax.lax.sort_key_val(perm[:np_], iota)
+    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sort_inv
+
+
+def _canonicalise_points_host(points, D: int) -> np.ndarray:
+    """Host-side (numpy, float64) twin of _canonicalise_points for ds plans:
+    f64 device arrays do not exist on TPU, so the f64 -> (hi, lo) split
+    happens on the host."""
+    if isinstance(points, (tuple, list)):
+        if len(points) != D:
+            raise ValueError(f"expected {D} coordinate arrays, got {len(points)}")
+        cols = [np.asarray(p, dtype=np.float64).reshape(-1) for p in points]
+        n0 = cols[0].shape[0]
+        if any(c.shape[0] != n0 for c in cols):
+            raise ValueError("coordinate arrays must have equal lengths")
+        return np.stack(cols, axis=0)
+    arr = np.asarray(points, dtype=np.float64)
+    if arr.ndim == 1:
+        if D != 1:
+            raise ValueError(f"1-D point array given for a {D}-D plan")
+        return arr[None, :]
+    if arr.ndim == 2:
+        if arr.shape[0] == D:
+            return arr
+        if arr.shape[1] == D:
+            return arr.T
+        raise ValueError(f"point array shape {arr.shape} incompatible with D={D}")
+    raise ValueError(f"point array must be 1- or 2-dimensional, got {arr.ndim}")
+
+
+@jax.jit
 def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
     """Blocked-path point preparation.  ``pts`` are transformed but NOT
     folded: folding is the mod-N built into the high-accuracy cell split
@@ -927,6 +1044,42 @@ def _spatial_sort_jit(plan: Plan, pts_f: jnp.ndarray):
 def set_points(plan: Plan, points) -> Plan:
     """Return a new plan with the non-uniform points set (folded; bin-sorted
     when the blocked method is active)."""
+    if plan.ds:
+        from .ops.ds import split_array_np
+
+        pts64 = _canonicalise_points_host(points, plan.ndim)
+        if plan.point_transform is not _identity:
+            pts64 = np.asarray(plan.point_transform(pts64), dtype=np.float64)
+        ph, plo = split_array_np(pts64)
+        ph_d, plo_d = jnp.asarray(ph), jnp.asarray(plo)
+        if plan.timer is not None:
+            with plan.timer.section("set_points"):
+                out = _pack_points_ds_jit(plan, ph_d, plo_d)
+                plan.timer.sync(out)
+        else:
+            out = _pack_points_ds_jit(plan, ph_d, plo_d)
+        pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sinv = out
+        pts_folded = jnp.asarray(
+            np.mod(pts64, TWO_PI).astype(np.float32)
+        )  # diagnostics / num_points only: the kernels use the ds rows
+        return dataclasses.replace(
+            plan,
+            points=pts_folded,
+            points_packed=pts_rows,
+            pstarts=pstarts,
+            sort_perm=perm,
+            sort_inv=sinv,
+            block_starts=batch_starts,
+            batch_r0=batch_r0,
+            batch_r1=batch_r1,
+            num_points_static=pts64.shape[1],
+            points_slotted=None,
+            slot_to_point=None,
+            slot_valid=None,
+            point_slots=None,
+            point_perm=None,
+            point_perm_inv=None,
+        )
     pts = _canonicalise_points(points, plan.ndim, plan.real_dtype)
     if plan.spread_method == "blocked" and plan.layout == "packed":
         pts_t = pts if plan.point_transform is _identity else plan.point_transform(pts)

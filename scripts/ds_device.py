@@ -1,0 +1,103 @@
+"""On-device certification of the extended-precision (ds) pipeline.
+
+Runs the complex128 + precision='double' blocked pipeline COMPILED on the
+real TPU (no interpret mode) and measures achieved relative error against
+f64 host oracles — the device twin of tests/test_ds.py's interpret-mode
+checks, and the row the round-3 verdict asked for: tolerances below the
+f32 pipeline's ~2e-7 storage ceiling, delivered on the chip.
+
+- type 1: exact f64 sums over a random mode subsample (bench.py protocol);
+- type 2: rank-1 separable spectrum -> closed-form exact values per point;
+- also times one full iteration (set_points + type1 + type2).
+
+Run: python scripts/ds_device.py   (env: DS_N grid, DS_NP points, DS_M m)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_GRID = int(os.environ.get("DS_N", 64))
+NP_PTS = int(os.environ.get("DS_NP", 200_000))
+M_LIST = [int(x) for x in os.environ.get("DS_M", "4,6,8,10").split(",")]
+ERR_MODES = int(os.environ.get("DS_MODES", 384))
+
+
+def main():
+    import jax
+
+    import nonuniformffts_tpu as nufft
+
+    shape = (N_GRID,) * 3
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0, 2 * np.pi, (3, NP_PTS))  # float64, stays f64
+    vc = rng.standard_normal(NP_PTS) + 1j * rng.standard_normal(NP_PTS)
+    v = vc[None, :]
+
+    # --- type-1 oracle: exact sums at a mode subsample (f64 host) --------
+    mrng = np.random.default_rng(7)
+    kidx = mrng.integers(0, N_GRID, (ERR_MODES, 3))
+    kval = np.where(kidx >= (N_GRID + 1) // 2, kidx - N_GRID, kidx).astype(
+        np.float64
+    )
+    exact1 = np.zeros(ERR_MODES, np.complex128)
+    chunk = 131072
+    for s in range(0, NP_PTS, chunk):
+        ph = (
+            kval[:, 0:1] * pts[0:1, s : s + chunk]
+            + kval[:, 1:2] * pts[1:2, s : s + chunk]
+            + kval[:, 2:3] * pts[2:3, s : s + chunk]
+        )
+        exact1 += (np.exp(-1j * ph) * vc[None, s : s + chunk]).sum(axis=1)
+
+    # --- type-2 oracle: rank-1 separable spectrum -------------------------
+    a = [
+        (mrng.standard_normal(N_GRID) + 1j * mrng.standard_normal(N_GRID))
+        for _ in range(3)
+    ]
+    uhat_sep = np.einsum("i,j,k->ijk", a[0], a[1], a[2])
+    ks = np.fft.fftfreq(N_GRID, 1.0 / N_GRID).astype(np.float64)
+    exact2 = np.ones(NP_PTS, np.complex128)
+    for d in range(3):
+        exact2 *= (
+            a[d][None, :] * np.exp(1j * pts[d][:, None] * ks[None, :])
+        ).sum(axis=1)
+
+    for m in M_LIST:
+        try:
+            plan = nufft.PlanNUFFT(
+                np.complex128, shape, m=m, sigma=2.0, precision="double",
+                spread_method="blocked", np_hint=NP_PTS,
+            )
+            t0 = time.perf_counter()
+            p = nufft.set_points(plan, pts)
+            u = np.asarray(nufft.exec_type1(p, v))
+            v2 = np.asarray(nufft.exec_type2(p, uhat_sep[None]))
+            t_first = time.perf_counter() - t0  # includes compile
+
+            got1 = u[0][kidx[:, 0], kidx[:, 1], kidx[:, 2]]
+            e1 = np.linalg.norm(got1 - exact1) / np.linalg.norm(exact1)
+            e2 = np.linalg.norm(v2[0] - exact2) / np.linalg.norm(exact2)
+
+            t0 = time.perf_counter()
+            p = nufft.set_points(plan, pts)
+            u = nufft.exec_type1(p, v)
+            v2 = nufft.exec_type2(p, uhat_sep[None])
+            t_iter = time.perf_counter() - t0
+            print(
+                f"m={m:2d} sigma=2.0 N={N_GRID}^3 Np={NP_PTS}: "
+                f"err1={e1:.3e} err2={e2:.3e} iter={t_iter*1e3:.1f} ms "
+                f"(first {t_first:.1f} s) blocks={plan.block_dims} "
+                f"batch={plan.batch_size}",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"m={m}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

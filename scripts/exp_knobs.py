@@ -81,15 +81,6 @@ def main():
             # (spread_hi - spread_def ~= 5/6 of the HIGHEST dot time).
             dict(kernel_precision="default"),
         ]
-    elif os.environ.get("EXP_DFTPREC") == "1":
-        # Block-form DFT precision A/B: int8 limb contractions (exact int32
-        # accumulation) vs bf16x6.  fxp = 18 int8 passes per Karatsuba
-        # pair-dot vs HIGHEST's 18 bf16 passes at the ~2.65x int8 rate.
-        configs = [
-            dict(),
-            dict(dft_precision="fxp"),
-            dict(dft_precision="fxp4"),
-        ]
     elif os.environ.get("EXP_ONLY_DEFAULT") == "1":
         configs = [dict()]  # quick A/B of the auto default only
     elif os.environ.get("EXP_RHO1") == "1":

@@ -75,7 +75,7 @@ def test_ds_fxp_dot_general_vs_f64(rng, nl, tol):
     ref = A @ B
     a = tuple(jnp.asarray(x) for x in ds.split_array_np(A))
     b = tuple(jnp.asarray(x) for x in ds.split_array_np(B))
-    hi, lo = ds.ds_fxp_dot_general(a, b, (1,), nl=nl)
+    hi, lo = ds.ds_fxp_dot_general(a, b, ((1,), (0,)), nl=nl)
     err = np.linalg.norm(_to_f64(hi, lo) - ref) / np.linalg.norm(ref)
     assert err < tol
     # f32 inputs alone floor near 2^-24; the ds path must beat it by far.
@@ -90,7 +90,7 @@ def test_ds_fxp_dot_general_multidim(rng):
     ref = np.einsum("cabn,abk->cnk", A, B)
     a = tuple(jnp.asarray(x) for x in ds.split_array_np(A))
     b = tuple(jnp.asarray(x) for x in ds.split_array_np(B))
-    hi, lo = ds.ds_fxp_dot_general(a, b, (1, 2), nl=6)
+    hi, lo = ds.ds_fxp_dot_general(a, b, ((1, 2), (0, 1)), nl=6)
     got = np.moveaxis(_to_f64(hi, lo), -1, -1)  # dims: (2, 5, 9) already
     err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert err < 1e-11
@@ -102,7 +102,7 @@ def test_ds_fxp_dot_plain_f32_inputs(rng):
     B = rng.standard_normal((512, 24)).astype(np.float32)
     ref = A.astype(np.float64) @ B.astype(np.float64)
     hi, lo = ds.ds_fxp_dot_general(
-        (jnp.asarray(A), None), (jnp.asarray(B), None), (1,), nl=6
+        (jnp.asarray(A), None), (jnp.asarray(B), None), ((1,), (0,)), nl=6
     )
     err = np.linalg.norm(_to_f64(hi, lo) - ref) / np.linalg.norm(ref)
     assert err < 1e-10
@@ -128,3 +128,92 @@ def test_point_to_cell_split_ds(rng):
     err = np.abs(recon - r % n)
     err = np.minimum(err, n - err)  # periodic distance
     assert err.max() < 2e-11  # ~2^-46 * n
+
+
+# ---------------------------------------------------------------------------
+# End-to-end extended-precision pipeline (interpret mode)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_ds(shape, m, sigma, Np, rng, **kw):
+    import nonuniformffts_tpu as nufft
+
+    pts = rng.uniform(0, 2 * np.pi, (len(shape), Np))
+    v = rng.standard_normal((1, Np)) + 1j * rng.standard_normal((1, Np))
+    ref = nufft.PlanNUFFT(np.complex128, shape, m=m, sigma=sigma)
+    ref = nufft.set_points(ref, pts)
+    u_ref = np.asarray(nufft.exec_type1(ref, v))
+    v2_ref = np.asarray(nufft.exec_type2(ref, u_ref))
+    dsp = nufft.PlanNUFFT(
+        np.complex128, shape, m=m, sigma=sigma, precision="double",
+        spread_method="blocked", interpret=True, np_hint=Np, **kw,
+    )
+    assert dsp.ds
+    dsp = nufft.set_points(dsp, pts)
+    u_ds = nufft.exec_type1(dsp, v)
+    v2_ds = nufft.exec_type2(dsp, np.asarray(u_ds, np.complex128))
+    e1 = np.linalg.norm(u_ds - u_ref) / np.linalg.norm(u_ref)
+    e2 = np.linalg.norm(v2_ds - v2_ref) / np.linalg.norm(v2_ref)
+    return e1, e2
+
+
+def test_ds_pipeline_matches_f64_reference_3d(rng):
+    """The extended-precision blocked pipeline (complex128 +
+    precision='double') must match the f64 reference path to ~1e-11 — four
+    orders below the f32 pipeline's ~2e-7 device floor (docs/accuracy.md).
+    Reference bar: test/accuracy.jl certifies ~4e-14 with native f64; the
+    (hi, lo) representation carries ~48 bits, so ~1e-11 end-to-end."""
+    e1, e2 = _roundtrip_ds((32, 32, 32), 8, 2.0, 3000, rng)
+    assert e1 < 5e-11, e1
+    assert e2 < 5e-11, e2
+
+
+def test_ds_pipeline_2d_and_nl7(rng):
+    e1, e2 = _roundtrip_ds((48, 32), 6, 2.0, 2000, rng)
+    assert e1 < 5e-11 and e2 < 5e-11, (e1, e2)
+
+
+def test_ds_pipeline_ntransforms(rng):
+    import nonuniformffts_tpu as nufft
+
+    shape, Np, C = (24, 24, 24), 1500, 3
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    v = rng.standard_normal((C, Np)) + 1j * rng.standard_normal((C, Np))
+    ref = nufft.set_points(
+        nufft.PlanNUFFT(np.complex128, shape, m=6, sigma=2.0, ntransforms=C),
+        pts,
+    )
+    u_ref = np.asarray(nufft.exec_type1(ref, v))
+    dsp = nufft.set_points(
+        nufft.PlanNUFFT(
+            np.complex128, shape, m=6, sigma=2.0, ntransforms=C,
+            precision="double", spread_method="blocked", interpret=True,
+            np_hint=Np,
+        ),
+        pts,
+    )
+    u_ds = nufft.exec_type1(dsp, v)
+    err = np.linalg.norm(u_ds - u_ref) / np.linalg.norm(u_ref)
+    assert err < 5e-11, err
+
+
+def test_ds_plan_validation():
+    import nonuniformffts_tpu as nufft
+    from nonuniformffts_tpu.ops.windows import Direct
+
+    with pytest.raises(NotImplementedError, match="complex128"):
+        nufft.PlanNUFFT(
+            np.float64, (32, 32), precision="double",
+            spread_method="blocked", interpret=True,
+        )
+    with pytest.raises(ValueError, match="FastApproximation"):
+        nufft.PlanNUFFT(
+            np.complex128, (32, 32), precision="double",
+            spread_method="blocked", kernel_evalmode=Direct(),
+            interpret=True,
+        )
+    with pytest.raises(ValueError, match="pruned"):
+        nufft.PlanNUFFT(
+            np.complex128, (32, 32), precision="double",
+            spread_method="blocked", fft_method="xla", interpret=True,
+        )
