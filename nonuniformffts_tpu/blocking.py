@@ -59,6 +59,21 @@ _VPU_CYCLE_S = 8.0e-10  # per modelled (8,128) vreg op, fitted
 #: correspond to actual usage comfortably under the 16 MiB limit.
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
+#: Mosaic pipeline-pressure cliff (round-3/4 device ladders): when the
+#: z-form working-set estimate crosses ~9 MiB, Mosaic stops overlapping
+#: the output-block pipeline with compute and the kernel pass slows by a
+#: measured ~1.66x (batch 256 -> 384 at blocks (64,8,96), identical MACs:
+#: +66%; batch 512 at (64,8,96), 10.6 MiB: ~2x; while batch 512 at
+#: (48,8,96), 8.6 MiB, and batch 128 at (64,16,96), 8.9 MiB, both run at
+#: model speed).  The mechanism does not track any single modelled buffer
+#: (PROFILE.md round-4 ladder: dma_super=2 half-recovers batch 1024), so
+#: it is modelled as a calibrated threshold penalty on the kernel-pass
+#: cost rather than a per-buffer term.  This is what rejects the 384/512
+#: batch candidates the raw MAC/overhead model would otherwise prefer at
+#: high density.
+VMEM_PRESSURE_BYTES = int(9.0 * 1024 * 1024)
+_VMEM_PRESSURE_FACTOR = 1.66
+
 #: SMEM budget for the kernels' scalar-prefetch operands.  The hardware
 #: limit is 1 MiB per core; the dominant operand is the packed per-batch
 #: window metadata r01s (one i32 per point batch), next to the block
@@ -192,14 +207,14 @@ def geometry_cost(
         kernel_mxu = 1.9 * _MXU_MACS_PER_S_X6
     else:
         kernel_mxu = _MXU_MACS_PER_S_X6
-    cost = (
+    kernel_pass_cost = (
         nblocks * _PROGRAM_OVERHEAD_S
         + nbatches * _BATCH_OVERHEAD_S
         + vpu_s
         + macs / kernel_mxu
-        + 2 * dft_macs / _MXU_MACS_PER_S
         + io_bytes / _HBM_BYTES_PER_S
     )
+    dft_cost = 2 * dft_macs / _MXU_MACS_PER_S
     # VMEM working set, per kernel form (the feasibility test must track the
     # buffers the kernel actually allocates: the round-2 yz formula applied
     # to z-form plans rejected every geometry at batch_size >= 256 because
@@ -237,7 +252,14 @@ def geometry_cost(
             + 2 * batch * sum(pd) * 4
             + 24 * batch * 4
         )
-    return cost, vmem
+    # Pipeline-pressure cliff (see VMEM_PRESSURE_BYTES): past ~9 MiB of
+    # estimated working set, the measured kernel pass runs ~1.66x slower
+    # (compute/DMA overlap lost).  Applied to the kernel-pass cost only —
+    # the DFT contractions are separate XLA ops outside the Pallas
+    # pipeline.
+    if vmem > VMEM_PRESSURE_BYTES:
+        kernel_pass_cost *= _VMEM_PRESSURE_FACTOR
+    return kernel_pass_cost + dft_cost, vmem
 
 
 def choose_geometry(

@@ -414,6 +414,30 @@ def _nbuf(SUPER: int) -> int:
     return NBUF if SUPER == 1 else NBUF_SUPER
 
 
+#: pts++vals operand bytes above which the spread launcher ships points and
+#: values as separate HBM operands instead of one concatenated array.  The
+#: concat is one DMA descriptor per super-batch (the fast default); at
+#: rho = 10 (167.8M points) the (16, Np) temp alone is 10 GB and the
+#: transform OOMs 16 GB HBM, so huge plans pay the second descriptor
+#: (~1.5 us per super-batch, ~4% at rho = 10) to halve peak memory.
+PV_SPLIT_BYTES = 2 << 30
+
+
+class _CopyPair:
+    """Two async copies driven as one (split pts/vals DMA)."""
+
+    def __init__(self, a, b):
+        self._copies = (a, b)
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
 def _pack_r01(r0s, r1s):
     """Pack the per-batch window row starts into ONE scalar-prefetch operand.
 
@@ -577,9 +601,8 @@ def _spread_kernel(
 
 
 def _spread_kernel_z(
-    starts_ref, pstarts_ref, offset_ref, r01s_ref, pv_hbm, cs_ref,
-    out_ref, *scratch,
-    plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
+    starts_ref, pstarts_ref, offset_ref, r01s_ref, *args,
+    plan, CR, DP, nb, pd, P, W, W1, layout, SUPER, SPLIT=False,
 ):
     """Z-form spreading: accumulator (CR*pd0*prod(pd_mid), pd_last); the
     x-window lives in MXU rows (M = CR*W0*prod(pd_mid)), the contraction's
@@ -593,11 +616,23 @@ def _spread_kernel_z(
     contract M = CR*W0*W1 rows, accumulating into a 2D (dim-0 leading,
     dim-1 8-aligned sublane) window — the high-density regime where one
     batch sits inside a single dim-0 slab."""
-    if plan.spread_acc2:
-        acc_ref, acc2_ref, pv_buf, sem_pv = scratch
+    # Huge-Np plans (SPLIT) ship points and values as SEPARATE HBM operands
+    # (two DMA descriptors per super-batch) so the launcher never
+    # materialises the 10 GB pts++vals concat a rho=10 transform would need
+    # (167.8M points OOMed the 16 GB HBM in round 4).
+    if SPLIT:
+        pts_hbm, vals_hbm, cs_ref, out_ref = args[:4]
+        scratch = args[4:]
+        pv_hbm = None
     else:
-        acc_ref, pv_buf, sem_pv = scratch
+        pv_hbm, cs_ref, out_ref = args[:3]
+        scratch = args[3:]
+    if plan.spread_acc2:
+        acc_ref, acc2_ref, pv_buf, sem_pv = scratch[:4]
+    else:
+        acc_ref, pv_buf, sem_pv = scratch[:3]
         acc2_ref = None
+    sem_vals = scratch[-1] if SPLIT else None
     D = plan.ndim
     b = pl.program_id(0)
     start_b = starts_ref[b]
@@ -622,6 +657,19 @@ def _spread_kernel_z(
         else:
             off = pl.multiple_of((start_b + j * SUPER) * P, P)
         dst = pl.multiple_of(slot * SB, P)
+        if SPLIT:
+            return _CopyPair(
+                pltpu.make_async_copy(
+                    pts_hbm.at[:, pl.ds(off, SB)],
+                    pv_buf.at[:DP, pl.ds(dst, SB)],
+                    sem_pv.at[slot],
+                ),
+                pltpu.make_async_copy(
+                    vals_hbm.at[:, pl.ds(off, SB)],
+                    pv_buf.at[DP:, pl.ds(dst, SB)],
+                    sem_vals.at[slot],
+                ),
+            )
         return pltpu.make_async_copy(
             pv_hbm.at[:, pl.ds(off, SB)],
             pv_buf.at[:, pl.ds(dst, SB)],
@@ -908,8 +956,18 @@ def spread_blocked(
                 rows=CRPc,
             )
         # Combined rows [points ; values]: each super-batch is ONE DMA
-        # descriptor of SUPER*P lanes.
-        pv = jnp.concatenate([pts.astype(rdt), vals], axis=0)
+        # descriptor of SUPER*P lanes.  Huge plans (rho ~ 10) ship the two
+        # arrays separately instead — the concat temp alone would OOM HBM
+        # (see PV_SPLIT_BYTES); z-form kernels only.
+        split_pv = (
+            plan.kernel_form == "z"
+            and DP % 8 == 0  # vals rows start at a sublane-aligned offset
+            and (DP + CRPc) * nslots * 4 > PV_SPLIT_BYTES
+        )
+        if split_pv:
+            pv_ops = (pts.astype(rdt), vals)
+        else:
+            pv_ops = (jnp.concatenate([pts.astype(rdt), vals], axis=0),)
         if plan.kernel_form == "z":
             rm = _rows_mid(pd)
             out_specs = pl.BlockSpec(
@@ -928,9 +986,11 @@ def spread_blocked(
                 pltpu.VMEM((DP + CRPc, NB * SB), rdt),
                 pltpu.SemaphoreType.DMA((NB,)),
             ]
+            if split_pv:
+                scratch.append(pltpu.SemaphoreType.DMA((NB,)))
             kernel = functools.partial(
                 _spread_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
-                P=P, W=W, W1=W1, layout=layout, SUPER=SUPER,
+                P=P, W=W, W1=W1, layout=layout, SUPER=SUPER, SPLIT=split_pv,
             )
         else:
             out_specs = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), out_index)
@@ -949,10 +1009,11 @@ def spread_blocked(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(nblocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),  # pts++vals (DP+CRPc, Ns)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficient stack
-            ],
+            in_specs=(
+                # pts++vals (DP+CRPc, Ns) or split (DP, Ns) + (CRPc, Ns)
+                [pl.BlockSpec(memory_space=pltpu.HBM)] * len(pv_ops)
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # coefficients
+            ),
             out_specs=out_specs,
             scratch_shapes=scratch,
         )
@@ -961,7 +1022,7 @@ def spread_blocked(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=plan.interpret,
-        )(plan.block_starts, pstarts, block_offset, r01s, pv, cs)
+        )(plan.block_starts, pstarts, block_offset, r01s, *pv_ops, cs)
 
     # Channel chunking (large ntransforms): the VMEM accumulator scales with
     # CR, so components are processed in plan.cr_chunk-sized groups — the

@@ -582,16 +582,16 @@ def PlanNUFFT(
                 np_eff = np_hint if np_hint else max(
                     int(0.05 * np.prod(shape_over)), 1
                 )
-                # Candidates stop at 256: 384+ crossed a VMEM-pipeline
-                # cliff on device at every measured density (PROFILE.md
-                # round-3 ladder: 256 -> 384 at identical blocks = +66%),
-                # and 512 never beat 256 even at rho = 1.  The 512/1024
-                # tail exists only for SMEM: the per-batch window metadata
-                # is one scalar-prefetch word per batch, and at rho ~ 10
-                # (167.8M points) batch <= 256 overflows the 1 MiB SMEM.
-                for cand in (128, 256, 512, 1024):
-                    if best is not None and cand > 256:
-                        break  # escalation sizes: only if nothing smaller fits
+                # All batch sizes compete under the same cost model; the
+                # measured 384+ VMEM-pipeline cliff (round-3 ladder: 256 ->
+                # 384 at identical blocks = +66%) is a threshold penalty in
+                # geometry_cost (blocking.VMEM_PRESSURE_BYTES), which is
+                # what rejects the large-batch candidates the raw model
+                # would otherwise prefer at high density.  1024 survives as
+                # the SMEM escalation size: at rho ~ 10 (167.8M points) the
+                # per-batch scalar-prefetch metadata overflows SMEM below
+                # batch 512.
+                for cand in (128, 256, 384, 512, 1024):
                     bd_c, warns_c, cr_c = _geometry_for(cand)
                     if any("VMEM" in w for w in warns_c) and best is not None:
                         continue

@@ -83,6 +83,17 @@ def main():
         ]
     elif os.environ.get("EXP_ONLY_DEFAULT") == "1":
         configs = [dict()]  # quick A/B of the auto default only
+    elif os.environ.get("EXP_AUTOPICK") == "1":
+        # Round-4 pressure-penalty model A/B: the cap-free auto search now
+        # picks batch 384 @ (48,8,96) at rho=1 (unmeasured) where the old
+        # hard cap picked 256 @ (64,8,96) (measured 158/181).  Also the
+        # low-density geometry moved (24,48,96) -> (32,32,96).
+        configs = [
+            dict(),  # new auto pick
+            dict(block_dims=(64, 8, 96), batch_size=256),  # old rho=1 pick
+            dict(block_dims=(48, 8, 96), batch_size=512),  # measured-fine 512
+            dict(block_dims=(24, 48, 96), batch_size=128),  # old low-rho pick
+        ]
     elif os.environ.get("EXP_RHO1") == "1":
         # High-density attack: at rho=1 the spread kernel runs ~8x over its
         # MXU MAC floor (~131k batches x ~1.5us fixed per-batch cost), so
@@ -113,6 +124,21 @@ def main():
             dict(block_dims=(64, 1, 96), batch_size=128),
             dict(block_dims=(64, 1, 96), batch_size=256),
             dict(block_dims=(96, 1, 96), batch_size=256),
+        ]
+    elif os.environ.get("EXP_LOWRHO") == "1":
+        # Low-density (rho <= 1e-3) empty-block cost ladder: nearly every
+        # program is empty, so the kernel pass cost is nblocks x (program
+        # overhead + acc memset + out-block DMA) ~ padded-buffer traffic.
+        # Bigger blocks shrink both nblocks and halo-padding inflation
+        # until VMEM caps the accumulator.
+        configs = [
+            dict(),  # auto (round-4 model: (32,32,96) @ 128)
+            dict(block_dims=(24, 48, 96), batch_size=128),  # round-3 pick
+            dict(block_dims=(48, 48, 96), batch_size=128),
+            dict(block_dims=(96, 48, 96), batch_size=128),
+            dict(block_dims=(48, 96, 96), batch_size=128),
+            dict(block_dims=(96, 16, 96), batch_size=128),
+            dict(block_dims=(64, 64, 96), batch_size=128),
         ]
     elif os.environ.get("EXP_PREC") == "1":
         # Kernel contraction precision A/B: bf16x3 (HIGH) vs bf16x6

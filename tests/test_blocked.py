@@ -563,3 +563,31 @@ def test_auto_batch_smem_escalation():
         np.complex64, (256, 256, 256), np_hint=1_000_000, **kw
     )
     assert p1.batch_size <= 256
+
+
+def test_split_pv_spread_matches(rng, monkeypatch):
+    """Huge-Np plans DMA points and values as separate operands (the
+    pts++vals concat temp OOMs HBM at rho=10, 167.8M points).  Force the
+    split at a small size and check both spread paths agree exactly."""
+    from nonuniformffts_tpu.ops.pallas import blocked
+
+    shape, Np = (16, 12, 20), 3000
+    pts, v = _make_inputs(shape, np.complex64, 1, Np, rng)
+    kw = dict(
+        m=4, sigma=2.0, spread_method="blocked", fft_method="matmul",
+        interpret=True, np_hint=Np,
+    )
+    plan = nufft.set_points(nufft.PlanNUFFT(np.complex64, shape, **kw), pts)
+    assert plan.kernel_form == "z"
+    # Call the spread launcher directly (untraced) so the monkeypatched
+    # threshold is read at trace time — exec_type1's jit cache would
+    # otherwise return the concat-path executable for the same plan.
+    vp = v[None] if v.ndim == 1 else v
+    buf_concat = np.asarray(
+        blocked.spread_blocked(plan, vp, raw_output=True)
+    )
+    monkeypatch.setattr(blocked, "PV_SPLIT_BYTES", 0)
+    buf_split = np.asarray(
+        blocked.spread_blocked(plan, vp, raw_output=True)
+    )
+    np.testing.assert_array_equal(buf_concat, buf_split)
