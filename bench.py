@@ -250,6 +250,15 @@ def main():
             kidx[:, 2] = rng.integers(0, N // 2 + 1, n_modes)
         kval = np.where(kidx >= (N + 1) // 2, kidx - N, kidx).astype(np.float64)
         if REAL:
+            # The halved LAST axis stores k = 0..+N/2 (rfft layout, Nyquist
+            # POSITIVE — verified against the c2c path and exact f64 sums);
+            # the FFTW fold above must not map index N/2 to -N/2.  For
+            # non-uniform points e^{+iNx/2} != e^{-iNx/2}, so the round-4
+            # r2c rho=0.1 row measured 1.25e-1 purely from the oracle
+            # sampling that index (2 of 229 modes) — geometry-independent,
+            # identical across three device configs, clean in interpret.
+            kval[:, 2] = kidx[:, 2]
+        if REAL:
             v = v_np[0].astype(np.complex128)
         else:
             v = (v_np[0, 0] + 1j * v_np[0, 1]).astype(np.complex128)

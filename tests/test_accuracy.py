@@ -152,3 +152,38 @@ def test_chunked_spreading_matches_unchunked():
         np.complex128, BKB, 4, 1.25, rng=np.random.default_rng(7), chunk_size=100
     )
     np.testing.assert_allclose(e_full, e_chunk, rtol=1e-12)
+
+
+def test_r2c_halved_axis_nyquist_convention(rng):
+    """The halved LAST axis of r2c plans stores k = 0..+N/2 with a POSITIVE
+    Nyquist mode (rfft layout).  For non-uniform points e^{+iNx/2} and
+    e^{-iNx/2} differ, so the convention is observable — and a benchmark
+    oracle that folds index N/2 to -N/2 reads 1.25e-1 'error' from a
+    correct transform (round-4 device hunt: identical across three
+    geometries, absent in interpret).  Pin it against exact f64 sums and
+    the c2c path."""
+    import nonuniformffts_tpu as nufft
+
+    N, Np = 32, 3000
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+    v = rng.standard_normal(Np)
+    p = nufft.set_points(nufft.PlanNUFFT(np.float64, (N,) * 3, m=6, sigma=2.0), pts)
+    u = np.asarray(nufft.exec_type1(p, v))
+    assert u.shape == (N, N, N // 2 + 1)
+    for k0, k1 in [(3, 7), (N // 2, 2), (0, N - 1)]:
+        kv0 = k0 - N if k0 >= (N + 1) // 2 else k0  # full axes: FFTW fold
+        kv1 = k1 - N if k1 >= (N + 1) // 2 else k1
+        exact_pos = np.sum(
+            v * np.exp(-1j * (kv0 * pts[0] + kv1 * pts[1] + (N // 2) * pts[2]))
+        )
+        got = u[k0, k1, N // 2]
+        assert abs(got - exact_pos) / abs(exact_pos) < 1e-5, (k0, k1)
+    # And the c2c path agrees with the r2c slab everywhere below Nyquist.
+    pc = nufft.set_points(
+        nufft.PlanNUFFT(np.complex128, (N,) * 3, m=6, sigma=2.0), pts
+    )
+    uc = np.asarray(nufft.exec_type1(pc, v.astype(np.complex128)))
+    rel = np.linalg.norm(u[:, :, : N // 2] - uc[:, :, : N // 2]) / np.linalg.norm(
+        uc[:, :, : N // 2]
+    )
+    assert rel < 1e-5
