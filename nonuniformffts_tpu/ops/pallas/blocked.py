@@ -697,11 +697,29 @@ def _spread_kernel_z(
             valid = None
         return cells, fracs, valid
 
-    def weights(cells, fracs, valid, window, window_y=None):
-        vl0 = common.window_weights(
-            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0],
+    strip = plan.debug_strip
+
+    def _ww(d, frac):
+        if strip == "horner":
+            return jnp.full((2 * plan.m, P), 0.5, frac.dtype)
+        return common.window_weights(
+            plan.kernel_data[d], plan.evalmode, frac, cs_ref[d],
             ds=(plan.precision == "double"),
         )
+
+    def weights(cells, fracs, valid, window, window_y=None):
+        if strip == "weights":
+            # Stage attribution: stand-in constants for the whole decode ->
+            # weight-matrix chain (decode DCEs away with it).
+            if window is not None and window_y is not None:
+                rows = W * W1
+            elif window is not None:
+                rows = W * rm
+            else:
+                rows = pd[0] * rm
+            dt = fracs[0].dtype
+            return jnp.full((rows, P), 0.5, dt), jnp.full((pdL, P), 0.5, dt)
+        vl0 = _ww(0, fracs[0])
         if valid is not None:
             vl0 = jnp.where(valid, vl0, 0.0)
         if window is None:
@@ -714,10 +732,7 @@ def _spread_kernel_z(
             )
         mids = []
         for d in range(1, D - 1):
-            vl = common.window_weights(
-                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d],
-                ds=(plan.precision == "double"),
-            )
+            vl = _ww(d, fracs[d])
             if d == 1 and window_y is not None:
                 mids.append(
                     common.build_wt_matrix_window(
@@ -730,14 +745,49 @@ def _spread_kernel_z(
                         vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
                     )
                 )
-        vl = common.window_weights(
-            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1],
-            cs_ref[D - 1], ds=(plan.precision == "double"),
-        )
+        vl = _ww(D - 1, fracs[D - 1])
         wlast = common.build_wt_matrix(
             vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
         )
         return _z_wrows(w0, mids, P), wlast
+
+    def _dot(wv, wlast, out_dtype):
+        if strip == "dot":
+            return (
+                jnp.broadcast_to(wv[:, :1], (wv.shape[0], wlast.shape[0]))
+                + wlast[0, 0]
+            ).astype(out_dtype)
+        return _kdot(plan, wv, wlast, ((1,), (1,)), out_dtype)
+
+    def _accumulate(aref, prod):
+        """strip == 'acc': fixed tiny-window RMW — keeps the dot alive,
+        removes the full accumulator read-modify-write and its dynamic
+        offsets.  Returns True when it handled the accumulation."""
+        if strip != "acc":
+            return False
+        sl = jax.lax.slice_in_dim(prod, 0, 8, axis=0)  # (8, pdL)
+        if aref.ndim == 3:
+            aref[pl.ds(0, 8), 0, :] = aref[pl.ds(0, 8), 0, :] + sl
+        else:
+            aref[pl.ds(0, 8), :] = aref[pl.ds(0, 8), :] + sl
+        return True
+
+    def _touch(pv_b, aref):
+        """strip == 'loop': minimal batch body — keeps the DMA pipeline and
+        loop/branch scaffolding alive, skips decode/weights/dot/acc."""
+        t = pv_b[:8, :1]
+        if aref.ndim == 3:
+            aref[pl.ds(0, 8), 0, :] = aref[pl.ds(0, 8), 0, :] + t
+        else:
+            aref[pl.ds(0, 8), :] = aref[pl.ds(0, 8), :] + t
+
+    def _stack(wr, vals_b):
+        if strip == "stack":
+            return (
+                jnp.broadcast_to(wr[:1, :], (CR * wr.shape[0], P))
+                + vals_b[0, 0]
+            )
+        return _stack_weighted(wr, vals_b[:CR, :], CR)
 
     # With the dim-1 window active the accumulator scratch is the 3D view
     # (CR*pd0, rm, pdL): dim-0 offsets land on the untiled leading dim
@@ -748,8 +798,10 @@ def _spread_kernel_z(
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, None)  # (pd0*rm, P), (pdL, P)
-        wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*pd0*rm, P)
-        prod = _kdot(plan, wv, wlast, ((1,), (1,)), aref.dtype)
+        wv = _stack(wr, vals_b)  # (CR*pd0*rm, P)
+        prod = _dot(wv, wlast, aref.dtype)
+        if _accumulate(aref, prod):
+            return
         if acc3:
             aref[...] = aref[...] + prod.reshape(CR * pd[0], rm, pdL)
         else:
@@ -759,8 +811,10 @@ def _spread_kernel_z(
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, r0)  # (W*rm, P), (pdL, P)
-        wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*rm, P)
-        prod = _kdot(plan, wv, wlast, ((1,), (1,)), aref.dtype)  # (CR*W*rm, pdL)
+        wv = _stack(wr, vals_b)  # (CR*W*rm, P)
+        prod = _dot(wv, wlast, aref.dtype)  # (CR*W*rm, pdL)
+        if _accumulate(aref, prod):
+            return
         for c in range(CR):
             sl = jax.lax.slice_in_dim(
                 prod, c * W * rm, (c + 1) * W * rm, axis=0
@@ -781,8 +835,10 @@ def _spread_kernel_z(
         cells, fracs, valid = decode(pv_b, i)
         vals_b = pv_b[DP:]
         wr, wlast = weights(cells, fracs, valid, r0, r1)  # (W*W1, P)
-        wv = _stack_weighted(wr, vals_b[:CR, :], CR)  # (CR*W*W1, P)
-        prod = _kdot(plan, wv, wlast, ((1,), (1,)), aref.dtype)  # (CR*W*W1, pdL)
+        wv = _stack(wr, vals_b)  # (CR*W*W1, P)
+        prod = _dot(wv, wlast, aref.dtype)  # (CR*W*W1, pdL)
+        if _accumulate(aref, prod):
+            return
         r1a = pl.multiple_of(r1, 8)
         for c in range(CR):
             off = c * pd[0] + r0
@@ -812,7 +868,21 @@ def _spread_kernel_z(
             # disjoint scratch so batch k+1's contraction is not serialised
             # behind batch k's accumulator read-modify-write.
             aref = acc2_ref if (acc2_ref is not None and k % 2) else acc_ref
-            if W and W1:
+            if strip == "loop":
+                @pl.when(gi < nbatch)
+                def _(pv_b=pv_b, aref=aref):
+                    _touch(pv_b, aref)
+            elif strip == "branch" and W and not W1:
+                # Unconditional windowed compute with a clamped row start:
+                # times the cost of the r0 fallback branch machinery.
+                r0 = jnp.maximum(
+                    _unpack_r0(r01s_ref, jnp.minimum(start_b + gi, nr - 1)), 0
+                )
+
+                @pl.when(gi < nbatch)
+                def _(pv_b=pv_b, gi=gi, r0=r0, aref=aref):
+                    compute_win(pv_b, gi, r0, aref)
+            elif W and W1:
                 r0, r1 = _unpack_r01(
                     r01s_ref, jnp.minimum(start_b + gi, nr - 1)
                 )
@@ -1316,11 +1386,27 @@ def _interp_kernel_z(
                 key, jnp.float32
             )
 
-    def weights(cells, fracs, window, window_y=None):
-        vl0 = common.window_weights(
-            plan.kernel_data[0], plan.evalmode, fracs[0], cs_ref[0],
+    strip = plan.debug_strip
+
+    def _ww(d, frac):
+        if strip == "horner":
+            return jnp.full((2 * plan.m, P), 0.5, frac.dtype)
+        return common.window_weights(
+            plan.kernel_data[d], plan.evalmode, frac, cs_ref[d],
             ds=(plan.precision == "double"),
         )
+
+    def weights(cells, fracs, window, window_y=None):
+        if strip == "weights":
+            if window is not None and window_y is not None:
+                rows = W * W1
+            elif window is not None:
+                rows = W * rm
+            else:
+                rows = pd[0] * rm
+            dt = fracs[0].dtype
+            return jnp.full((rows, P), 0.5, dt), jnp.full((pdL, P), 0.5, dt)
+        vl0 = _ww(0, fracs[0])
         if window is None:
             w0 = common.build_wt_matrix(
                 vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0]
@@ -1331,10 +1417,7 @@ def _interp_kernel_z(
             )
         mids = []
         for d in range(1, D - 1):
-            vl = common.window_weights(
-                plan.kernel_data[d], plan.evalmode, fracs[d], cs_ref[d],
-                ds=(plan.precision == "double"),
-            )
+            vl = _ww(d, fracs[d])
             if d == 1 and window_y is not None:
                 mids.append(
                     common.build_wt_matrix_window(
@@ -1347,14 +1430,25 @@ def _interp_kernel_z(
                         vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
                     )
                 )
-        vl = common.window_weights(
-            plan.kernel_data[D - 1], plan.evalmode, fracs[D - 1],
-            cs_ref[D - 1], ds=(plan.precision == "double"),
-        )
+        vl = _ww(D - 1, fracs[D - 1])
         wlast = common.build_wt_matrix(
             vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
         )
         return _z_wrows(w0, mids, P), wlast
+
+    def _dot(g, wlast, out_dtype):
+        if strip == "dot":
+            return (
+                jnp.broadcast_to(g[:, :1], (g.shape[0], wlast.shape[1]))
+                + wlast[0, 0]
+            ).astype(out_dtype)
+        return _kdot(plan, g, wlast, ((1,), (0,)), out_dtype)
+
+    def _rowsum(t, wr, R, roff):
+        if strip == "rowsum":
+            res_buf[:CR, pl.ds(roff, P)] = t[:CR, :] * wr[:1, :]
+            return True
+        return False
 
     def compute(pts_b, roff, i):
         cells, fracs, idx, valid = decode(pts_b, i)
@@ -1364,10 +1458,11 @@ def _interp_kernel_z(
             if acc3
             else gblk_ref[...]
         )
-        t = _kdot(plan, g2, wlast, ((1,), (0,)), res_buf.dtype)  # (CR*pd0*rm, P)
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
-            t, wr, CR, pd[0] * rm, plan.normfactor
-        )
+        t = _dot(g2, wlast, res_buf.dtype)  # (CR*pd0*rm, P)
+        if not _rowsum(t, wr, pd[0] * rm, roff):
+            res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+                t, wr, CR, pd[0] * rm, plan.normfactor
+            )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -1395,10 +1490,11 @@ def _interp_kernel_z(
                 ],
                 axis=0,
             )  # (CR*W*rm, pdL)
-        t = _kdot(plan, g_w, wlast, ((1,), (0,)), res_buf.dtype)
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
-            t, wr, CR, W * rm, plan.normfactor
-        )
+        t = _dot(g_w, wlast, res_buf.dtype)
+        if not _rowsum(t, wr, W * rm, roff):
+            res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+                t, wr, CR, W * rm, plan.normfactor
+            )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -1415,10 +1511,11 @@ def _interp_kernel_z(
             ],
             axis=0,
         )  # (CR*W*W1, pdL)
-        t = _kdot(plan, g_w, wlast, ((1,), (0,)), res_buf.dtype)
-        res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
-            t, wr, CR, W * W1, plan.normfactor
-        )
+        t = _dot(g_w, wlast, res_buf.dtype)
+        if not _rowsum(t, wr, W * W1, roff):
+            res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
+                t, wr, CR, W * W1, plan.normfactor
+            )
         if layout == "packed":
             emit_keys(roff, idx, valid)
 
@@ -1441,7 +1538,19 @@ def _interp_kernel_z(
             gi = i * SUPER + k
             off = pl.multiple_of(slot * SB + k * P, P)
             pts_b = pts_buf[:, pl.ds(off, P)]
-            if W and W1:
+            if strip == "loop":
+                @pl.when(gi < nbatch)
+                def _(pts_b=pts_b, off=off):
+                    res_buf[:CR, pl.ds(off, P)] = pts_b[:CR, :]
+            elif strip == "branch" and W and not W1:
+                r0 = jnp.maximum(
+                    _unpack_r0(r01s_ref, jnp.minimum(start_b + gi, nr - 1)), 0
+                )
+
+                @pl.when(gi < nbatch)
+                def _(pts_b=pts_b, off=off, gi=gi, r0=r0):
+                    compute_win(pts_b, off, gi, r0)
+            elif W and W1:
                 r0, r1 = _unpack_r01(
                     r01s_ref, jnp.minimum(start_b + gi, nr - 1)
                 )

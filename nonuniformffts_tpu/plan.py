@@ -136,6 +136,11 @@ class Plan:
     # int8 limbs per ds operand: 6 -> ~2^-42-grade contractions (~1.3x one
     # f32-HIGHEST dot of MXU time), 7 -> ~2^-48 (~1.8x).
     ds_nl: int = static_field(default=6)
+    # INTERNAL (scripts/exp_strip.py only): replace a named stage of the
+    # z-form kernels' per-batch work with a cheap stand-in so stage cost
+    # can be attributed by differencing on device.  Results are WRONG when
+    # set.  Values: 'horner' | 'weights' | 'dot' | 'acc' | 'rowsum'.
+    debug_strip: Optional[str] = static_field(default=None)
 
     # --- precomputed tensors --------------------------------------------
     kernel_data: Tuple[KernelData, ...] = data_field(default=())
