@@ -406,7 +406,12 @@ def _z_wrows(w0, mids, P):
 
 
 NBUF = 4  # DMA pipeline depth at SUPER == 1 (see _spread_kernel)
-NBUF_SUPER = 2  # pipeline depth for super-batched DMA (latency amortised)
+# Pipeline depth for super-batched DMA.  Measured (round-4 strip ladder,
+# rho=1 (48,8,96)@384 super=4): depth 4 is bit-identical in time to depth 2
+# (spread 155.47 vs 155.43 ms full, 76.6 vs 78.5 ms stripped-empty) -- the
+# pipeline floor is NOT outstanding-descriptor starvation, so keep the
+# smaller buffer (VMEM pressure feeds the 9 MiB cliff).
+NBUF_SUPER = 2
 SUPER_DEFAULT = 4  # batches per DMA descriptor (plan.dma_super)
 
 
@@ -676,10 +681,11 @@ def _spread_kernel_z(
             sem_pv.at[slot],
         )
 
-    for j in range(NB - 1):
-        @pl.when(j < nsuper)
-        def _(j=j):
-            dma(j, j).start()
+    if plan.debug_strip != "nodma":
+        for j in range(NB - 1):
+            @pl.when(j < nsuper)
+            def _(j=j):
+                dma(j, j).start()
 
     def decode(pv_b, i):
         pts_b = pv_b[:DP]
@@ -753,9 +759,12 @@ def _spread_kernel_z(
 
     def _dot(wv, wlast, out_dtype):
         if strip == "dot":
+            # Static lane slice + scalar multiply (a lane-broadcast of
+            # wv[:, :1] inside the scf.if crashed Mosaic's vector layout
+            # pass at the rho=1 geometry).
+            n = wlast.shape[0]
             return (
-                jnp.broadcast_to(wv[:, :1], (wv.shape[0], wlast.shape[0]))
-                + wlast[0, 0]
+                jax.lax.slice(wv, (0, 0), (wv.shape[0], n)) * wlast[0, 0]
             ).astype(out_dtype)
         return _kdot(plan, wv, wlast, ((1,), (1,)), out_dtype)
 
@@ -855,11 +864,21 @@ def _spread_kernel_z(
     def body(i, carry):
         slot = i % NB
 
-        @pl.when(i + NB - 1 < nsuper)
-        def _():
-            dma((i + NB - 1) % NB, i + NB - 1).start()
+        if strip != "nodma":
+            @pl.when(i + NB - 1 < nsuper)
+            def _():
+                dma((i + NB - 1) % NB, i + NB - 1).start()
 
-        dma(slot, i).wait()
+            dma(slot, i).wait()
+        if strip == "dma":
+            # Stage attribution: DMA pipeline alive, batch loop gone.  One
+            # static-offset touch keeps a data dependence on the buffer.
+            t = pv_buf[:8, :pdL]
+            if acc3:
+                acc_ref[pl.ds(0, 8), 0, :] = acc_ref[pl.ds(0, 8), 0, :] + t
+            else:
+                acc_ref[pl.ds(0, 8), :] = acc_ref[pl.ds(0, 8), :] + t
+            return carry
         for k in range(SUPER):
             gi = i * SUPER + k
             src = pl.multiple_of(slot * SB + k * P, P)
@@ -1357,10 +1376,11 @@ def _interp_kernel_z(
             sem_r.at[slot],
         )
 
-    for j in range(NB - 1):
-        @pl.when(j < nsuper)
-        def _(j=j):
-            dma_p(j, j).start()
+    if plan.debug_strip != "nodma":
+        for j in range(NB - 1):
+            @pl.when(j < nsuper)
+            def _(j=j):
+                dma_p(j, j).start()
 
     def decode(pts_b, i):
         if layout == "packed":
@@ -1438,9 +1458,13 @@ def _interp_kernel_z(
 
     def _dot(g, wlast, out_dtype):
         if strip == "dot":
+            # Sublane broadcast of wlast's first row (a lane-broadcast of
+            # g[:, :1] inside the scf.if crashed Mosaic's vector layout
+            # pass at the rho=1 geometry).
             return (
-                jnp.broadcast_to(g[:, :1], (g.shape[0], wlast.shape[1]))
-                + wlast[0, 0]
+                jnp.broadcast_to(
+                    wlast[:1, :] * g[0, 0], (g.shape[0], wlast.shape[1])
+                )
             ).astype(out_dtype)
         return _kdot(plan, g, wlast, ((1,), (0,)), out_dtype)
 
@@ -1524,16 +1548,22 @@ def _interp_kernel_z(
     def body(i, carry):
         slot = i % NB
 
-        @pl.when(i + NB - 1 < nsuper)
-        def _():
-            dma_p((i + NB - 1) % NB, i + NB - 1).start()
+        if strip != "nodma":
+            @pl.when(i + NB - 1 < nsuper)
+            def _():
+                dma_p((i + NB - 1) % NB, i + NB - 1).start()
 
-        dma_p(slot, i).wait()
+            dma_p(slot, i).wait()
 
-        @pl.when(i >= NB)
-        def _():
-            res_dma(slot, i - NB).wait()
+            @pl.when(i >= NB)
+            def _():
+                res_dma(slot, i - NB).wait()
 
+        if strip == "dma":
+            # DMA pipeline alive (points in + results out), batch loop gone.
+            res_buf[:8, :P] = pts_buf[:8, :P]
+            res_dma(slot, i).start()
+            return carry
         for k in range(SUPER):
             gi = i * SUPER + k
             off = pl.multiple_of(slot * SB + k * P, P)
@@ -1581,16 +1611,18 @@ def _interp_kernel_z(
                 def _(pts_b=pts_b, off=off, gi=gi):
                     compute(pts_b, off, gi)
 
-        res_dma(slot, i).start()
+        if strip != "nodma":
+            res_dma(slot, i).start()
         return carry
 
     jax.lax.fori_loop(0, nsuper, body, 0)
 
-    for k in range(NB):
-        @pl.when(nsuper > k)
-        def _(k=k):
-            i = nsuper - 1 - k
-            res_dma(i % NB, i).wait()
+    if strip != "nodma":
+        for k in range(NB):
+            @pl.when(nsuper > k)
+            def _(k=k):
+                i = nsuper - 1 - k
+                res_dma(i % NB, i).wait()
 
 
 def interpolate_blocked(
