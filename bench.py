@@ -103,7 +103,10 @@ def main():
 
         _ = float(loop(*args))  # compile + warm
         ts = [_timeit(lambda: float(loop(*args))) for _ in range(reps)]
-        return (min(ts) - overhead) / k
+        # Clamp at zero: for sub-ms stages the dispatch-overhead subtraction
+        # is noise-dominated and can go slightly negative, which would read
+        # as nonsense in the committed sweep artifact.
+        return max(0.0, (min(ts) - overhead) / k)
 
     def make_plan(np_hint):
         kw = {}
@@ -148,11 +151,20 @@ def main():
             return jnp.sum(u) + jnp.sum(v2)
 
         def set_body(c, pts_a):
+            # Reduce over EVERY data product of set_points: reducing only
+            # the point rows let XLA dead-code the per-batch window
+            # metadata and the value-permute key prep, undercounting the
+            # stage ~40% at rho=1 (PROFILE.md round-5 set_points ladder).
             p = nufft.set_points(plan, eps_of(c, pts_a))
             if plan.spread_method != "blocked":
                 return jnp.sum(p.points)
             arr = p.points_packed if p.layout == "packed" else p.points_slotted
-            return jnp.sum(arr)
+            acc = jnp.sum(arr)
+            for extra in (p.batch_r0, p.batch_r1, p.sort_key, p.sort_perm,
+                          p.block_starts, p.pstarts):
+                if extra is not None:
+                    acc = acc + jnp.sum(extra.astype(jnp.float32))
+            return acc
 
         def t1_body(c, ps, v_a):
             u = _exec_type1_ch_impl(ps, eps_of(c, v_a), cbs)
@@ -213,7 +225,9 @@ def main():
 
         if measure_error:
             row["err_type1"] = measure_t1_error(plan, pts_np, v_np, p_sorted)
-            if not REAL:
+            if REAL:
+                row["err_type2"] = measure_t2_error_real(plan, pts_np, p_sorted)
+            else:
                 row["err_type2"] = measure_t2_error(plan, pts_np, p_sorted)
         if measure_edge:
             # Edge-case certification on the COMPILED kernels (same plan and
@@ -295,6 +309,52 @@ def main():
         exact = np.ones(ERR_POINTS, np.complex128)
         for d in range(3):
             exact *= np.exp(1j * np.outer(x[d], kval)) @ a[d].astype(np.complex128)
+        got = v_dev[sel]
+        return float(np.linalg.norm(got - exact) / np.linalg.norm(exact))
+
+    def measure_t2_error_real(plan, pts_np, p_sorted):
+        """c2r type-2 oracle: Hermitian rank-1 spectrum, exact real factors.
+
+        Convention (measured mode-by-mode on the reference path and pinned
+        by tests/test_accuracy.py::test_c2r_type2_rank1_oracle_convention):
+        v(x) = Re(sum_{k2=0} u e^{ikx}) + 2 Re(sum_{k2>0} u e^{ikx}) — every
+        stored k2 > 0 plane doubled-realified, INCLUDING the stored +N/2
+        plane (the oversampled c2r axis Ntilde > N mirrors it at -N/2).
+        The full axes use Hermitian factors with a ZERO Nyquist bin (the
+        -N/2 mode has no +N/2 partner on a c2c axis and is complex at
+        non-uniform points), so each per-dim factor sum is real and the
+        rank-1 exact value is their product."""
+        rng = np.random.default_rng(8)
+        N = N_GRID
+        H = N // 2 + 1
+
+        def herm_full(n):
+            a = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / n
+            a[0] = a[0].real
+            a[n // 2] = 0.0
+            a[n // 2 + 1 :] = np.conj(a[1 : n // 2][::-1])
+            return a
+
+        a0, a1 = herm_full(N), herm_full(N)
+        a2h = (rng.standard_normal(H) + 1j * rng.standard_normal(H)) / N
+        a2h[0] = a2h[0].real
+        u = np.einsum("a,b,c->abc", a0, a1, a2h).astype(np.complex64)
+        u_ch = np.stack([u.real, u.imag])[None]  # (1, 2, N, N, H)
+        v_dev = np.asarray(
+            _exec_type2_ch_impl(p_sorted, jnp.asarray(u_ch), cbs)
+        )[0]
+        sel = np.random.default_rng(9).integers(0, pts_np.shape[1], ERR_POINTS)
+        x = pts_np[:, sel].astype(np.float64)
+        kfull = np.fft.fftfreq(N, 1.0 / N).astype(np.float64)
+        exact = np.ones(ERR_POINTS, np.float64)
+        for d, a in ((0, a0), (1, a1)):
+            s = (np.exp(1j * np.outer(x[d], kfull)) @ a.astype(np.complex128)).real
+            exact *= s
+        # Halved axis: k = 0 once; k = 1..N/2 plus conjugates at -k.
+        kh = np.arange(H, dtype=np.float64)
+        terms = np.exp(1j * np.outer(x[2], kh)) * a2h.astype(np.complex128)
+        s2 = terms[:, 0].real + 2.0 * np.sum(terms[:, 1:].real, axis=1)
+        exact *= s2
         got = v_dev[sel]
         return float(np.linalg.norm(got - exact) / np.linalg.norm(exact))
 

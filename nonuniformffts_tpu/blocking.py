@@ -475,7 +475,7 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
                 with_inverse: bool = False, sub_lx: jnp.ndarray = None,
                 sub_range: int = 1, window: Tuple[int, int, int] = None,
                 sub_ly: jnp.ndarray = None, sub_range_y: int = 1,
-                window_y: Tuple[int, int] = None):
+                window_y: Tuple[int, int] = None, shifted: bool = False):
     """Scatter-free slot-aligned layout from per-point block ids.
 
     ``virtual`` extra trailing block ids (``nblocks .. nblocks+virtual-1``)
@@ -584,8 +584,13 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
             last_c = lc_last // jnp.int32(sub_range_y)
         else:
             first_c, last_c = lc_first, lc_last
-        i_min = first_c - (m_ - 1)  # lowest row: j = lx - M + 1 (t = 0)
-        i_max = last_c + m_  # highest row: j = lx + M (t = 2M - 1)
+        if shifted:
+            # Halo-first rows i = lx + t (no wrap possible).
+            i_min = first_c
+            i_max = last_c + 2 * m_ - 1
+        else:
+            i_min = first_c - (m_ - 1)  # lowest row: j = lx - M + 1 (t = 0)
+            i_max = last_c + m_  # highest row: j = lx + M (t = 2M - 1)
         # The clip ceiling must stay ``align``-aligned: the kernels promise
         # Mosaic an 8-aligned dynamic sublane offset (pl.multiple_of), and a
         # raw ``pd0 - W`` ceiling silently breaks that whenever the window
@@ -593,7 +598,9 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
         # m=6/8 where pd0 - W is not a multiple of 8).  Batches the aligned
         # ceiling cannot cover fall back to the full-block path via ``ok``.
         r0 = jnp.clip((i_min // align) * align, 0, ((pd0 - W) // align) * align)
-        ok = (first_c >= m_ - 1) & (i_max < r0 + W)
+        ok = i_max < r0 + W
+        if not shifted:
+            ok = ok & (first_c >= m_ - 1)  # core-first left-edge wrap
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 
         if window_y is not None and sub_ly is not None:
@@ -607,10 +614,16 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
             v2d = slot_valid.reshape(nbatches, P)
             ymin = jnp.min(jnp.where(v2d, c1_b, big), axis=1)
             ymax = jnp.max(jnp.where(v2d, c1_b, -big), axis=1)
-            i_min1 = ymin - (m_ - 1)
-            i_max1 = ymax + m_
+            if shifted:
+                i_min1 = ymin
+                i_max1 = ymax + 2 * m_ - 1
+            else:
+                i_min1 = ymin - (m_ - 1)
+                i_max1 = ymax + m_
             r1 = jnp.clip((i_min1 // 8) * 8, 0, ((pd1 - W1) // 8) * 8)
-            ok1 = ok & (ymin >= m_ - 1) & (i_max1 < r1 + W1)
+            ok1 = ok & (i_max1 < r1 + W1)
+            if not shifted:
+                ok1 = ok1 & (ymin >= m_ - 1)
             batch_r1 = jnp.where(ok1, r1, -1).astype(jnp.int32)
 
     if window_y is not None:
@@ -624,7 +637,7 @@ def slot_layout(bid: jnp.ndarray, nblocks: int, P: int, *, virtual: int = 0,
 def packed_layout(
     kernel_data, block_dims, points: jnp.ndarray, P: int, *,
     window: Tuple[int, int, int] = None, window_y: Tuple[int, int] = None,
-    points_lo: jnp.ndarray = None,
+    points_lo: jnp.ndarray = None, shifted: bool = False,
 ):
     """Packed (gather-free) point layout: ONE multi-operand sort, no slot
     expansion.
@@ -742,8 +755,14 @@ def packed_layout(
         yz_cells = sub_range // block_dims[0]
         first_c = kf // jnp.int32(yz_cells)
         last_c = kl // jnp.int32(yz_cells)
-        i_min = first_c - (m_ - 1)
-        i_max = last_c + m_
+        if shifted:
+            # Halo-first rows i = lx + t: the batch spans rows
+            # [first_c, last_c + 2m - 1] and can never wrap.
+            i_min = first_c
+            i_max = last_c + 2 * m_ - 1
+        else:
+            i_min = first_c - (m_ - 1)
+            i_max = last_c + m_
         # The clip ceiling must stay ``align``-aligned: the kernels promise
         # Mosaic an 8-aligned dynamic sublane offset (pl.multiple_of), and a
         # raw ``pd0 - W`` ceiling silently breaks that whenever the window
@@ -751,7 +770,9 @@ def packed_layout(
         # m=6/8 where pd0 - W is not a multiple of 8).  Batches the aligned
         # ceiling cannot cover fall back to the full-block path via ``ok``.
         r0 = jnp.clip((i_min // align) * align, 0, ((pd0 - W) // align) * align)
-        ok = (first_c >= m_ - 1) & (i_max < r0 + W) & (last >= first)
+        ok = (i_max < r0 + W) & (last >= first)
+        if not shifted:
+            ok = ok & (first_c >= m_ - 1)  # core-first left-edge wrap
         batch_r0 = jnp.where(ok, r0, -1).astype(jnp.int32)
 
         if window_y is not None and D >= 3:
@@ -777,10 +798,16 @@ def packed_layout(
             widx = jnp.clip((Ab + brank * P) // P, 0, np_pad // P - 1)
             ymin = jnp.take(c1min, widx)
             ymax = jnp.take(c1max, widx)
-            i_min1 = ymin - (m_ - 1)
-            i_max1 = ymax + m_
+            if shifted:
+                i_min1 = ymin
+                i_max1 = ymax + 2 * m_ - 1
+            else:
+                i_min1 = ymin - (m_ - 1)
+                i_max1 = ymax + m_
             r1 = jnp.clip((i_min1 // 8) * 8, 0, ((pd1 - W1) // 8) * 8)
-            ok1 = ok & (ymin >= m_ - 1) & (i_max1 < r1 + W1)
+            ok1 = ok & (i_max1 < r1 + W1)
+            if not shifted:
+                ok1 = ok1 & (ymin >= m_ - 1)
             batch_r1 = jnp.where(ok1, r1, -1).astype(jnp.int32)
 
     rdt = fracs.dtype
@@ -814,7 +841,14 @@ def packed_layout(
     while len(rows) < DP:
         rows.append(jnp.zeros((np_pad,), rdt))
     pts_rows = jnp.stack(rows, axis=0)
-    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm
+    # The UNSORTED key (first np_ lanes) rides back so exec-time value
+    # permutation can be ONE stable payload sort keyed by it — bitwise
+    # identical ordering to the points sort (lax.sort is stable), replacing
+    # the inverse-positions map whose construction cost a SECOND full sort
+    # in set_points (~30 ms of the 127 ms rho=1 set stage, PROFILE.md
+    # round-5 set_points ladder).
+    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, key
+
 
 
 def max_packed_batches(np_: int, nblocks: int, P: int) -> int:

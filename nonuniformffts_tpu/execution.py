@@ -76,13 +76,17 @@ def _host_to_channels(x, dtype) -> np.ndarray:
     return np.stack([x.real, x.imag], axis=1).astype(np.dtype(dtype).type(0).real.dtype)
 
 
-def _host_to_channels_ds(x) -> np.ndarray:
+def _host_to_channels_ds(x, *, real: bool = False) -> np.ndarray:
     """complex128 host data -> ds channel form (C, 2, 2, ...) f32 with
-    axis 2 = (hi, lo).  The hi/lo split happens on the host: f64 arrays do
-    not exist on TPU devices."""
+    axis 2 = (hi, lo); float64 host data (``real=True``) -> (C, 2, ...)
+    with axis 1 = (hi, lo).  The hi/lo split happens on the host: f64
+    arrays do not exist on TPU devices."""
     from .ops.ds import split_array_np
 
     x = np.asarray(x)
+    if real:
+        h, l = split_array_np(x.astype(np.float64))
+        return np.stack([h, l], axis=1)
     ch = np.stack([x.real, x.imag], axis=1)  # (C, 2, ...) f64
     h, l = split_array_np(ch)
     return np.stack([h, l], axis=2)
@@ -95,6 +99,12 @@ def _ds_channels_to_complex(out) -> np.ndarray:
     re = out[:, 0, 0] + out[:, 0, 1]
     im = out[:, 1, 0] + out[:, 1, 1]
     return re + 1j * im
+
+
+def _ds_channels_to_real(out) -> np.ndarray:
+    """Real ds channel form (C, 2, ...) -> float64 HOST array."""
+    out = np.asarray(out, dtype=np.float64)
+    return out[:, 0] + out[:, 1]
 
 
 def _spread(plan: Plan, vp: jnp.ndarray) -> jnp.ndarray:
@@ -217,9 +227,12 @@ def _t1_fft_stage(plan: Plan, g: jnp.ndarray):
     if plan.ds:
         from .ops.ds import ds_mul, split_scalar
 
-        hi, lo = matmul_fft.forward_dft_blockform_ds(
-            g[0], g[1], plan.fft_axes_block, nl=plan.ds_nl
+        fwd_ds = (
+            matmul_fft.forward_dft_blockform_ds_real
+            if plan.is_real
+            else matmul_fft.forward_dft_blockform_ds
         )
+        hi, lo = fwd_ds(g[0], g[1], plan.fft_axes_block, nl=plan.ds_nl)
         nh, nl_ = split_scalar(plan.normfactor)
         return ds_mul(hi, lo, jnp.float32(nh), jnp.float32(nl_))
     if _use_blockform(plan):
@@ -316,9 +329,12 @@ def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
 
 def _t2_fft_stage(plan: Plan, spec_ch: jnp.ndarray):
     if plan.ds:
-        return matmul_fft.backward_dft_blockform_ds(
-            spec_ch[0], spec_ch[1], plan.fft_axes_block, nl=plan.ds_nl
+        bwd_ds = (
+            matmul_fft.backward_dft_blockform_ds_real
+            if plan.is_real
+            else matmul_fft.backward_dft_blockform_ds
         )
+        return bwd_ds(spec_ch[0], spec_ch[1], plan.fft_axes_block, nl=plan.ds_nl)
     if _use_blockform_t2(plan):
         # Emits the halo-gathered padded block buffer directly (input is
         # already deconvolution-scaled by _t2_pad_stage).
@@ -510,7 +526,9 @@ def exec_type1(plan: Plan, vp, callbacks: NUFFTCallbacks = None) -> jnp.ndarray:
         # Extended-precision plans: values split into (hi, lo) f32 channel
         # pairs on the host; the result returns as a HOST complex128 array
         # (f64 cannot live on the device).
-        vp_ch = jnp.asarray(_host_to_channels_ds(np.asarray(vp)))
+        vp_ch = jnp.asarray(
+            _host_to_channels_ds(np.asarray(vp), real=plan.is_real)
+        )
         out_ch = _dispatch_type1(plan, vp_ch, callbacks)
         uhat = _ds_channels_to_complex(out_ch)
         return uhat if had_axis else uhat[0]
@@ -550,7 +568,11 @@ def exec_type2(plan: Plan, uhat, callbacks: NUFFTCallbacks = None) -> jnp.ndarra
     if plan.ds:
         uhat_ch = jnp.asarray(_host_to_channels_ds(np.asarray(uhat)))
         vp_ch = _dispatch_type2(plan, uhat_ch, callbacks)
-        vp = _ds_channels_to_complex(vp_ch)
+        vp = (
+            _ds_channels_to_real(vp_ch)
+            if plan.is_real
+            else _ds_channels_to_complex(vp_ch)
+        )
         return vp if had_axis else vp[0]
     if is_host:
         uhat_ch = jnp.asarray(
@@ -582,7 +604,10 @@ def exec_type1_channels(plan: Plan, vp_ch, callbacks: NUFFTCallbacks = None):
     _check_points(plan)
     callbacks = callbacks or _EMPTY_CALLBACKS
     vp_ch = jnp.asarray(vp_ch)
-    tail = 1 if plan.is_real else (3 if plan.ds else 2)
+    if plan.is_real:
+        tail = 2 if plan.ds else 1  # ds-real: (C, 2, Np) hi/lo pairs
+    else:
+        tail = 3 if plan.ds else 2
     vp_ch, had_axis = _as_components(vp_ch, plan, expected_tail_ndim=tail)
     out_ch = _dispatch_type1(plan, vp_ch, callbacks)
     return out_ch if had_axis else out_ch[0]

@@ -45,15 +45,31 @@ def fast_two_sum(a, b):
     return s, e
 
 
+def _mask_hi(a):
+    """Truncate the low 12 mantissa bits with an integer mask: a 12-bit-
+    significand high part whose pairwise products are exact in f32.
+
+    Bit ops, not the classic Veltkamp multiply (c = 4097*a; hi = c-(c-a)):
+    the float chain is only error-free under strictly-rounded f32, and the
+    Pallas interpreter evaluates such chains at higher intermediate
+    precision, silently collapsing the split (hi == a, lo == 0) and
+    degrading every downstream ds value to f32 (measured 3.3e-8 on a
+    minimal interpret kernel vs 3.6e-15 with the mask).  Integer masking
+    is precision-independent, and two VPU bit-ops vs three float ops on
+    device."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFFF000), jnp.float32
+    )
+
+
 def two_prod(a, b):
-    """Exact f32 product a*b = p + e via Veltkamp splitting (no FMA on the
-    jnp surface; f32 ops are exactly rounded so the split is error-free)."""
+    """Exact f32 product a*b = p + e via bit-masked operand splitting (see
+    _mask_hi; no FMA on the jnp surface)."""
     p = a * b
-    c = 4097.0 * a  # 2^12 + 1 splits f32's 24-bit mantissa
-    a_hi = c - (c - a)
+    a_hi = _mask_hi(a)
     a_lo = a - a_hi
-    c = 4097.0 * b
-    b_hi = c - (c - b)
+    b_hi = _mask_hi(b)
     b_lo = b - b_hi
     e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
     return p, e

@@ -522,14 +522,24 @@ def backward_dft_pruned(spec_ch, axes_dft, *, real: bool, prec: str):
 # ---------------------------------------------------------------------------
 
 
-def blockform_row_map(n_over: int, B: int, nb: int, pd: int, m: int) -> np.ndarray:
-    """Global grid row g(b, i) for each row of the core-first padded block
-    layout (ops/pallas/common.build_wt_matrix); -1 for alignment rows."""
+def blockform_row_map(n_over: int, B: int, nb: int, pd: int, m: int,
+                      *, shifted: bool = False) -> np.ndarray:
+    """Global grid row g(b, i) for each row of the padded block layout
+    (ops/pallas/common.build_wt_matrix); -1 for alignment rows.
+
+    ``shifted=False``: core-first rows (core at 0, halos at the tail);
+    ``shifted=True``: halo-first rows i = lx + t, i.e. global offset
+    ``i - (m - 1)`` (may go negative -> periodic wrap), used by the z-form
+    kernels so no batch ever wraps (see build_wt_matrix)."""
     g = np.full((nb, pd), -1, dtype=np.int64)
     H = 2 * m - 1
     for b in range(nb):
         for i in range(pd):
-            if i < B + m:
+            if shifted:
+                if i >= B + H:
+                    continue  # alignment row: identically zero
+                off = i - (m - 1)
+            elif i < B + m:
                 off = i
             elif i < B + H:
                 off = i - (B + H)
@@ -603,6 +613,7 @@ def _fold_structure(ks, n_over):
 def make_blockform_axis(
     ax: AxisDFT, B: int, nb: int, pd: int, m: int, *,
     merged: bool = False, np_factors=None, fold: bool = True, ds: bool = False,
+    shifted: bool = False,
 ) -> BlockAxisDFT:
     """Expand a pruned axis's factors to block-form via the row map.
 
@@ -614,7 +625,7 @@ def make_blockform_axis(
         raise ValueError(
             f"make_blockform_axis requires a pruned AxisDFT, got kind={ax.kind!r}"
         )
-    g = blockform_row_map(ax.n, B, nb, pd, m).reshape(-1)
+    g = blockform_row_map(ax.n, B, nb, pd, m, shifted=shifted).reshape(-1)
     valid = g >= 0
     gc = np.where(valid, g, 0)
 
@@ -973,6 +984,111 @@ def backward_dft_blockform_ds(spec_hi, spec_lo, axes_block, *, nl: int = 6):
         [jnp.transpose(xr[1], perm), jnp.transpose(xi[1], perm)], axis=1
     )
     return hi, lo
+
+
+def _ds_real_dot(x, cm, lhs_dims, nl):
+    """REAL ds tensor ``x`` (hi, lo) contracted with one ds factor pair
+    ``cm``; int8 limb cascade with exact int32 accumulation."""
+    from .ds import ds_fxp_contract, ds_fxp_quant
+
+    lhs_dims = tuple(lhs_dims)
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((lhs_dims, rdims), ((), ()))
+    xl, sx = ds_fxp_quant(x[0], x[1], lhs_dims, nl)
+    cml, scm = ds_fxp_quant(cm[0], cm[1], rdims, nl)
+    return ds_fxp_contract(xl, sx, cml, scm, dn, nl)
+
+
+def _ds_r2c_dot(x, cm, sm, lhs_dims, nl):
+    """Real ds ``x`` against the r2c forward factor (cos - i sin): returns
+    (re, im) ds pairs with the x-quantisation shared between the two dots
+    (the twin of _ds_pair_dot for a real lhs)."""
+    from .ds import ds_fxp_contract, ds_fxp_quant
+
+    lhs_dims = tuple(lhs_dims)
+    rdims = tuple(range(len(lhs_dims)))
+    dn = ((lhs_dims, rdims), ((), ()))
+    xl, sx = ds_fxp_quant(x[0], x[1], lhs_dims, nl)
+    cml, scm = ds_fxp_quant(cm[0], cm[1], rdims, nl)
+    sml, ssm = ds_fxp_quant(sm[0], sm[1], rdims, nl)
+    re = ds_fxp_contract(xl, sx, cml, scm, dn, nl)
+    im = ds_fxp_contract(xl, sx, sml, ssm, dn, nl)
+    return re, (-im[0], -im[1])
+
+
+def forward_dft_blockform_ds_real(buf_hi, buf_lo, axes_block, *, nl: int = 6):
+    """ds forward DFT for real-data (r2c) plans — the extended-precision
+    twin of the reference's flagship Float64 real-data transforms
+    (reference: src/plan.jl:3-16 RealNUFFTData; Float64 benchmark rows).
+
+    ``buf_hi``/``buf_lo``: the real ds spread buffer pair (C, nb.., pd..).
+    The halved LAST axis (pruned_r2c factors) contracts FIRST: the input is
+    real there (2 real ds dots instead of 4) and the data halves before the
+    complex axes.  Returns the (hi, lo) channel-form half-spectrum pair
+    (C, 2) + spectral_shape (unnormalised)."""
+    D = len(axes_block)
+    axL = axes_block[-1]
+    # (C, nb0, .., nbD-1, pd0, .., pdD-1): last axis pair sits at (D, 2D).
+    xr, xi = _ds_r2c_dot(
+        (buf_hi, buf_lo), (axL.pcos_t, axL.pcos_lo),
+        (axL.psin_t, axL.psin_lo), (D, 2 * D), nl,
+    )
+    # Remaining shape (C, nb0, pd0, .., nbD-2, pdD-2, kL) after dot_general
+    # removes the contracted dims: lhs dims preserved in order, so the
+    # layout is (C, nb0..nbD-2, pd0..pdD-2, kL).
+    for d in range(D - 1):
+        ax = axes_block[d]
+        nrem = (D - 1) - (d + 1)  # complex axes still pending after this one
+        # Current shape: (C, nb_{d}.., nb_{D-2}, pd_{d}.., pd_{D-2}, kL,
+        # k0..k_{d-1}); the axis-d pair sits at (1, 1 + (nrem + 1)).
+        lhs = (1, 2 + nrem)
+        xr, xi = _ds_pair_dot(
+            xr, xi, (ax.pcos_t, ax.pcos_lo), (ax.psin_t, ax.psin_lo),
+            1.0, lhs, nl,
+        )
+    # Shape now (C, kL, k0, .., kD-2) -> (C, k0, .., kD-2, kL).
+    perm = (0,) + tuple(range(2, D + 1)) + (1,)
+    hi = jnp.stack(
+        [jnp.transpose(xr[0], perm), jnp.transpose(xi[0], perm)], axis=1
+    )
+    lo = jnp.stack(
+        [jnp.transpose(xr[1], perm), jnp.transpose(xi[1], perm)], axis=1
+    )
+    return hi, lo
+
+
+def backward_dft_blockform_ds_real(spec_hi, spec_lo, axes_block, *, nl: int = 6):
+    """ds backward DFT for real-data (c2r) plans, emitting the REAL
+    halo-gathered padded block buffer pair (C, nb.., pd..) directly.
+
+    Input: (hi, lo) channel-form half-spectrum pair (C, 2) + spectral
+    shape, already deconvolution-scaled in ds.  The complex axes contract
+    first; the halved last axis finishes with the Hermitian-weighted c2r
+    factors (2 real ds dots: out = xr bcos - xi bsin)."""
+    D = len(axes_block)
+    xr = (spec_hi[:, 0], spec_lo[:, 0])
+    xi = (spec_hi[:, 1], spec_lo[:, 1])
+    for d in range(D - 1):
+        ax = axes_block[d]
+        # (C, k_d, .., k_{D-2}, kL, [nb, pd pairs of done axes]): axis d's
+        # mode dim is always at position 1.
+        xr, xi = _ds_pair_dot(
+            xr, xi, (ax.bcos_t, ax.bcos_lo), (ax.bsin_t, ax.bsin_lo),
+            -1.0, (1,), nl,
+        )
+    axL = axes_block[-1]
+    from .ds import ds_add
+
+    rc = _ds_real_dot(xr, (axL.bcos_t, axL.bcos_lo), (1,), nl)
+    is_ = _ds_real_dot(xi, (axL.bsin_t, axL.bsin_lo), (1,), nl)
+    out = ds_add(rc[0], rc[1], -is_[0], -is_[1])
+    # Shape (C, nb0, pd0, .., nbD-1, pdD-1) -> (C, nb.., pd..).
+    perm = (
+        (0,)
+        + tuple(1 + 2 * d for d in range(D))
+        + tuple(2 + 2 * d for d in range(D))
+    )
+    return jnp.transpose(out[0], perm), jnp.transpose(out[1], perm)
 
 
 def _axis_sizes(axes_block):

@@ -64,6 +64,37 @@ def _kprec(plan):
     return _PRECS[getattr(plan, "kernel_precision", None) or plan.precision]
 
 
+#: Valid plan.debug_strip values per kernel direction.  An unrecognized
+#: value would silently match no branch and time the full baseline —
+#: a zero-cost stage reading in the differencing attribution — so the
+#: launchers reject unknown names loudly.
+_STRIPS_SPREAD = frozenset(
+    {"horner", "weights", "stack", "dot", "acc", "branch", "loop", "dma",
+     "nodma", "decode"}
+)
+_STRIPS_INTERP = frozenset(
+    {"horner", "weights", "dot", "rowsum", "branch", "loop", "dma", "nodma",
+     "decode"}
+)
+
+
+def _check_strip(plan, allowed, W, W1):
+    s = plan.debug_strip
+    if s is None:
+        return
+    if s not in allowed:
+        raise ValueError(
+            f"unknown debug_strip {s!r}; valid here: {sorted(allowed)}"
+        )
+    if s == "branch" and not (W and not W1):
+        # 'branch' only replaces the windowed dispatch; without an active
+        # dim-0-only window it would silently time the baseline.
+        raise ValueError(
+            "debug_strip='branch' requires the dim-0 window active without "
+            f"a dim-1 window (got W={W}, W1={W1})"
+        )
+
+
 # Limb scales for the int8 fixed-point contraction ('fxp'): three 7-bit
 # limbs at 2^-7 / 2^-14 / 2^-22 cover an operand in [-1, 1] to ~2^-23 —
 # the same coverage as HIGHEST's three bf16 limbs — while the v5e MXU runs
@@ -688,6 +719,13 @@ def _spread_kernel_z(
                 dma(j, j).start()
 
     def decode(pv_b, i):
+        if plan.debug_strip == "decode":
+            # Stage attribution: constant cells/fracs with a thin data
+            # dependence on the DMA'd rows (so the buffer read stays).
+            z = pv_b[:1, :] * 0.0
+            cells = [z.astype(jnp.int32) for _ in range(D)]
+            fracs = [z + 0.5 for _ in range(D)]
+            return cells, fracs, None
         pts_b = pv_b[:DP]
         if layout == "packed":
             cells, fracs, _ = _decode_packed(plan, pts_b)
@@ -730,11 +768,12 @@ def _spread_kernel_z(
             vl0 = jnp.where(valid, vl0, 0.0)
         if window is None:
             w0 = common.build_wt_matrix(
-                vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0]
+                vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0],
+                shifted=True,
             )
         else:
             w0 = common.build_wt_matrix_window(
-                vl0, cells[0], 0, plan.m, W, P, window
+                vl0, cells[0], 0, plan.m, W, P, window, shifted=True
             )
         mids = []
         for d in range(1, D - 1):
@@ -742,18 +781,20 @@ def _spread_kernel_z(
             if d == 1 and window_y is not None:
                 mids.append(
                     common.build_wt_matrix_window(
-                        vl, cells[d], 0, plan.m, W1, P, window_y
+                        vl, cells[d], 0, plan.m, W1, P, window_y, shifted=True
                     )
                 )
             else:
                 mids.append(
                     common.build_wt_matrix(
-                        vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+                        vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d],
+                        shifted=True,
                     )
                 )
         vl = _ww(D - 1, fracs[D - 1])
         wlast = common.build_wt_matrix(
-            vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
+            vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1],
+            shifted=True,
         )
         return _z_wrows(w0, mids, P), wlast
 
@@ -872,12 +913,15 @@ def _spread_kernel_z(
             dma(slot, i).wait()
         if strip == "dma":
             # Stage attribution: DMA pipeline alive, batch loop gone.  One
-            # static-offset touch keeps a data dependence on the buffer.
-            t = pv_buf[:8, :pdL]
+            # static-offset touch keeps a data dependence on the buffer
+            # (clamped to the buffer's actual rows: slotted-layout plans
+            # carry only 2*ndim point rows).
+            tr = min(8, pv_buf.shape[0])
+            t = pv_buf[:tr, :pdL]
             if acc3:
-                acc_ref[pl.ds(0, 8), 0, :] = acc_ref[pl.ds(0, 8), 0, :] + t
+                acc_ref[pl.ds(0, tr), 0, :] = acc_ref[pl.ds(0, tr), 0, :] + t
             else:
-                acc_ref[pl.ds(0, 8), :] = acc_ref[pl.ds(0, 8), :] + t
+                acc_ref[pl.ds(0, tr), :] = acc_ref[pl.ds(0, tr), :] + t
             return carry
         for k in range(SUPER):
             gi = i * SUPER + k
@@ -1006,6 +1050,7 @@ def spread_blocked(
         if W
         else jnp.zeros((1,), jnp.int32)
     )
+    _check_strip(plan, _STRIPS_SPREAD, W, W1)
     pstarts = (
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )
@@ -1019,14 +1064,15 @@ def spread_blocked(
         CRPc = common.round_up(CRc, 8)
         if layout == "packed":
             # Values permute to sorted order; edge/tail lanes are masked
-            # in-kernel (no zeroing pass needed).  Two engines: a payload
-            # sort by the inverse positions (cheaper past a few million
+            # in-kernel (no zeroing pass needed).  Two engines: ONE stable
+            # payload sort keyed by the saved unsorted bin key (identical
+            # ordering to the points sort; cheaper past a few million
             # points: XLA TPU gathers run ~7 ns/index) when set_points
-            # prepared sort_inv and the row count is small, else one gather
+            # prepared sort_key and the row count is small, else one gather
             # by the (overhang-padded) sort_perm.
-            if plan.sort_inv is not None and CRc <= 4:
+            if plan.sort_key is not None and CRc <= 4:
                 ops = jax.lax.sort(
-                    (plan.sort_inv,)
+                    (plan.sort_key,)
                     + tuple(vals_chunk[c].astype(rdt) for c in range(CRc)),
                     num_keys=1,
                 )
@@ -1383,6 +1429,11 @@ def _interp_kernel_z(
                 dma_p(j, j).start()
 
     def decode(pts_b, i):
+        if plan.debug_strip == "decode":
+            z = pts_b[:1, :] * 0.0
+            cells = [z.astype(jnp.int32) for _ in range(D)]
+            fracs = [z + 0.5 for _ in range(D)]
+            return cells, fracs, z.astype(jnp.int32), (z < 1.0)
         if layout == "packed":
             cells, fracs, idx = _decode_packed(plan, pts_b)
             pos = base + i * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -1429,11 +1480,12 @@ def _interp_kernel_z(
         vl0 = _ww(0, fracs[0])
         if window is None:
             w0 = common.build_wt_matrix(
-                vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0]
+                vl0, cells[0], 0, plan.m, pd[0], P, plan.block_dims[0],
+                shifted=True,
             )
         else:
             w0 = common.build_wt_matrix_window(
-                vl0, cells[0], 0, plan.m, W, P, window
+                vl0, cells[0], 0, plan.m, W, P, window, shifted=True
             )
         mids = []
         for d in range(1, D - 1):
@@ -1441,18 +1493,20 @@ def _interp_kernel_z(
             if d == 1 and window_y is not None:
                 mids.append(
                     common.build_wt_matrix_window(
-                        vl, cells[d], 0, plan.m, W1, P, window_y
+                        vl, cells[d], 0, plan.m, W1, P, window_y, shifted=True
                     )
                 )
             else:
                 mids.append(
                     common.build_wt_matrix(
-                        vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d]
+                        vl, cells[d], 0, plan.m, pd[d], P, plan.block_dims[d],
+                        shifted=True,
                     )
                 )
         vl = _ww(D - 1, fracs[D - 1])
         wlast = common.build_wt_matrix(
-            vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1]
+            vl, cells[D - 1], 0, plan.m, pdL, P, plan.block_dims[D - 1],
+            shifted=True,
         )
         return _z_wrows(w0, mids, P), wlast
 
@@ -1561,7 +1615,10 @@ def _interp_kernel_z(
 
         if strip == "dma":
             # DMA pipeline alive (points in + results out), batch loop gone.
-            res_buf[:8, :P] = pts_buf[:8, :P]
+            # Row count clamped: slotted-layout plans carry only 2*ndim
+            # point rows in pts_buf.
+            tr = min(8, pts_buf.shape[0], res_buf.shape[0])
+            res_buf[:tr, :P] = pts_buf[:tr, :P]
             res_dma(slot, i).start()
             return carry
         for k in range(SUPER):
@@ -1697,6 +1754,7 @@ def interpolate_blocked(
         if W
         else jnp.zeros((1,), jnp.int32)
     )
+    _check_strip(plan, _STRIPS_INTERP, W, W1)
     pstarts = (
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )

@@ -218,12 +218,24 @@ def _spread_kernel_ds(
 def spread_blocked_ds(plan, vp_ds: jnp.ndarray):
     """ds blocked type-1 spreading.
 
-    ``vp_ds``: (C, 2, 2, Np) f32 — (component, re/im, hi/lo, point).
-    Returns the (hi, lo) padded block buffer pair, each (C, 2) + nb + pd.
-    """
+    ``vp_ds``: complex plans (C, 2, 2, Np) f32 — (component, re/im, hi/lo,
+    point); real (float64) plans (C, 2, Np) — (component, hi/lo, point).
+    Returns the (hi, lo) padded block buffer pair, each (C, 2) + nb + pd
+    (complex) / (C,) + nb + pd (real)."""
     D, m, bdims, nb, pd, yz = _geometry(plan)
     C = vp_ds.shape[0]
-    CR = 2 * C
+    # Interpret-mode shape guard: the Pallas INTERPRETER (not Mosaic, not
+    # plain jit — verified against both) compiles certain single-channel
+    # elementwise chains with non-strict f32 semantics, silently collapsing
+    # the ds error-free transforms (measured 3.3e-8 vs 3.6e-15 on a minimal
+    # ds_mul kernel).  CR = 2 is the shape class every certified ds config
+    # (complex C = 1; device ladder 5e-12) runs, so real C = 1 plans pad a
+    # zero component under interpret only.
+    pad_ch = plan.is_real and C == 1 and plan.interpret
+    if pad_ch:
+        vp_ds = jnp.concatenate([vp_ds, jnp.zeros_like(vp_ds)], axis=0)
+        C = 2
+    CR = C if plan.is_real else 2 * C
     P = plan.batch_size
     vals_in = vp_ds.reshape(2 * CR, vp_ds.shape[-1])  # [c_hi, c_lo] pairs
 
@@ -239,9 +251,9 @@ def spread_blocked_ds(plan, vp_ds: jnp.ndarray):
     CRP = common.round_up(2 * CR, 8)
 
     # Values permute to sorted order (see blocked.spread_blocked).
-    if plan.sort_inv is not None and 2 * CR <= 4:
+    if plan.sort_key is not None and 2 * CR <= 4:
         ops = jax.lax.sort(
-            (plan.sort_inv,) + tuple(vals_in[c] for c in range(2 * CR)),
+            (plan.sort_key,) + tuple(vals_in[c] for c in range(2 * CR)),
             num_keys=1,
         )
         vals = jnp.stack(ops[1:], axis=0)
@@ -286,8 +298,11 @@ def spread_blocked_ds(plan, vp_ds: jnp.ndarray):
     )(plan.block_starts, plan.pstarts, jnp.zeros((D,), jnp.int32), r01s,
       pv, cs, csl)
     buf = buf.reshape((2 * CR,) + tuple(nb) + tuple(pd))
-    hi = buf[:CR].reshape((C, 2) + tuple(nb) + tuple(pd))
-    lo = buf[CR:].reshape((C, 2) + tuple(nb) + tuple(pd))
+    chsh = (C,) if plan.is_real else (C, 2)
+    hi = buf[:CR].reshape(chsh + tuple(nb) + tuple(pd))
+    lo = buf[CR:].reshape(chsh + tuple(nb) + tuple(pd))
+    if pad_ch:
+        hi, lo = hi[:1], lo[:1]
     return hi, lo
 
 
@@ -410,12 +425,19 @@ def interpolate_blocked_ds(plan, halos_hi: jnp.ndarray, halos_lo: jnp.ndarray):
     """ds blocked type-2 interpolation.
 
     ``halos_hi``/``halos_lo``: the ds backward blockform buffer pair, each
-    (C, 2) + nb + pd (halo-gathered padded blocks).  Returns (C, 2, 2, Np)
-    f32 in original point order, cell-volume prefactor applied in ds.
-    """
+    (C, 2) + nb + pd for complex plans / (C,) + nb + pd for real (float64)
+    plans (halo-gathered padded blocks).  Returns (C, 2, 2, Np) f32
+    (complex) / (C, 2, Np) (real) in original point order, cell-volume
+    prefactor applied in ds."""
     D, m, bdims, nb, pd, yz = _geometry(plan)
     C = halos_hi.shape[0]
-    CR = 2 * C
+    # Interpret-mode single-channel shape guard (see spread_blocked_ds).
+    pad_ch = plan.is_real and C == 1 and plan.interpret
+    if pad_ch:
+        halos_hi = jnp.concatenate([halos_hi, jnp.zeros_like(halos_hi)], axis=0)
+        halos_lo = jnp.concatenate([halos_lo, jnp.zeros_like(halos_lo)], axis=0)
+        C = 2
+    CR = C if plan.is_real else 2 * C
     P = plan.batch_size
     pts = plan.points_packed
     DP = pts.shape[0]
@@ -486,4 +508,7 @@ def interpolate_blocked_ds(plan, halos_hi: jnp.ndarray, halos_lo: jnp.ndarray):
         (keys,) + tuple(slot_vals[c] for c in range(2 * CR)), num_keys=1
     )
     vals = jnp.stack([o[:np_] for o in sorted_ops[1:]], axis=0)
+    if plan.is_real:
+        out = vals.reshape(C, 2, np_)
+        return out[:1] if pad_ch else out
     return vals.reshape(C, 2, 2, np_)

@@ -102,15 +102,16 @@ def _two_sum(a, b):
 
 
 def _two_prod(a, b):
-    """Exact f32 product a*b = p + e via Veltkamp splitting (no FMA on the
-    jnp surface; the VPU's f32 ops are exact-rounding so the split is
-    error-free)."""
+    """Exact f32 product a*b = p + e via bit-masked operand splitting
+    (ops.ds._mask_hi): integer mantissa truncation instead of the Veltkamp
+    float chain, which the Pallas interpreter can evaluate at higher
+    intermediate precision and silently collapse (see ds._mask_hi)."""
+    from ..ds import _mask_hi
+
     p = a * b
-    c = 4097.0 * a  # 2^12 + 1 splits f32's 24-bit mantissa
-    a_hi = c - (c - a)
+    a_hi = _mask_hi(a)
     a_lo = a - a_hi
-    c = 4097.0 * b
-    b_hi = c - (c - b)
+    b_hi = _mask_hi(b)
     b_lo = b - b_hi
     e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
     return p, e
@@ -242,12 +243,15 @@ def window_weights_ds(kd: KernelData, Xh: jnp.ndarray, Xl: jnp.ndarray,
     return ds_horner(cs_h, cs_l, zh, zl)
 
 
-def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
-    """Build the transposed window matrix W^T (pd, P) for one dimension, in
-    the **core-first** padded-block layout.
+def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int,
+                    *, shifted: bool = False):
+    """Build the transposed window matrix W^T (pd, P) for one dimension.
 
-    A point in cell ``c`` (block-local ``lx = c - b*B``, in ``[0, B)``)
-    touches nodes ``j = lx - M + 1 + t`` for ``t = 0..2M-1``,
+    Two row layouts:
+
+    **core-first** (default; the yz form and the overlap_add path): a point
+    in cell ``c`` (block-local ``lx = c - b*B``, in ``[0, B)``) touches
+    nodes ``j = lx - M + 1 + t`` for ``t = 0..2M-1``,
     ``j in [-(M-1), B+M-1]``.  Local row ``i``:
 
     - ``j in [0, B)``      -> ``i = j``              (core rows, offset 0)
@@ -258,33 +262,48 @@ def build_wt_matrix(vals, c, block_origin, m: int, pd: int, P: int, B: int):
     the core at aligned offset 0 and the full halo in one contiguous chunk
     ``[B, B+2M-1)`` — which is what lets overlap_add extract the core with a
     plain aligned slice + transpose (scripts/exp_bw2.py) instead of
-    relayouting the whole padded buffer.  Built with 2M branchless
-    compare-selects against a static sublane iota — no gather, no scatter.
-    ``vals``: the (2M, P) all-taps weight matrix (window_weights).  The taps
-    of one point land on DISTINCT rows, so each tap select writes INTO the
-    accumulator (no add needed).
+    relayouting the whole padded buffer.
+
+    **halo-first / shifted** (``shifted=True``; the z-form blockform path):
+    ``i = lx + t`` — the left halo sits at the head, rows are contiguous
+    for EVERY point (no wrap), so every batch qualifies for the windowed
+    accumulation path (the wrap-fallback class of full-accumulator batches
+    disappears — measured ~19 ms per kernel at rho=1, PROFILE.md round-5
+    'branch' strip).  The blockform DFT absorbs the different row meaning
+    through its row map (matmul_fft.blockform_row_map shifted=True);
+    nothing outside the kernels + factor matrices sees the layout.
+
+    Built with 2M branchless compare-selects against a static sublane
+    iota — no gather, no scatter.  ``vals``: the (2M, P) all-taps weight
+    matrix (window_weights).  The taps of one point land on DISTINCT rows,
+    so each tap select writes INTO the accumulator (no add needed).
     """
-    if pd >= 48 and pd % 8 == 0 and m <= 9:
+    if pd >= 48 and pd % 8 == 0 and (shifted or m <= 9):
         # Tall matrices: the octave-placement form does the same placement
         # in ~2x fewer vector ops (it stages taps in a 16-row strip instead
-        # of selecting over all pd rows per tap).  m >= 10 would put the
-        # first tap row j0 = lx - (m-1) at octave q = -2, which the strip
-        # wrap handling does not cover (the q == -1 gate and wrap_src map
-        # assume j0 >= -8); those plans take the per-tap form below.
-        return _build_wt_matrix_octave(vals, c, block_origin, m, pd, P, B)
+        # of selecting over all pd rows per tap).  Core-first m >= 10 would
+        # put the first tap row j0 = lx - (m-1) at octave q = -2, which the
+        # strip wrap handling does not cover; shifted rows never go
+        # negative, so the octave form applies at every m there.
+        return _build_wt_matrix_octave(
+            vals, c, block_origin, m, pd, P, B, shifted=shifted
+        )
     lx = c - block_origin
     iota = jax.lax.broadcasted_iota(jnp.int32, (pd, P), 0)
     w = jnp.zeros((pd, P), dtype=vals.dtype)
     for t in range(vals.shape[0]):
         v = jax.lax.slice_in_dim(vals, t, t + 1, axis=0)
-        j = lx - (m - 1) + t
-        i = jnp.where(j < 0, j + B + 2 * m - 1, j)
+        if shifted:
+            i = lx + t
+        else:
+            j = lx - (m - 1) + t
+            i = jnp.where(j < 0, j + B + 2 * m - 1, j)
         w = jnp.where(iota == i, v, w)
     return w
 
 
 def _build_wt_matrix_octave(vals, c, block_origin, m: int, pd: int, P: int,
-                            B: int):
+                            B: int, *, shifted: bool = False):
     """Octave-placement variant of :func:`build_wt_matrix` (identical
     output, used automatically for large ``pd``).  The per-tap form issues
     2M compare-selects over the FULL (pd, P) matrix — O(2M * pd * P) VPU
@@ -294,11 +313,16 @@ def _build_wt_matrix_octave(vals, c, block_origin, m: int, pd: int, P: int,
     the in-octave offset d = j0 & 7 (2M selects over SR ~ 16 rows), then
     place the strip's 8-row segments into the output octaves with one
     select per (octave, segment) pair — O(2M*SR*P + (pd/8)*nseg*8*P),
-    ~2x fewer vector ops at pd = 104, m = 4.  The left-halo wrap rows
-    (j < 0 -> tail row B + 2m - 1 + j, disjoint from every non-wrap row)
-    are a static row-remap of the strip, gated on the q == -1 lanes."""
+    ~2x fewer vector ops at pd = 104, m = 4.  Core-first only: the
+    left-halo wrap rows (j < 0 -> tail row B + 2m - 1 + j, disjoint from
+    every non-wrap row) are a static row-remap of the strip, gated on the
+    q == -1 lanes.  ``shifted`` (halo-first): j0 = lx >= 0 — no wrap rows,
+    no q == -1 gate."""
     two_m = vals.shape[0]
-    j0 = c - block_origin - (m - 1)  # first tap's row, in [-(m-1), B-m]
+    if shifted:
+        j0 = c - block_origin  # first tap's row i = lx + 0, in [0, B)
+    else:
+        j0 = c - block_origin - (m - 1)  # first tap's row, in [-(m-1), B-m]
     d = jnp.bitwise_and(j0, 7)
     q = jnp.right_shift(j0, 3)  # arithmetic shift: j0 < 0 -> q == -1
     # Strip: rows s = d + t, s in [0, 7 + 2M).
@@ -313,21 +337,22 @@ def _build_wt_matrix_octave(vals, c, block_origin, m: int, pd: int, P: int,
         jax.lax.slice_in_dim(strip, 8 * k, 8 * (k + 1), axis=0)
         for k in range(nseg)
     ]
-    # Wrap rows (static map): output row i = j + B + 2m - 1 for tap row
-    # j in [-(m-1), -1]; on the q == -1 lanes j = s - 8, so i sources
-    # strip row s = i - (B + 2m - 9).
-    wrap_src = {
-        j + B + 2 * m - 1: j + 8 for j in range(-(m - 1), 0)
-    }
+    # Wrap rows (static map, core-first only): output row i = j + B + 2m - 1
+    # for tap row j in [-(m-1), -1]; on the q == -1 lanes j = s - 8, so i
+    # sources strip row s = i - (B + 2m - 9).
+    wrap_src = (
+        {} if shifted else {j + B + 2 * m - 1: j + 8 for j in range(-(m - 1), 0)}
+    )
     zrow = jnp.zeros((1, P), vals.dtype)
-    is_q = {qq: q == qq for qq in range(-1, pd // 8)}
+    q_lo = 0 if shifted else -1
+    is_q = {qq: q == qq for qq in range(q_lo, pd // 8)}
     octs = []
     for o in range(pd // 8):
         w_oct = jnp.zeros((8, P), vals.dtype)
         for k in range(nseg):
             # Segment k of the strip lands at octave q + k.
             qq = o - k
-            if -1 <= qq < pd // 8:
+            if q_lo <= qq < pd // 8:
                 w_oct = w_oct + jnp.where(is_q[qq], segs[k], 0.0)
         rows0 = 8 * o
         if any(rows0 <= i < rows0 + 8 for i in wrap_src):
@@ -348,16 +373,22 @@ def _build_wt_matrix_octave(vals, c, block_origin, m: int, pd: int, P: int,
     return jnp.concatenate(octs, axis=0)
 
 
-def build_wt_matrix_window(vals, c, block_origin, m: int, W: int, P: int, r0):
+def build_wt_matrix_window(vals, c, block_origin, m: int, W: int, P: int, r0,
+                           *, shifted: bool = False):
     """Windowed W0^T (W, P) for batches whose points span rows
-    [r0, r0 + W) of the padded block (slot_layout's per-batch window
-    metadata guarantees no left-edge wrap: j = lx - M + 1 + t >= 0)."""
+    [r0, r0 + W) of the padded block.  Core-first: the per-batch window
+    metadata guarantees no left-edge wrap (j = lx - M + 1 + t >= 0);
+    shifted (halo-first): rows i = lx + t are non-negative by
+    construction, so every batch qualifies."""
     lx = c - block_origin
     iota = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0)
     w = jnp.zeros((W, P), dtype=vals.dtype)
     for t in range(vals.shape[0]):
         v = jax.lax.slice_in_dim(vals, t, t + 1, axis=0)
-        i = lx - (m - 1) + t - r0
+        if shifted:
+            i = lx + t - r0
+        else:
+            i = lx - (m - 1) + t - r0
         w = jnp.where(iota == i, v, w)
     return w
 

@@ -529,7 +529,7 @@ def _route_and_sort(plan: Plan, pts_l, n, cap, nb0_local, nblocks_local, ax):
         sub_lx=sub_lx, sub_range=B0 if sub_lx is not None else 1,
         window=window,
         sub_ly=sub_ly, sub_range_y=B1 if sub_ly is not None else 1,
-        window_y=window_y,
+        window_y=window_y, shifted=plan.row_shifted,
     )
     if window_y is not None:
         s2p, svalid, pslots, bstarts, batch_r0, batch_r1 = out

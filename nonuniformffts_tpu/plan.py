@@ -122,12 +122,12 @@ class Plan:
     # descriptor).
     dma_super: int = static_field(default=4)
     # Per-exec value permutation into sorted order (packed layout):
-    # 'gather' = jnp.take by sort_perm; 'sort' = payload sort by the inverse
-    # positions (cheaper past a few million points); 'auto' picks by Np at
-    # set_points time.
+    # 'gather' = jnp.take by sort_perm; 'sort' = ONE stable payload sort
+    # keyed by the saved unsorted bin key (cheaper past a few million
+    # points); 'auto' picks by Np at set_points time.
     value_permute: str = static_field(default="auto")
-    # Extended-precision (double-single) pipeline: complex128 plans with
-    # precision='double' on the blocked method.  Every value-bearing tensor
+    # Extended-precision (double-single) pipeline: complex128 or float64
+    # plans with precision='double' on the blocked method.  Every value-bearing tensor
     # is an (hi, lo) f32 pair; kernels and DFT contract via int8 limb
     # cascades with exact int32 accumulation (ops/ds.py,
     # ops/pallas/blocked_ds.py, matmul_fft.forward_dft_blockform_ds) —
@@ -139,7 +139,11 @@ class Plan:
     # INTERNAL (scripts/exp_strip.py only): replace a named stage of the
     # z-form kernels' per-batch work with a cheap stand-in so stage cost
     # can be attributed by differencing on device.  Results are WRONG when
-    # set.  Values: 'horner' | 'weights' | 'dot' | 'acc' | 'rowsum'.
+    # set.  Values (validated at kernel launch, ops/pallas/blocked.py
+    # _check_strip): 'horner' | 'weights' | 'stack' (spread only) | 'dot' |
+    # 'acc' (spread only) | 'rowsum' (interp only) | 'branch' (needs the
+    # dim-0 window active without a dim-1 window) | 'loop' | 'dma' |
+    # 'nodma'.
     debug_strip: Optional[str] = static_field(default=None)
 
     # --- precomputed tensors --------------------------------------------
@@ -185,7 +189,7 @@ class Plan:
     # permutation runs as a payload sort instead of a gather (XLA TPU
     # gathers cost ~7 ns/index — a sort is ~3x cheaper past a few million
     # points; below that the gather wins).  Controlled by ``value_permute``.
-    sort_inv: Optional[jnp.ndarray] = data_field(default=None)
+    sort_key: Optional[jnp.ndarray] = data_field(default=None)
     slot_to_point: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,)
     slot_valid: Optional[jnp.ndarray] = data_field(default=None)  # (Nslots,) bool
     point_slots: Optional[jnp.ndarray] = data_field(default=None)  # (Np,)
@@ -257,6 +261,15 @@ class Plan:
         layout pre-pads its arrays for the DMA overhang; other layouts run
         one batch per descriptor."""
         return self.dma_super if self.layout == "packed" else 1
+
+    @property
+    def row_shifted(self) -> bool:
+        """Halo-first kernel row layout (rows i = lx + t, no wrap): the
+        z-form blockform path only.  Core-first everywhere else (the
+        overlap_add/halo_gather passes extract the core by aligned
+        slicing).  See ops/pallas/common.build_wt_matrix and
+        matmul_fft.blockform_row_map."""
+        return self.kernel_form == "z"
 
     @property
     def window_align(self) -> int:
@@ -396,17 +409,17 @@ def PlanNUFFT(
     if kernel_evalmode is None:
         kernel_evalmode = FastApproximation()
 
-    # Extended-precision (double-single) pipeline: 64-bit COMPLEX dtype +
-    # precision='double' on the blocked method.  (precision='double' on
+    # Extended-precision (double-single) pipeline: 64-bit dtype +
+    # precision='double' on the blocked method.  float64 plans run the
+    # REAL ds pipeline (r2c factors, CR = C real channel pairs) — the
+    # extended-precision twin of the reference's flagship Float64 real-data
+    # transforms (src/plan.jl:3-16 RealNUFFTData).  (precision='double' on
     # 32-bit dtypes keeps its existing meaning: compensated f32
     # accumulation.)  Resolved fully after spread_method below.
-    ds_requested = precision == "double" and dtype == np.dtype(np.complex128)
-    if precision == "double" and dtype == np.dtype(np.float64):
-        if spread_method == "blocked":
-            raise NotImplementedError(
-                "extended-precision real (float64) plans are not supported "
-                "yet; use complex128 (the ds pipeline is complex-only)"
-            )
+    ds_requested = precision == "double" and dtype in (
+        np.dtype(np.complex128),
+        np.dtype(np.float64),
+    )
 
     # Oversampled grid dims: next 5-smooth integer >= sigma*N; for real-data
     # plans the halved (last) axis is forced even (reference: plan.jl:485-498,
@@ -433,9 +446,19 @@ def PlanNUFFT(
     )
     if ds_mode and not isinstance(kernel_evalmode, FastApproximation):
         raise ValueError(
-            "extended-precision (complex128 + precision='double') plans "
+            "extended-precision (precision='double' 64-bit) plans "
             "require FastApproximation kernel evaluation (ds coefficient "
             "pairs)"
+        )
+    if ds_mode and m > 8:
+        # The ds kernels carry doubled (hi, lo) working sets; m = 10 blows
+        # the v5e scoped-VMEM budget (measured, docs/accuracy.md) and m = 8
+        # already saturates the ~2^-48 ds representation floor (5.1e-12 on
+        # device) — a larger window cannot buy more accuracy in this mode.
+        raise ValueError(
+            f"extended-precision plans support m <= 8 (got m={m}); m=8 "
+            "already reaches the double-single representation floor "
+            "(~5e-12 measured on device, docs/accuracy.md)"
         )
 
     # Per-dimension kernel data with the per-dim actual oversampling factor
@@ -778,6 +801,7 @@ def PlanNUFFT(
                 np_factors=fft_axes_np[d],
                 fold=dft_fold and not ds_mode,
                 ds=ds_mode,
+                shifted=(kernel_form == "z"),
             )
             for d, ax in enumerate(fft_axes)
         )
@@ -898,10 +922,11 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
         window = (plan.m, plan.window_rows, plan.padded_dims[0], plan.window_align)
         if plan.window_rows_y is not None:
             window_y = (plan.window_rows_y, plan.padded_dims[1])
-    pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm = packed_layout(
+    out_pl = packed_layout(
         plan.kernel_data, plan.block_dims, pts, plan.batch_size, window=window,
-        window_y=window_y,
+        window_y=window_y, shifted=plan.row_shifted,
     )
+    pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, key_u = out_pl
     # Pad the lane extent for the super-batch DMA overhang: a block's last
     # descriptor may read up to dma_super*P - 1 lanes past its final batch
     # (the kernels skip the excess sub-batches; the padding is never
@@ -912,16 +937,16 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
         pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
         perm = jnp.pad(perm, (0, extra))
     np_ = pts.shape[1]
-    sort_inv = None
+    sort_key = None
     if plan.value_permute == "sort" or (
         plan.value_permute == "auto" and np_ >= _SORT_PERMUTE_MIN_NP
     ):
-        # Inverse sorted positions: exec-time values then permute into
-        # sorted order via a payload sort (cheaper than the ~7 ns/index
-        # gather at large Np).  One extra sort here, amortised over execs.
-        iota = jnp.arange(np_, dtype=jnp.int32)
-        _, sort_inv = jax.lax.sort_key_val(perm[:np_], iota)
-    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sort_inv
+        # Exec-time values permute into sorted order via ONE stable payload
+        # sort keyed by the unsorted bin key (identical order to the points
+        # sort; cheaper than the ~7 ns/index gather at large Np).  The key
+        # already exists — no extra sort in set_points.
+        sort_key = key_u[:np_]
+    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sort_key
 
 
 @jax.jit
@@ -931,22 +956,22 @@ def _pack_points_ds_jit(plan: Plan, pts_h: jnp.ndarray, pts_l: jnp.ndarray):
     fractions as extra payload rows (blocking.packed_layout points_lo)."""
     from .blocking import packed_layout
 
-    pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm = packed_layout(
+    out_pl = packed_layout(
         plan.kernel_data, plan.block_dims, pts_h, plan.batch_size,
         points_lo=pts_l,
     )
+    pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, key_u = out_pl
     extra = plan.dma_super_eff * plan.batch_size
     if extra > plan.batch_size:
         pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
         perm = jnp.pad(perm, (0, extra))
     np_ = pts_h.shape[1]
-    sort_inv = None
+    sort_key = None
     if plan.value_permute == "sort" or (
         plan.value_permute == "auto" and np_ >= _SORT_PERMUTE_MIN_NP
     ):
-        iota = jnp.arange(np_, dtype=jnp.int32)
-        _, sort_inv = jax.lax.sort_key_val(perm[:np_], iota)
-    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sort_inv
+        sort_key = key_u[:np_]
+    return pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sort_key
 
 
 def _canonicalise_points_host(points, D: int) -> np.ndarray:
@@ -1015,7 +1040,7 @@ def _sort_points_jit(plan: Plan, pts: jnp.ndarray):
         sub_lx=sub_lx, sub_range=B0 if sub_lx is not None else 1,
         window=window,
         sub_ly=sub_ly, sub_range_y=B1 if sub_ly is not None else 1,
-        window_y=window_y,
+        window_y=window_y, shifted=plan.row_shifted,
     )
     if window_y is not None:
         s2p, valid, point_slots, batch_starts, batch_r0, batch_r1 = out
@@ -1073,7 +1098,7 @@ def set_points(plan: Plan, points) -> Plan:
             points_packed=pts_rows,
             pstarts=pstarts,
             sort_perm=perm,
-            sort_inv=sinv,
+            sort_key=sinv,
             block_starts=batch_starts,
             batch_r0=batch_r0,
             batch_r1=batch_r1,
@@ -1128,7 +1153,7 @@ def set_points(plan: Plan, points) -> Plan:
             points_packed=pts_rows,
             pstarts=pstarts,
             sort_perm=perm,
-            sort_inv=sinv,
+            sort_key=sinv,
             block_starts=batch_starts,
             batch_r0=batch_r0,
             batch_r1=batch_r1,
@@ -1184,7 +1209,7 @@ def set_points(plan: Plan, points) -> Plan:
             block_starts=batch_starts,
             batch_r0=batch_r0,
             batch_r1=batch_r1,
-            sort_inv=None,
+            sort_key=None,
             num_points_static=np_,
             point_perm=None,  # blocked path always sorts physically
             point_perm_inv=None,

@@ -98,6 +98,75 @@ def main():
         except Exception as e:
             print(f"m={m}: FAILED {type(e).__name__}: {e}", flush=True)
 
+    # --- float64 REAL-data ds pipeline (r2c) ------------------------------
+    # The extended-precision twin of the reference's flagship Float64
+    # real-data transforms (src/plan.jl:3-16 RealNUFFTData).
+    vr = np.ascontiguousarray(vc.real)
+    exact1r = np.zeros(ERR_MODES, np.complex128)
+    kidxr = mrng.integers(0, N_GRID, (ERR_MODES, 3))
+    kidxr[:, 2] = mrng.integers(0, N_GRID // 2 + 1, ERR_MODES)
+    kvalr = np.where(kidxr >= (N_GRID + 1) // 2, kidxr - N_GRID, kidxr).astype(
+        np.float64
+    )
+    kvalr[:, 2] = kidxr[:, 2]  # halved axis stores k = 0..+N/2
+    for s in range(0, NP_PTS, chunk):
+        ph = (
+            kvalr[:, 0:1] * pts[0:1, s : s + chunk]
+            + kvalr[:, 1:2] * pts[1:2, s : s + chunk]
+            + kvalr[:, 2:3] * pts[2:3, s : s + chunk]
+        )
+        exact1r += (np.exp(-1j * ph) * vr[None, s : s + chunk]).sum(axis=1)
+    # c2r type-2 rank-1 oracle (convention pinned by tests/test_accuracy.py
+    # ::test_c2r_type2_rank1_oracle_convention): Hermitian full-axis factors
+    # with zero Nyquist; halved-axis factor doubled-realified for k2 > 0.
+    H = N_GRID // 2 + 1
+
+    def herm_full(n):
+        x = (mrng.standard_normal(n) + 1j * mrng.standard_normal(n)) / n
+        x[0] = x[0].real
+        x[n // 2] = 0.0
+        x[n // 2 + 1 :] = np.conj(x[1 : n // 2][::-1])
+        return x
+
+    a0, a1 = herm_full(N_GRID), herm_full(N_GRID)
+    a2h = (mrng.standard_normal(H) + 1j * mrng.standard_normal(H)) / N_GRID
+    a2h[0] = a2h[0].real
+    uhat_r = np.einsum("i,j,k->ijk", a0, a1, a2h)
+    exact2r = np.ones(NP_PTS, np.float64)
+    for d, af in ((0, a0), (1, a1)):
+        exact2r *= (
+            np.exp(1j * np.outer(pts[d], ks)) @ af.astype(np.complex128)
+        ).real
+    kh = np.arange(H, dtype=np.float64)
+    terms = np.exp(1j * np.outer(pts[2], kh)) * a2h
+    exact2r *= terms[:, 0].real + 2.0 * np.sum(terms[:, 1:].real, axis=1)
+
+    for m in M_LIST:
+        try:
+            plan = nufft.PlanNUFFT(
+                np.float64, shape, m=m, sigma=2.0, precision="double",
+                spread_method="blocked", np_hint=NP_PTS,
+            )
+            p = nufft.set_points(plan, pts)
+            u = np.asarray(nufft.exec_type1(p, vr[None]))
+            v2 = np.asarray(nufft.exec_type2(p, uhat_r[None]))
+            got1 = u[0][kidxr[:, 0], kidxr[:, 1], kidxr[:, 2]]
+            e1 = np.linalg.norm(got1 - exact1r) / np.linalg.norm(exact1r)
+            e2 = np.linalg.norm(v2[0] - exact2r) / np.linalg.norm(exact2r)
+            t0 = time.perf_counter()
+            p = nufft.set_points(plan, pts)
+            u = nufft.exec_type1(p, vr[None])
+            v2 = nufft.exec_type2(p, uhat_r[None])
+            t_iter = time.perf_counter() - t0
+            print(
+                f"REAL m={m:2d} sigma=2.0 N={N_GRID}^3 Np={NP_PTS}: "
+                f"err1={e1:.3e} err2={e2:.3e} iter={t_iter*1e3:.1f} ms "
+                f"blocks={plan.block_dims} batch={plan.batch_size}",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"REAL m={m}: FAILED {type(e).__name__}: {e}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -11,6 +11,9 @@ stand-in (plan.debug_strip), so each stage's cost falls out by differencing:
 
 Results are numerically WRONG with a strip set — timing only.
 EXP_NP / EXP_N select the point; defaults 1M @ 256^3 (the bench headline).
+EXP_KPREC sets plan kernel_precision (e.g. 'fxp') so the int8 fixed-point
+contraction can be stage-laddered at the same geometry (the round-4/5
+"kernel-fxp rho=1 ladder").  EXP_BATCH / EXP_BLOCKS override geometry.
 """
 
 import dataclasses
@@ -79,9 +82,19 @@ def main():
     pts = jax.device_put(pts_np)
     v = jax.device_put(v_np)
 
+    kw = {}
+    if os.environ.get("EXP_KPREC"):
+        kw["kernel_precision"] = os.environ["EXP_KPREC"]
+    if os.environ.get("EXP_BATCH"):
+        b = os.environ["EXP_BATCH"]
+        kw["batch_size"] = b if b == "auto" else int(b)
+    if os.environ.get("EXP_BLOCKS"):
+        kw["block_dims"] = tuple(
+            int(x) for x in os.environ["EXP_BLOCKS"].split(",")
+        )
     base = nufft.PlanNUFFT(
         np.complex64, shape, m=4, sigma=1.5,
-        spread_method="blocked", fft_method="matmul", np_hint=NP_PTS,
+        spread_method="blocked", fft_method="matmul", np_hint=NP_PTS, **kw,
     )
     p0 = nufft.set_points(base, pts)
     buf = _t1_spread_stage(p0, v)
@@ -95,7 +108,9 @@ def main():
         flush=True,
     )
 
-    default = "none,weights,horner,dot,acc,rowsum,loop,branch,stack"
+    # 'dma' / 'nodma' are the PROFILE.md round-4 DMA/compute split — part
+    # of the default set so a default run reproduces the documented result.
+    default = "none,weights,horner,dot,acc,rowsum,loop,branch,stack,dma,nodma"
     names = os.environ.get("EXP_STRIPS", default).split(",")
     strips = [None if n in ("none", "") else n for n in names]
     for s in strips:

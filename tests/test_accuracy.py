@@ -187,3 +187,46 @@ def test_r2c_halved_axis_nyquist_convention(rng):
         uc[:, :, : N // 2]
     )
     assert rel < 1e-5
+
+
+def test_c2r_type2_rank1_oracle_convention(rng):
+    """Pin the c2r type-2 convention bench.py's r2c err2 oracle relies on
+    (measured mode-by-mode on the reference path):
+
+        v(x) = Re(sum_{k2=0 plane} u e^{ikx}) + 2 Re(sum_{k2>0} u e^{ikx})
+
+    i.e. every stored k2 > 0 plane — INCLUDING the stored +N/2 plane (the
+    oversampled c2r axis Ntilde > N mirrors it at -N/2) — contributes
+    doubled-realified; the k2 = 0 plane realifies once.  With Hermitian
+    full-axis factors whose Nyquist bin is zero (the -N/2 mode has no +N/2
+    partner on a c2c axis, so it is complex at non-uniform points), the
+    rank-1 exact value is a product of three real factor sums."""
+    N, Np = 16, 500
+    H = N // 2 + 1
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))
+
+    def herm_full(n):
+        a = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) / n
+        a[0] = a[0].real
+        a[n // 2] = 0.0
+        a[n // 2 + 1 :] = np.conj(a[1 : n // 2][::-1])
+        return a
+
+    a0, a1 = herm_full(N), herm_full(N)
+    a2h = (rng.standard_normal(H) + 1j * rng.standard_normal(H)) / N
+    a2h[0] = a2h[0].real
+    u = np.einsum("a,b,c->abc", a0, a1, a2h)
+    p = nufft.set_points(
+        nufft.PlanNUFFT(np.float64, (N,) * 3, m=6, sigma=2.0), pts
+    )
+    v = np.asarray(nufft.exec_type2(p, u))
+    kfull = np.fft.fftfreq(N, 1.0 / N)
+    exact = np.ones(Np)
+    for d, a in ((0, a0), (1, a1)):
+        exact = exact * (np.exp(1j * np.outer(pts[d], kfull)) @ a).real
+    kh = np.arange(H, dtype=float)
+    terms = np.exp(1j * np.outer(pts[2], kh)) * a2h
+    s2 = terms[:, 0].real + 2.0 * np.sum(terms[:, 1:].real, axis=1)
+    exact = exact * s2
+    rel = np.linalg.norm(v - exact) / np.linalg.norm(exact)
+    assert rel < 1e-5, rel

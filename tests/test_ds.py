@@ -197,15 +197,50 @@ def test_ds_pipeline_ntransforms(rng):
     assert err < 5e-11, err
 
 
+def _roundtrip_ds_real(shape, m, sigma, Np, rng, C=1, **kw):
+    """float64 (real-data) ds pipeline vs the f64 reference path."""
+    import nonuniformffts_tpu as nufft
+
+    pts = rng.uniform(0, 2 * np.pi, (len(shape), Np))
+    v = rng.standard_normal((C, Np))
+    kwc = {"ntransforms": C} if C > 1 else {}
+    ref = nufft.set_points(
+        nufft.PlanNUFFT(np.float64, shape, m=m, sigma=sigma, **kwc), pts
+    )
+    u_ref = np.asarray(nufft.exec_type1(ref, v if C > 1 else v[0]))
+    v2_ref = np.asarray(nufft.exec_type2(ref, u_ref))
+    dsp = nufft.PlanNUFFT(
+        np.float64, shape, m=m, sigma=sigma, precision="double",
+        spread_method="blocked", interpret=True, np_hint=Np, **kwc, **kw,
+    )
+    assert dsp.ds and dsp.is_real
+    dsp = nufft.set_points(dsp, pts)
+    u_ds = nufft.exec_type1(dsp, v if C > 1 else v[0])
+    v2_ds = nufft.exec_type2(dsp, np.asarray(u_ds, np.complex128))
+    e1 = np.linalg.norm(u_ds - u_ref) / np.linalg.norm(u_ref)
+    e2 = np.linalg.norm(v2_ds - v2_ref) / np.linalg.norm(v2_ref)
+    return e1, e2
+
+
+def test_ds_real_pipeline_3d(rng):
+    """float64 REAL-data ds plans — the extended-precision twin of the
+    reference's flagship Float64 r2c transforms (src/plan.jl:3-16
+    RealNUFFTData; Float64 benchmark .dat rows) — must match the f64
+    reference path to the ds representation floor."""
+    e1, e2 = _roundtrip_ds_real((32, 32, 32), 8, 2.0, 3000, rng)
+    assert e1 < 5e-11, e1
+    assert e2 < 5e-11, e2
+
+
+def test_ds_real_pipeline_2d_ntransforms(rng):
+    e1, e2 = _roundtrip_ds_real((48, 32), 6, 2.0, 2000, rng, C=2)
+    assert e1 < 5e-11 and e2 < 5e-11, (e1, e2)
+
+
 def test_ds_plan_validation():
     import nonuniformffts_tpu as nufft
     from nonuniformffts_tpu.ops.windows import Direct
 
-    with pytest.raises(NotImplementedError, match="complex128"):
-        nufft.PlanNUFFT(
-            np.float64, (32, 32), precision="double",
-            spread_method="blocked", interpret=True,
-        )
     with pytest.raises(ValueError, match="FastApproximation"):
         nufft.PlanNUFFT(
             np.complex128, (32, 32), precision="double",
