@@ -107,6 +107,37 @@ def _ds_channels_to_real(out) -> np.ndarray:
     return out[:, 0] + out[:, 1]
 
 
+#: Marker for the ds type-2 pad stage: the deconvolution scaling (and the
+#: uniform callback) already happened host-side in f64 — skip the device
+#: ds scaling.  (A plain object: hashable, so it rides the static
+#: ``callbacks`` argument of the jitted stages.)
+_DS_PRESCALED = "__ds_host_prescaled__"
+
+
+def _ds_host_apply(fn, *arrays):
+    """Run a callback-applying jax function on the HOST CPU in scoped f64.
+
+    ds plans marshal through the host anyway (the device cannot hold f64),
+    so user callbacks run here at full precision — the counterpart of the
+    reference fusing them into its f64 kernels (src/plan.jl:62-164).  The
+    fusion points commute with the host boundary: type-1's nonuniform
+    callback precedes the spread read, type-1's uniform / type-2's
+    nonuniform follow the last device stage, and type-2's uniform applies
+    to the deconvolution-scaled spectrum which is reproduced host-side
+    from the (hi, lo) factor pairs."""
+    with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(fn(*(jnp.asarray(a) for a in arrays)))
+
+
+def _ds_phihat64(plan) -> list:
+    """Per-dim f64 deconvolution factors reconstructed from the (hi, lo)
+    device pairs."""
+    return [
+        np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        for h, l in zip(plan.phihat_inv, plan.phihat_inv_lo)
+    ]
+
+
 def _spread(plan: Plan, vp: jnp.ndarray) -> jnp.ndarray:
     """Spreading with native (complex or real) values."""
     if plan.spread_method == "blocked":
@@ -174,7 +205,9 @@ def _apply_nonuniform_ch(plan, vp_ch, callback):
         return vp_ch
     if plan.ds:
         raise NotImplementedError(
-            "callbacks are not supported on extended-precision plans"
+            "on extended-precision plans callbacks run host-side in f64: "
+            "use exec_type1/exec_type2 (the channel-form API cannot carry "
+            "them)"
         )
     if plan.is_real:
         return apply_nonuniform_callback(vp_ch, callback)
@@ -269,7 +302,9 @@ def _t1_deconv_stage(plan: Plan, spec, callbacks: NUFFTCallbacks):
     if plan.ds:
         if callbacks.uniform is not None:
             raise NotImplementedError(
-                "callbacks are not supported on extended-precision plans"
+                "on extended-precision plans callbacks run host-side in "
+                "f64: use exec_type1 (the channel-form API cannot carry "
+                "them)"
             )
         return jnp.stack(spec, axis=2)  # ds channel form (C, 2, 2) + spec
     if plan.fft_method == "matmul":
@@ -290,9 +325,14 @@ def _t2_pad_stage(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
     if plan.ds:
         from .ops.ds import ds_mul
 
+        if callbacks.uniform == _DS_PRESCALED:
+            # exec_type2 already scaled + applied the callback host-side.
+            return uhat_ch[:, :, 0], uhat_ch[:, :, 1]
         if callbacks.uniform is not None:
             raise NotImplementedError(
-                "callbacks are not supported on extended-precision plans"
+                "on extended-precision plans callbacks run host-side in "
+                "f64: use exec_type2 (the channel-form API cannot carry "
+                "them)"
             )
         xh, xl = uhat_ch[:, :, 0], uhat_ch[:, :, 1]  # (C, 2) + spec each
         D = plan.ndim
@@ -525,12 +565,26 @@ def exec_type1(plan: Plan, vp, callbacks: NUFFTCallbacks = None) -> jnp.ndarray:
     if plan.ds:
         # Extended-precision plans: values split into (hi, lo) f32 channel
         # pairs on the host; the result returns as a HOST complex128 array
-        # (f64 cannot live on the device).
-        vp_ch = jnp.asarray(
-            _host_to_channels_ds(np.asarray(vp), real=plan.is_real)
-        )
-        out_ch = _dispatch_type1(plan, vp_ch, callbacks)
+        # (f64 cannot live on the device).  Callbacks run host-side in f64
+        # (_ds_host_apply): nonuniform before the split (the reference
+        # fuses it at the spread read — inputs are never modified either
+        # way), uniform on the final spectrum (the reference fuses it after
+        # the deconvolve scaling, which is exactly this value).
+        vp_h = np.asarray(vp)
+        if callbacks.nonuniform is not None:
+            vp_h = _ds_host_apply(
+                lambda v: apply_nonuniform_callback(v, callbacks.nonuniform),
+                vp_h,
+            )
+        vp_ch = jnp.asarray(_host_to_channels_ds(vp_h, real=plan.is_real))
+        out_ch = _dispatch_type1(plan, vp_ch, _EMPTY_CALLBACKS)
         uhat = _ds_channels_to_complex(out_ch)
+        if callbacks.uniform is not None:
+            from .ops.deconvolve import _apply_uniform_callback
+
+            uhat = _ds_host_apply(
+                lambda w: _apply_uniform_callback(w, callbacks.uniform), uhat
+            )
         return uhat if had_axis else uhat[0]
     if plan.is_real:
         vp_ch = jnp.asarray(vp)
@@ -566,13 +620,36 @@ def exec_type2(plan: Plan, uhat, callbacks: NUFFTCallbacks = None) -> jnp.ndarra
             f"uniform data shape {uhat.shape[1:]} != expected {plan.spectral_shape}"
         )
     if plan.ds:
-        uhat_ch = jnp.asarray(_host_to_channels_ds(np.asarray(uhat)))
-        vp_ch = _dispatch_type2(plan, uhat_ch, callbacks)
+        uhat_h = np.asarray(uhat)
+        cbs_down = _EMPTY_CALLBACKS
+        if callbacks.uniform is not None:
+            # Reference semantics: the uniform callback sees the
+            # deconvolution-SCALED spectrum (src/NonuniformFFTs.jl:453-480).
+            # Scale host-side in f64 from the (hi, lo) factor pairs, apply
+            # the callback, and tell the pad stage to skip its ds scaling.
+            from .ops.deconvolve import _apply_uniform_callback
+
+            for d, ph64 in enumerate(_ds_phihat64(plan)):
+                shp = [1] * uhat_h.ndim
+                shp[1 + d] = ph64.shape[0]
+                uhat_h = uhat_h * ph64.reshape(shp)
+            uhat_h = _ds_host_apply(
+                lambda w: _apply_uniform_callback(w, callbacks.uniform),
+                uhat_h,
+            )
+            cbs_down = NUFFTCallbacks(uniform=_DS_PRESCALED)
+        uhat_ch = jnp.asarray(_host_to_channels_ds(uhat_h))
+        vp_ch = _dispatch_type2(plan, uhat_ch, cbs_down)
         vp = (
             _ds_channels_to_real(vp_ch)
             if plan.is_real
             else _ds_channels_to_complex(vp_ch)
         )
+        if callbacks.nonuniform is not None:
+            vp = _ds_host_apply(
+                lambda v: apply_nonuniform_callback(v, callbacks.nonuniform),
+                vp,
+            )
         return vp if had_axis else vp[0]
     if is_host:
         uhat_ch = jnp.asarray(

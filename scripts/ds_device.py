@@ -10,6 +10,11 @@ f32 pipeline's ~2e-7 storage ceiling, delivered on the chip.
 - type 2: rank-1 separable spectrum -> closed-form exact values per point;
 - also times one full iteration (set_points + type1 + type2).
 
+With DS_BENCH=1 the last complex m's timing row (plus a stage split and
+the f32-pipeline time at the identical operating point) is merged into
+BENCH_SWEEP.json under the "ds" key — the committed price of
+precision='double' (VERDICT round-4 #4).
+
 Run: python scripts/ds_device.py   (env: DS_N grid, DS_NP points, DS_M m)
 """
 
@@ -67,6 +72,7 @@ def main():
             a[d][None, :] * np.exp(1j * pts[d][:, None] * ks[None, :])
         ).sum(axis=1)
 
+    ds_row = None
     for m in M_LIST:
         try:
             plan = nufft.PlanNUFFT(
@@ -95,8 +101,76 @@ def main():
                 f"batch={plan.batch_size}",
                 flush=True,
             )
+            # Stage split (host-walltime per stage, device-synced through
+            # the host conversions) for the committed ds row.
+            t0 = time.perf_counter()
+            p = nufft.set_points(plan, pts)
+            import jax as _jax
+
+            _jax.block_until_ready(p.points_packed)
+            t_set = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            u = nufft.exec_type1(p, v)
+            t_t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            v2 = nufft.exec_type2(p, uhat_sep[None])
+            t_t2 = time.perf_counter() - t0
+            ds_row = {
+                "mode": "complex128 precision='double' (ds)",
+                "N": N_GRID, "Np": NP_PTS, "m": m, "sigma": 2.0,
+                "err_type1": float(e1), "err_type2": float(e2),
+                "t_iter_s": t_iter, "t_set_s": t_set,
+                "t_type1_s": t_t1, "t_type2_s": t_t2,
+                "pts_per_sec": NP_PTS / t_iter,
+                "blocks": list(plan.block_dims),
+                "batch": plan.batch_size,
+            }
         except Exception as e:
             print(f"m={m}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    if ds_row is not None and os.environ.get("DS_BENCH") == "1":
+        # f32-pipeline time at the IDENTICAL operating point (same m/sigma
+        # for a like-for-like price; accuracy differs by construction).
+        try:
+            p32 = nufft.PlanNUFFT(
+                np.complex64, shape, m=ds_row["m"], sigma=2.0,
+                spread_method="blocked", np_hint=NP_PTS,
+            )
+            pts32 = pts.astype(np.float32)
+            v32 = np.stack([vc.real, vc.imag]).astype(np.float32)[None]
+            from nonuniformffts_tpu.execution import (
+                exec_type1_channels, exec_type2_channels,
+            )
+            import jax as _jax
+
+            ps = nufft.set_points(p32, _jax.device_put(pts32))
+            u32 = exec_type1_channels(ps, _jax.device_put(v32))
+            _jax.block_until_ready(u32)
+            t0 = time.perf_counter()
+            ps = nufft.set_points(p32, _jax.device_put(pts32))
+            u32 = exec_type1_channels(ps, _jax.device_put(v32))
+            v232 = exec_type2_channels(ps, u32)
+            _jax.block_until_ready(v232)
+            ds_row["t_iter_f32_s"] = time.perf_counter() - t0
+            ds_row["slowdown_vs_f32"] = (
+                ds_row["t_iter_s"] / ds_row["t_iter_f32_s"]
+            )
+        except Exception as e:
+            print(f"f32 baseline: FAILED {type(e).__name__}: {e}", flush=True)
+        import json
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_SWEEP.json",
+        )
+        doc = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                doc = json.load(f)
+        doc["ds"] = ds_row
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"ds row committed to BENCH_SWEEP.json: {ds_row}", flush=True)
 
     # --- float64 REAL-data ds pipeline (r2c) ------------------------------
     # The extended-precision twin of the reference's flagship Float64

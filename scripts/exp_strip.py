@@ -92,6 +92,8 @@ def main():
         kw["block_dims"] = tuple(
             int(x) for x in os.environ["EXP_BLOCKS"].split(",")
         )
+    if os.environ.get("EXP_WROWS"):
+        kw["window_rows"] = int(os.environ["EXP_WROWS"])
     base = nufft.PlanNUFFT(
         np.complex64, shape, m=4, sigma=1.5,
         spread_method="blocked", fft_method="matmul", np_hint=NP_PTS, **kw,

@@ -88,3 +88,58 @@ def test_inputs_never_modified(setup):
     cb = nufft.NUFFTCallbacks(nonuniform=lambda vs, n: tuple(x * weights[n] for x in vs))
     nufft.exec_type1(plan, v, callbacks=cb)
     np.testing.assert_array_equal(v, v0)
+
+
+def test_callbacks_ds_plans(rng):
+    """Callbacks on extended-precision (ds) plans run host-side in f64 with
+    reference fusion semantics (the reference supports callbacks on every
+    plan type including f64, src/plan.jl:62-164).  Fused must equal
+    manually applying the same ops around a plain ds transform, at ds
+    accuracy."""
+    shape, Np = (24, 20), 400
+    pts = rng.uniform(0, 2 * np.pi, (2, Np))
+    v = random_values(rng, np.complex128, Np)
+    weights = rng.uniform(0.5, 1.5, Np)
+
+    plan = nufft.set_points(
+        nufft.PlanNUFFT(
+            np.complex128, shape, m=6, sigma=2.0, precision="double",
+            spread_method="blocked", interpret=True, np_hint=Np,
+        ),
+        pts,
+    )
+    assert plan.ds
+    w_j = jnp.asarray(weights)
+    cb_nu = nufft.NUFFTCallbacks(
+        nonuniform=lambda vs, n: tuple(x * w_j[n] for x in vs)
+    )
+    fused = np.asarray(nufft.exec_type1(plan, v, callbacks=cb_nu))
+    manual = np.asarray(nufft.exec_type1(plan, v * weights))
+    np.testing.assert_allclose(fused, manual, rtol=1e-10, atol=1e-12)
+
+    # uniform callback, type-1 and type-2 (sees the deconvolution-scaled
+    # spectrum in type 2 — reference src/NonuniformFFTs.jl:453-480).
+    kx = jnp.asarray(np.fft.fftfreq(shape[0], 1.0) * shape[0])
+    ky = jnp.asarray(np.fft.fftfreq(shape[1], 1.0) * shape[1])
+
+    def cb_u(ws, idx):
+        i, j = idx
+        k2 = 1.0 + kx[i] ** 2 + ky[j] ** 2
+        return tuple(w * k2 for w in ws)
+
+    cb = nufft.NUFFTCallbacks(uniform=cb_u)
+    fused1 = np.asarray(nufft.exec_type1(plan, v, callbacks=cb))
+    plain1 = np.asarray(nufft.exec_type1(plan, v))
+    kxn, kyn = np.asarray(kx), np.asarray(ky)
+    k2g = 1.0 + kxn[:, None] ** 2 + kyn[None, :] ** 2
+    np.testing.assert_allclose(fused1, plain1 * k2g, rtol=1e-10, atol=1e-12)
+
+    uhat = plain1
+    fused2 = np.asarray(nufft.exec_type2(plan, uhat, callbacks=cb))
+    manual2 = np.asarray(nufft.exec_type2(plan, uhat * k2g))
+    np.testing.assert_allclose(fused2, manual2, rtol=1e-10, atol=1e-12)
+
+    # nonuniform on type-2 applies at the result write.
+    fused3 = np.asarray(nufft.exec_type2(plan, uhat, callbacks=cb_nu))
+    plain3 = np.asarray(nufft.exec_type2(plan, uhat))
+    np.testing.assert_allclose(fused3, plain3 * weights, rtol=1e-10, atol=1e-12)

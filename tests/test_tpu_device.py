@@ -303,7 +303,7 @@ def test_compiled_large_batch_and_sort_permute():
         )
         p = nufft.set_points(plan, jax.device_put(pts))
         if cfg.get("value_permute") == "sort":
-            assert p.sort_inv is not None
+            assert p.sort_key is not None
         u = np.asarray(exec_type1_channels(p, jax.device_put(v)))
         uc = (u[0, 0] + 1j * u[0, 1]).astype(np.complex128)
         got = uc[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
@@ -316,3 +316,62 @@ def test_compiled_large_batch_and_sort_permute():
         np.testing.assert_allclose(u, u_base, rtol=2e-4, atol=atol)
         v2 = np.asarray(exec_type2_channels(p, u))
         assert np.all(np.isfinite(v2)), cfg
+
+
+@requires_tpu
+def test_compiled_ds_extended_precision():
+    """The extended-precision (double-single) pipeline on the COMPILED
+    Mosaic kernels: complex128 and float64 plans at m=6, sigma=2 must land
+    ~4 orders below the f32 pipeline's ~2e-7 device floor (the regime the
+    reference covers with native Float64, test/accuracy.jl:7-27)."""
+    import jax
+    import nonuniformffts_tpu as nufft
+
+    rng = np.random.default_rng(21)
+    N, Np = 48, 40_000
+    pts = rng.uniform(0, 2 * np.pi, (3, Np))  # float64: ds split on host
+    vc = rng.standard_normal(Np) + 1j * rng.standard_normal(Np)
+    kidx = rng.integers(0, N, (96, 3))
+    kval = np.where(kidx >= (N + 1) // 2, kidx - N, kidx).astype(np.float64)
+    ph = (
+        kval[:, 0:1] * pts[0:1]
+        + kval[:, 1:2] * pts[1:2]
+        + kval[:, 2:3] * pts[2:3]
+    )
+    exact_c = (np.exp(-1j * ph) * vc[None, :]).sum(axis=1)
+
+    p = nufft.set_points(
+        nufft.PlanNUFFT(
+            np.complex128, (N,) * 3, m=6, sigma=2.0, precision="double",
+            spread_method="blocked", np_hint=Np,
+        ),
+        pts,
+    )
+    u = np.asarray(nufft.exec_type1(p, vc[None]))[0]
+    got = u[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
+    err_c = np.linalg.norm(got - exact_c) / np.linalg.norm(exact_c)
+    assert err_c < 5e-10, err_c
+
+    # float64 real-data ds plan (r2c): same oracle on the half-spectrum.
+    vr = vc.real.copy()
+    kidxr = kidx.copy()
+    kidxr[:, 2] = rng.integers(0, N // 2 + 1, 96)
+    kvalr = kval.copy()
+    kvalr[:, 2] = kidxr[:, 2]  # halved axis stores k = 0..+N/2
+    phr = (
+        kvalr[:, 0:1] * pts[0:1]
+        + kvalr[:, 1:2] * pts[1:2]
+        + kvalr[:, 2:3] * pts[2:3]
+    )
+    exact_r = (np.exp(-1j * phr) * vr[None, :]).sum(axis=1)
+    pr = nufft.set_points(
+        nufft.PlanNUFFT(
+            np.float64, (N,) * 3, m=6, sigma=2.0, precision="double",
+            spread_method="blocked", np_hint=Np,
+        ),
+        pts,
+    )
+    ur = np.asarray(nufft.exec_type1(pr, vr[None]))[0]
+    gotr = ur[kidxr[:, 0], kidxr[:, 1], kidxr[:, 2]]
+    err_r = np.linalg.norm(gotr - exact_r) / np.linalg.norm(exact_r)
+    assert err_r < 5e-10, err_r
