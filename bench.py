@@ -375,9 +375,16 @@ def main():
     if SWEEP:
         # Reference protocol densities: rho = Np / N^3 in 1e-4 .. 10
         # (benchmark/CPU+CUDA/run_benchmarks.jl:394-404).  Stage columns are
-        # measured for every row (VERDICT round-1 weak #6).
+        # measured for every row (VERDICT round-1 weak #6).  BENCH_RHOS
+        # restricts the sweep (comma-separated) so a single fixed row can
+        # be re-measured without rerunning the whole protocol.
         ntot = int(np.prod(shape))
-        for rho in (1e-4, 1e-3, 1e-2, 1e-1, 1.0, 10.0):
+        rhos = (1e-4, 1e-3, 1e-2, 1e-1, 1.0, 10.0)
+        if os.environ.get("BENCH_RHOS"):
+            rhos = tuple(
+                float(x) for x in os.environ["BENCH_RHOS"].split(",")
+            )
+        for rho in rhos:
             np_pts = int(round(rho * ntot))
             if np_pts == NP_MAIN or np_pts < 1:
                 continue

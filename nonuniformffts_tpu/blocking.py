@@ -638,6 +638,7 @@ def packed_layout(
     kernel_data, block_dims, points: jnp.ndarray, P: int, *,
     window: Tuple[int, int, int] = None, window_y: Tuple[int, int] = None,
     points_lo: jnp.ndarray = None, shifted: bool = False,
+    extra_lanes: int = 0,
 ):
     """Packed (gather-free) point layout: ONE multi-operand sort, no slot
     expansion.
@@ -705,6 +706,10 @@ def packed_layout(
     key = bid * jnp.int32(sub_range) + lcell
 
     np_pad = -(-max(np_, 1) // P) * P
+    # ``extra_lanes``: the super-batch DMA overhang rides the sort's
+    # sentinel tail directly (padding pts_rows AFTER the stack copies the
+    # whole multi-GB array — the rho=10 OOM).
+    np_pad += extra_lanes
     pad = np_pad - np_
     iota = jnp.arange(np_, dtype=jnp.int32)
     if pad:

@@ -694,6 +694,8 @@ def _spread_kernel_z(
             off = pl.multiple_of((start_b + j * SUPER) * P, P)
         dst = pl.multiple_of(slot * SB, P)
         if SPLIT:
+            # vals_hbm is UNPADDED (CR rows); DMA exactly those rows to
+            # the buffer's value region (static sublane offset DP).
             return _CopyPair(
                 pltpu.make_async_copy(
                     pts_hbm.at[:, pl.ds(off, SB)],
@@ -702,7 +704,7 @@ def _spread_kernel_z(
                 ),
                 pltpu.make_async_copy(
                     vals_hbm.at[:, pl.ds(off, SB)],
-                    pv_buf.at[DP:, pl.ds(dst, SB)],
+                    pv_buf.at[DP : DP + CR, pl.ds(dst, SB)],
                     sem_vals.at[slot],
                 ),
             )
@@ -1062,6 +1064,21 @@ def spread_blocked(
         """One Pallas pass over a channel chunk (CRc rows of values)."""
         CRc = vals_chunk.shape[0]
         CRPc = common.round_up(CRc, 8)
+        # Combined rows [points ; values]: each super-batch is ONE DMA
+        # descriptor of SUPER*P lanes.  Huge plans (rho ~ 10) ship the two
+        # arrays separately instead — the concat temp alone would OOM HBM
+        # (see PV_SPLIT_BYTES); z-form kernels only.  The split path also
+        # ships the value rows UNPADDED (CRc, nslots): the CRPc = 8 row
+        # pad would cost (8 - CRc) * nslots * 4 bytes of HBM zeros —
+        # ~4.6 GB at rho = 10 — purely for DMA row-shape regularity it
+        # does not need (the kernel DMAs CRc rows to a static sublane
+        # offset and never reads the buffer's value tail rows).
+        split_pv = (
+            plan.kernel_form == "z"
+            and DP % 8 == 0  # vals rows start at a sublane-aligned offset
+            and (DP + CRPc) * nslots * 4 > PV_SPLIT_BYTES
+        )
+        row_pad = 0 if split_pv else CRPc - CRc
         if layout == "packed":
             # Values permute to sorted order; edge/tail lanes are masked
             # in-kernel (no zeroing pass needed).  Two engines: ONE stable
@@ -1079,26 +1096,17 @@ def spread_blocked(
                 vals = jnp.stack(ops[1:], axis=0)
                 vals = jnp.pad(
                     vals,
-                    ((0, CRPc - CRc), (0, nslots - vals.shape[1])),
+                    ((0, row_pad), (0, nslots - vals.shape[1])),
                 )
             else:
                 vals = jnp.take(vals_chunk.astype(rdt), plan.sort_perm, axis=1)
-                if CRPc != CRc:
-                    vals = jnp.pad(vals, ((0, CRPc - CRc), (0, 0)))
+                if row_pad:
+                    vals = jnp.pad(vals, ((0, row_pad), (0, 0)))
         else:
             vals = gather_slots(
                 vals_chunk.astype(rdt), plan.slot_to_point, plan.slot_valid,
-                rows=CRPc,
+                rows=(CRc if split_pv else CRPc),
             )
-        # Combined rows [points ; values]: each super-batch is ONE DMA
-        # descriptor of SUPER*P lanes.  Huge plans (rho ~ 10) ship the two
-        # arrays separately instead — the concat temp alone would OOM HBM
-        # (see PV_SPLIT_BYTES); z-form kernels only.
-        split_pv = (
-            plan.kernel_form == "z"
-            and DP % 8 == 0  # vals rows start at a sublane-aligned offset
-            and (DP + CRPc) * nslots * 4 > PV_SPLIT_BYTES
-        )
         if split_pv:
             pv_ops = (pts.astype(rdt), vals)
         else:
@@ -1198,7 +1206,7 @@ def spread_blocked(
 def _interp_kernel(
     starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, nb, pd, yz, P, W, layout, SUPER,
+    *, plan, CR, nb, pd, yz, P, W, layout, SUPER, OUT_ROWS,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -1241,11 +1249,12 @@ def _interp_kernel(
         # super-batch's tail lanes past nbatch carry stale data; they fall
         # in the next program's slot range (overwritten — programs run in
         # ascending order) or past block_starts[-1]*P (masked by the
-        # un-permute's `written` mask).
+        # un-permute's `written` mask).  Only OUT_ROWS rows ship: huge
+        # plans keep the HBM result array unpadded (see run_chunk).
         off = pl.multiple_of((start_b + j * SUPER) * P, P)
         src = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            res_buf.at[:, pl.ds(src, SB)],
+            res_buf.at[:OUT_ROWS, pl.ds(src, SB)],
             out_ref.at[:, pl.ds(off, SB)],
             sem_r.at[slot],
         )
@@ -1365,7 +1374,7 @@ def _interp_kernel(
 def _interp_kernel_z(
     starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
+    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER, OUT_ROWS,
 ):
     """Z-form interpolation: gblk (CR*pd0*prod(pd_mid), pd_last); per batch
     t = G_window @ Wlast (M = CR*W0*prod(pd_mid), K = pd_last, N = P), then
@@ -1417,7 +1426,7 @@ def _interp_kernel_z(
         off = pl.multiple_of((start_b + j * SUPER) * P, P)
         src = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            res_buf.at[:, pl.ds(src, SB)],
+            res_buf.at[:OUT_ROWS, pl.ds(src, SB)],
             out_ref.at[:, pl.ds(off, SB)],
             sem_r.at[slot],
         )
@@ -1764,6 +1773,10 @@ def interpolate_blocked(
         # Packed layout: one extra output row carries the un-permute keys.
         nrows = CRc + 1 if layout == "packed" else CRc
         CRPc = common.round_up(nrows, 8)
+        # Huge plans ship the HBM result array UNPADDED (nrows instead of
+        # the 8-row granule): the pad is (CRPc - nrows) * nslots * 4 bytes
+        # of never-read zeros — ~3.9 GB at rho = 10 (see PV_SPLIT_BYTES).
+        out_rows = nrows if CRPc * nslots * 4 > PV_SPLIT_BYTES else CRPc
         if plan.kernel_form == "z":
             rm = _rows_mid(pd)
             in_spec0 = pl.BlockSpec(
@@ -1778,13 +1791,14 @@ def interpolate_blocked(
             kernel = functools.partial(
                 _interp_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
                 P=P, W=W, W1=W1, layout=layout, SUPER=SUPER,
+                OUT_ROWS=out_rows,
             )
         else:
             in_spec0 = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index)
             gblk_scratch = pltpu.VMEM((CRc * pd[0], yz), rdt)
             kernel = functools.partial(
                 _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P,
-                W=W, layout=layout, SUPER=SUPER,
+                W=W, layout=layout, SUPER=SUPER, OUT_ROWS=out_rows,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -1806,7 +1820,7 @@ def interpolate_blocked(
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((CRPc, nslots), rdt),
+            out_shape=jax.ShapeDtypeStruct((out_rows, nslots), rdt),
             interpret=plan.interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(

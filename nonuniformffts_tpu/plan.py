@@ -925,6 +925,7 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
     out_pl = packed_layout(
         plan.kernel_data, plan.block_dims, pts, plan.batch_size, window=window,
         window_y=window_y, shifted=plan.row_shifted,
+        extra_lanes=(plan.dma_super_eff - 1) * plan.batch_size,
     )
     pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, key_u = out_pl
     # Pad the lane extent for the super-batch DMA overhang: a block's last
@@ -932,10 +933,6 @@ def _pack_points_jit(plan: Plan, pts: jnp.ndarray):
     # (the kernels skip the excess sub-batches; the padding is never
     # computed on).  perm padding repeats index 0 so the per-exec value
     # gather stays in bounds.
-    extra = plan.dma_super_eff * plan.batch_size
-    if extra > plan.batch_size:
-        pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
-        perm = jnp.pad(perm, (0, extra))
     np_ = pts.shape[1]
     sort_key = None
     if plan.value_permute == "sort" or (
@@ -959,12 +956,9 @@ def _pack_points_ds_jit(plan: Plan, pts_h: jnp.ndarray, pts_l: jnp.ndarray):
     out_pl = packed_layout(
         plan.kernel_data, plan.block_dims, pts_h, plan.batch_size,
         points_lo=pts_l,
+        extra_lanes=(plan.dma_super_eff - 1) * plan.batch_size,
     )
     pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, key_u = out_pl
-    extra = plan.dma_super_eff * plan.batch_size
-    if extra > plan.batch_size:
-        pts_rows = jnp.pad(pts_rows, ((0, 0), (0, extra)))
-        perm = jnp.pad(perm, (0, extra))
     np_ = pts_h.shape[1]
     sort_key = None
     if plan.value_permute == "sort" or (

@@ -591,3 +591,36 @@ def test_split_pv_spread_matches(rng, monkeypatch):
         blocked.spread_blocked(plan, vp, raw_output=True)
     )
     np.testing.assert_array_equal(buf_concat, buf_split)
+
+
+def test_huge_plan_unpadded_interp_out_matches(rng, monkeypatch):
+    '''Huge plans keep the interp HBM result array at its true row count
+    (nrows) instead of the 8-row DMA granule (~3.9 GB of never-read zeros
+    at rho=10).  Force the small-threshold path and check the interp stage
+    agrees exactly with the padded path.'''
+    from nonuniformffts_tpu.ops.pallas import blocked
+    from nonuniformffts_tpu.execution import (
+        _t2_interp_stage,
+        _t2_pad_stage,
+        _t2_fft_stage,
+    )
+    from nonuniformffts_tpu.callbacks import NUFFTCallbacks
+    import jax.numpy as jnp
+
+    shape, Np = (16, 12, 20), 3000
+    pts, v = _make_inputs(shape, np.complex64, 1, Np, rng)
+    kw = dict(
+        m=4, sigma=2.0, spread_method="blocked", fft_method="matmul",
+        interpret=True, np_hint=Np,
+    )
+    plan = nufft.set_points(nufft.PlanNUFFT(np.complex64, shape, **kw), pts)
+    assert plan.kernel_form == "z"
+    vp = v[None] if v.ndim == 1 else v
+    u = np.asarray(nufft.exec_type1(plan, vp))
+    uhat_ch = np.stack([u.real, u.imag], axis=1)
+    spec = _t2_pad_stage(plan, jnp.asarray(uhat_ch), NUFFTCallbacks())
+    halos = _t2_fft_stage(plan, spec)
+    out_pad = np.asarray(_t2_interp_stage(plan, halos))
+    monkeypatch.setattr(blocked, "PV_SPLIT_BYTES", 0)
+    out_unpad = np.asarray(_t2_interp_stage(plan, halos))
+    np.testing.assert_array_equal(out_pad, out_unpad)
