@@ -56,7 +56,14 @@ def _mask_hi(a):
     degrading every downstream ds value to f32 (measured 3.3e-8 on a
     minimal interpret kernel vs 3.6e-15 with the mask).  Integer masking
     is precision-independent, and two VPU bit-ops vs three float ops on
-    device."""
+    device.
+
+    SCALAR operands keep the Veltkamp chain: Mosaic's tpu.bitcast only
+    accepts vectors (scalar sites — the in-kernel normfactor pair — are
+    exact under Mosaic's strict f32 and measured exact in interpret)."""
+    if getattr(a, "ndim", 0) == 0:
+        c = 4097.0 * a  # 2^12 + 1 splits f32's 24-bit mantissa
+        return c - (c - a)
     bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
     return jax.lax.bitcast_convert_type(
         bits & jnp.uint32(0xFFFFF000), jnp.float32

@@ -664,11 +664,20 @@ def _spread_kernel_z(
         pv_hbm, cs_ref, out_ref = args[:3]
         scratch = args[3:]
     if plan.spread_acc2:
-        acc_ref, acc2_ref, pv_buf, sem_pv = scratch[:4]
+        acc_ref, acc2_ref = scratch[0], scratch[1]
+        rest = scratch[2:]
     else:
-        acc_ref, pv_buf, sem_pv = scratch[:3]
-        acc2_ref = None
-    sem_vals = scratch[-1] if SPLIT else None
+        acc_ref, acc2_ref = scratch[0], None
+        rest = scratch[1:]
+    if SPLIT:
+        # Values get their OWN VMEM buffer (CR rows, full-row DMAs):
+        # Mosaic cannot slice a tiled VMEM memref at a non-8-multiple
+        # sublane SIZE, so the 2-row value DMA may not target a sublane
+        # window of the point buffer.
+        pv_buf, vals_vmem, sem_pv, sem_vals = rest[:4]
+    else:
+        pv_buf, sem_pv = rest[:2]
+        vals_vmem = sem_vals = None
     D = plan.ndim
     b = pl.program_id(0)
     start_b = starts_ref[b]
@@ -694,17 +703,17 @@ def _spread_kernel_z(
             off = pl.multiple_of((start_b + j * SUPER) * P, P)
         dst = pl.multiple_of(slot * SB, P)
         if SPLIT:
-            # vals_hbm is UNPADDED (CR rows); DMA exactly those rows to
-            # the buffer's value region (static sublane offset DP).
+            # vals_hbm is UNPADDED (CR rows); it lands in its own CR-row
+            # VMEM buffer with a full-row DMA (no sublane slicing).
             return _CopyPair(
                 pltpu.make_async_copy(
                     pts_hbm.at[:, pl.ds(off, SB)],
-                    pv_buf.at[:DP, pl.ds(dst, SB)],
+                    pv_buf.at[:, pl.ds(dst, SB)],
                     sem_pv.at[slot],
                 ),
                 pltpu.make_async_copy(
                     vals_hbm.at[:, pl.ds(off, SB)],
-                    pv_buf.at[DP : DP + CR, pl.ds(dst, SB)],
+                    vals_vmem.at[:, pl.ds(dst, SB)],
                     sem_vals.at[slot],
                 ),
             )
@@ -846,9 +855,9 @@ def _spread_kernel_z(
     # (granule 1) and dim-1 offsets on the 8-aligned sublane dim.
     acc3 = W1 is not None
 
-    def compute(pv_b, i, aref):
+    def compute(pv_b, vb, i, aref):
         cells, fracs, valid = decode(pv_b, i)
-        vals_b = pv_b[DP:]
+        vals_b = vb
         wr, wlast = weights(cells, fracs, valid, None)  # (pd0*rm, P), (pdL, P)
         wv = _stack(wr, vals_b)  # (CR*pd0*rm, P)
         prod = _dot(wv, wlast, aref.dtype)
@@ -859,9 +868,9 @@ def _spread_kernel_z(
         else:
             aref[...] = aref[...] + prod
 
-    def compute_win(pv_b, i, r0, aref):
+    def compute_win(pv_b, vb, i, r0, aref):
         cells, fracs, valid = decode(pv_b, i)
-        vals_b = pv_b[DP:]
+        vals_b = vb
         wr, wlast = weights(cells, fracs, valid, r0)  # (W*rm, P), (pdL, P)
         wv = _stack(wr, vals_b)  # (CR*W*rm, P)
         prod = _dot(wv, wlast, aref.dtype)  # (CR*W*rm, pdL)
@@ -882,10 +891,10 @@ def _spread_kernel_z(
                 win = aref[pl.ds(off, W * rm), :]
                 aref[pl.ds(off, W * rm), :] = win + sl
 
-    def compute_win2(pv_b, i, r0, r1, aref):
+    def compute_win2(pv_b, vb, i, r0, r1, aref):
         # 2D (dim-0, dim-1) window: M = CR*W*W1 contraction rows.
         cells, fracs, valid = decode(pv_b, i)
-        vals_b = pv_b[DP:]
+        vals_b = vb
         wr, wlast = weights(cells, fracs, valid, r0, r1)  # (W*W1, P)
         wv = _stack(wr, vals_b)  # (CR*W*W1, P)
         prod = _dot(wv, wlast, aref.dtype)  # (CR*W*W1, pdL)
@@ -929,6 +938,7 @@ def _spread_kernel_z(
             gi = i * SUPER + k
             src = pl.multiple_of(slot * SB + k * P, P)
             pv_b = pv_buf[:, pl.ds(src, P)]
+            vb = vals_vmem[:, pl.ds(src, P)] if SPLIT else pv_b[DP:]
             # Ping-pong accumulator (spread_acc2): alternate batches write
             # disjoint scratch so batch k+1's contraction is not serialised
             # behind batch k's accumulator read-modify-write.
@@ -945,38 +955,38 @@ def _spread_kernel_z(
                 )
 
                 @pl.when(gi < nbatch)
-                def _(pv_b=pv_b, gi=gi, r0=r0, aref=aref):
-                    compute_win(pv_b, gi, r0, aref)
+                def _(pv_b=pv_b, vb=vb, gi=gi, r0=r0, aref=aref):
+                    compute_win(pv_b, vb, gi, r0, aref)
             elif W and W1:
                 r0, r1 = _unpack_r01(
                     r01s_ref, jnp.minimum(start_b + gi, nr - 1)
                 )
 
                 @pl.when((gi < nbatch) & (r1 >= 0))
-                def _(pv_b=pv_b, gi=gi, r0=r0, r1=r1, aref=aref):
-                    compute_win2(pv_b, gi, r0, r1, aref)
+                def _(pv_b=pv_b, vb=vb, gi=gi, r0=r0, r1=r1, aref=aref):
+                    compute_win2(pv_b, vb, gi, r0, r1, aref)
 
                 @pl.when((gi < nbatch) & (r1 < 0) & (r0 >= 0))
-                def _(pv_b=pv_b, gi=gi, r0=r0, aref=aref):
-                    compute_win(pv_b, gi, r0, aref)
+                def _(pv_b=pv_b, vb=vb, gi=gi, r0=r0, aref=aref):
+                    compute_win(pv_b, vb, gi, r0, aref)
 
                 @pl.when((gi < nbatch) & (r0 < 0))
-                def _(pv_b=pv_b, gi=gi, aref=aref):
-                    compute(pv_b, gi, aref)
+                def _(pv_b=pv_b, vb=vb, gi=gi, aref=aref):
+                    compute(pv_b, vb, gi, aref)
             elif W:
                 r0 = _unpack_r0(r01s_ref, jnp.minimum(start_b + gi, nr - 1))
 
                 @pl.when((gi < nbatch) & (r0 >= 0))
-                def _(pv_b=pv_b, gi=gi, r0=r0, aref=aref):
-                    compute_win(pv_b, gi, r0, aref)
+                def _(pv_b=pv_b, vb=vb, gi=gi, r0=r0, aref=aref):
+                    compute_win(pv_b, vb, gi, r0, aref)
 
                 @pl.when((gi < nbatch) & (r0 < 0))
-                def _(pv_b=pv_b, gi=gi, aref=aref):
-                    compute(pv_b, gi, aref)
+                def _(pv_b=pv_b, vb=vb, gi=gi, aref=aref):
+                    compute(pv_b, vb, gi, aref)
             else:
                 @pl.when(gi < nbatch)
-                def _(pv_b=pv_b, gi=gi, aref=aref):
-                    compute(pv_b, gi, aref)
+                def _(pv_b=pv_b, vb=vb, gi=gi, aref=aref):
+                    compute(pv_b, vb, gi, aref)
 
         return carry
 
@@ -1125,12 +1135,21 @@ def spread_blocked(
             scratch = [pltpu.VMEM(acc_shape, rdt)]
             if plan.spread_acc2:
                 scratch.append(pltpu.VMEM(acc_shape, rdt))
-            scratch += [
-                pltpu.VMEM((DP + CRPc, NB * SB), rdt),
-                pltpu.SemaphoreType.DMA((NB,)),
-            ]
             if split_pv:
-                scratch.append(pltpu.SemaphoreType.DMA((NB,)))
+                # Split path: points and (unpadded) values each get their
+                # own VMEM buffer with full-row DMAs — Mosaic cannot slice
+                # a tiled VMEM memref at a non-8-multiple sublane size.
+                scratch += [
+                    pltpu.VMEM((DP, NB * SB), rdt),
+                    pltpu.VMEM((CRc, NB * SB), rdt),
+                    pltpu.SemaphoreType.DMA((NB,)),
+                    pltpu.SemaphoreType.DMA((NB,)),
+                ]
+            else:
+                scratch += [
+                    pltpu.VMEM((DP + CRPc, NB * SB), rdt),
+                    pltpu.SemaphoreType.DMA((NB,)),
+                ]
             kernel = functools.partial(
                 _spread_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
                 P=P, W=W, W1=W1, layout=layout, SUPER=SUPER, SPLIT=split_pv,
@@ -1206,7 +1225,7 @@ def spread_blocked(
 def _interp_kernel(
     starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, nb, pd, yz, P, W, layout, SUPER, OUT_ROWS,
+    *, plan, CR, nb, pd, yz, P, W, layout, SUPER,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -1249,12 +1268,12 @@ def _interp_kernel(
         # super-batch's tail lanes past nbatch carry stale data; they fall
         # in the next program's slot range (overwritten — programs run in
         # ascending order) or past block_starts[-1]*P (masked by the
-        # un-permute's `written` mask).  Only OUT_ROWS rows ship: huge
-        # plans keep the HBM result array unpadded (see run_chunk).
+        # un-permute's `written` mask).  The buffer's row count matches
+        # the (possibly unpadded) HBM output — see run_chunk.
         off = pl.multiple_of((start_b + j * SUPER) * P, P)
         src = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            res_buf.at[:OUT_ROWS, pl.ds(src, SB)],
+            res_buf.at[:, pl.ds(src, SB)],
             out_ref.at[:, pl.ds(off, SB)],
             sem_r.at[slot],
         )
@@ -1374,7 +1393,7 @@ def _interp_kernel(
 def _interp_kernel_z(
     starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER, OUT_ROWS,
+    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
 ):
     """Z-form interpolation: gblk (CR*pd0*prod(pd_mid), pd_last); per batch
     t = G_window @ Wlast (M = CR*W0*prod(pd_mid), K = pd_last, N = P), then
@@ -1426,7 +1445,7 @@ def _interp_kernel_z(
         off = pl.multiple_of((start_b + j * SUPER) * P, P)
         src = pl.multiple_of(slot * SB, P)
         return pltpu.make_async_copy(
-            res_buf.at[:OUT_ROWS, pl.ds(src, SB)],
+            res_buf.at[:, pl.ds(src, SB)],
             out_ref.at[:, pl.ds(off, SB)],
             sem_r.at[slot],
         )
@@ -1791,14 +1810,13 @@ def interpolate_blocked(
             kernel = functools.partial(
                 _interp_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
                 P=P, W=W, W1=W1, layout=layout, SUPER=SUPER,
-                OUT_ROWS=out_rows,
             )
         else:
             in_spec0 = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index)
             gblk_scratch = pltpu.VMEM((CRc * pd[0], yz), rdt)
             kernel = functools.partial(
                 _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P,
-                W=W, layout=layout, SUPER=SUPER, OUT_ROWS=out_rows,
+                W=W, layout=layout, SUPER=SUPER,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -1811,7 +1829,11 @@ def interpolate_blocked(
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # (CRPc, Nslots)
             scratch_shapes=[
                 pltpu.VMEM((DP, NB * SB), rdt),
-                pltpu.VMEM((CRPc, NB * SB), rdt),
+                # Result buffer rows match the (possibly unpadded) HBM
+                # output so the result DMA copies full rows — Mosaic
+                # cannot slice a tiled VMEM memref at a non-8-multiple
+                # sublane size.
+                pltpu.VMEM((out_rows, NB * SB), rdt),
                 gblk_scratch,
                 pltpu.SemaphoreType.DMA((NB,)),
                 pltpu.SemaphoreType.DMA((NB,)),
