@@ -713,7 +713,10 @@ def PlanNUFFT(
             # needs no slack and no rounding.
             span = block_dims[0] * min(1.0, batch_size / max(avg, 1.0))
             if kernel_form == "z" and D >= 3:
-                window_rows = int(span) + 2 * m + 2
+                # Halo-first rows need exactly span + 2m - 1; +2 of margin
+                # absorbs estimate noise (W = span + 2m + 2 re-measured
+                # -4.5 ms/kernel slower at rho=1, PROFILE.md round-5 A/B).
+                window_rows = int(span) + 2 * m + 1
             else:
                 window_rows = round_up(int(span) + 2 * m + 8, 8)
         elif window_rows:
@@ -1115,7 +1118,14 @@ def set_points(plan: Plan, points) -> Plan:
         else:
             out = _pack_points_jit(plan, pts_t)
         pts_rows, pstarts, batch_starts, batch_r0, batch_r1, perm, sinv = out
-        pts = fold_points(pts, plan.point_transform)
+        if np_ > 33_554_432:
+            # plan.points is diagnostics-only on the packed path (the
+            # kernels read the packed rows); at rho=10 scale the folded
+            # copy is 2 GB of dead HBM — keep a non-None empty marker
+            # (num_points_static carries the count).
+            pts = pts[:, :0]
+        else:
+            pts = fold_points(pts, plan.point_transform)
         # Low-density diagnostic (reference warns on degenerate shared-memory
         # geometry, src/gpu_common.jl:66-77): expected batch quantisation
         # overhead, estimated statically (each non-empty block wastes ~P/2

@@ -145,7 +145,8 @@ def main():
 
             ps = nufft.set_points(p32, _jax.device_put(pts32))
             u32 = exec_type1_channels(ps, _jax.device_put(v32))
-            _jax.block_until_ready(u32)
+            v232 = exec_type2_channels(ps, u32)  # warm BOTH directions
+            _jax.block_until_ready(v232)
             t0 = time.perf_counter()
             ps = nufft.set_points(p32, _jax.device_put(pts32))
             u32 = exec_type1_channels(ps, _jax.device_put(v32))
