@@ -133,6 +133,10 @@ def main():
 
     def bench_point(np_pts, *, measure_error=False, full_only=False,
                     measure_edge=False):
+        # Huge rows (rho ~ 10): fewer chained iterations — the scan body
+        # holds an extra perturbed copy of the 2 GB point set, and a
+        # single iteration is seconds long (dispatch overhead is noise).
+        k_iters = 2 if np_pts > 100_000_000 else K_ITERS
         rng = np.random.default_rng(42)
         pts_np = rng.uniform(0, 2 * np.pi, (3, np_pts)).astype(np.float32)
         vshape = (1, np_pts) if REAL else (1, 2, np_pts)
@@ -176,7 +180,7 @@ def main():
 
         full_mode = "one_jit"
         try:
-            t_full = timed_scan(full_body, (pts_d, v_d))
+            t_full = timed_scan(full_body, (pts_d, v_d), k=k_iters)
         except Exception as e:  # noqa: BLE001
             # rho=10 (167.8M pts): ONE jit holding set+t1+t2 live peaks
             # past 16 GB HBM, while each synced stage fits.  Fall back to
@@ -192,10 +196,20 @@ def main():
         t_set = t_1 = t_2 = float("nan")
         if not STAGES:
             full_only = True
+
+        def _stage(name, body, args):
+            try:
+                return timed_scan(body, args, k=k_iters)
+            except Exception as e:  # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                log(f"# Np={np_pts}: {name} stage scan OOMs; NaN")
+                return float("nan")
+
         if not full_only:  # sweep rows skip the per-stage loops (compile cost)
-            t_set = timed_scan(set_body, (pts_d,))
-            t_1 = timed_scan(t1_body, (p_sorted, v_d))
-            t_2 = timed_scan(t2_body, (p_sorted, u_in))
+            t_set = _stage("set", set_body, (pts_d,))
+            t_1 = _stage("t1", t1_body, (p_sorted, v_d))
+            t_2 = _stage("t2", t2_body, (p_sorted, u_in))
         if full_mode == "stage_sum":
             t_full = t_set + t_1 + t_2
 

@@ -1225,7 +1225,7 @@ def spread_blocked(
 def _interp_kernel(
     starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, nb, pd, yz, P, W, layout, SUPER,
+    *, plan, CR, nb, pd, yz, P, W, layout, SUPER, EMIT=True,
 ):
     b = pl.program_id(0)
     bids = _decompose_block(b, nb)
@@ -1317,7 +1317,7 @@ def _interp_kernel(
         res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
             t, wts[0], CR, pd[0], plan.normfactor
         )
-        if layout == "packed":
+        if layout == "packed" and EMIT:
             emit_keys(roff, idx, valid)
 
     def compute_win(pts_b, roff, i, r0):
@@ -1339,7 +1339,7 @@ def _interp_kernel(
         res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
             t, wts[0], CR, W, plan.normfactor
         )
-        if layout == "packed":
+        if layout == "packed" and EMIT:
             emit_keys(roff, idx, valid)
 
     nr = r01s_ref.shape[0]
@@ -1393,7 +1393,7 @@ def _interp_kernel(
 def _interp_kernel_z(
     starts_ref, pstarts_ref, offset_ref, r01s_ref, blk_ref, pts_hbm,
     cs_ref, out_ref, pts_buf, res_buf, gblk_ref, sem_p, sem_r,
-    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER,
+    *, plan, CR, DP, nb, pd, P, W, W1, layout, SUPER, EMIT=True,
 ):
     """Z-form interpolation: gblk (CR*pd0*prod(pd_mid), pd_last); per batch
     t = G_window @ Wlast (M = CR*W0*prod(pd_mid), K = pd_last, N = P), then
@@ -1569,7 +1569,7 @@ def _interp_kernel_z(
             res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
                 t, wr, CR, pd[0] * rm, plan.normfactor
             )
-        if layout == "packed":
+        if layout == "packed" and EMIT:
             emit_keys(roff, idx, valid)
 
     def compute_win(pts_b, roff, i, r0):
@@ -1601,7 +1601,7 @@ def _interp_kernel_z(
             res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
                 t, wr, CR, W * rm, plan.normfactor
             )
-        if layout == "packed":
+        if layout == "packed" and EMIT:
             emit_keys(roff, idx, valid)
 
     def compute_win2(pts_b, roff, i, r0, r1):
@@ -1622,7 +1622,7 @@ def _interp_kernel_z(
             res_buf[:CR, pl.ds(roff, P)] = _channel_rowsum(
                 t, wr, CR, W * W1, plan.normfactor
             )
-        if layout == "packed":
+        if layout == "packed" and EMIT:
             emit_keys(roff, idx, valid)
 
     nr = r01s_ref.shape[0]
@@ -1710,6 +1710,32 @@ def _interp_kernel_z(
                 res_dma(i % NB, i).wait()
 
 
+def _packed_slot_keys(plan, nslots: int, P: int) -> jnp.ndarray:
+    """Original-point-index key per batch-slot lane of the packed layout,
+    computed OUTSIDE the kernel from (sort_perm, pstarts, batch_starts) —
+    the huge-plan replacement for the kernel-emitted key row (slot s =
+    batch jb, lane l of block b; its sorted-array position is
+    (pstarts[b]//P)*P + brank*P + l, valid iff inside the block's point
+    range).  Costs a ~7 ns/slot gather, so only huge plans use it."""
+    s = jnp.arange(nslots, dtype=jnp.int32)
+    jb = s // jnp.int32(P)
+    lane = s % jnp.int32(P)
+    bs = plan.block_starts
+    blk = jnp.clip(
+        jnp.searchsorted(bs, jb, side="right").astype(jnp.int32) - 1,
+        0,
+        bs.shape[0] - 2,
+    )
+    p0 = jnp.take(plan.pstarts, blk)
+    p1 = jnp.take(plan.pstarts, blk + 1)
+    brank = jb - jnp.take(bs, blk)
+    pos = (p0 // jnp.int32(P)) * jnp.int32(P) + brank * jnp.int32(P) + lane
+    valid = (pos >= p0) & (pos < p1) & (jb < bs[-1])
+    cap = plan.sort_perm.shape[0] - 1
+    key = jnp.take(plan.sort_perm, jnp.clip(pos, 0, cap))
+    return jnp.where(valid, key, jnp.int32(2**31 - 1))
+
+
 def interpolate_blocked(
     plan, grid: jnp.ndarray, *, channel_input: bool = False,
     channel_output: bool = False, block_offset=None, shard_axis=None,
@@ -1787,15 +1813,29 @@ def interpolate_blocked(
         plan.pstarts if layout == "packed" else jnp.zeros((1,), jnp.int32)
     )
 
+    # Huge plans (rho ~ 10): (a) the HBM result array ships UNPADDED
+    # (the 8-row granule pad is GBs of never-read zeros), and (b) for
+    # CR >= 2 the un-permute keys are DERIVED outside the kernel
+    # (_packed_slot_keys) instead of emitted, dropping the key row so the
+    # result rows are exactly CR (an even row count Mosaic can DMA; a
+    # CR+1 = 3-row buffer fails its (4,128) tiling).  Key derivation
+    # costs a ~7 ns/slot gather — measured +90 ms at 1M, so NORMAL plans
+    # keep the in-kernel emission; at rho = 10 it hides inside a
+    # multi-second iteration.
+    huge_out = (
+        layout == "packed"
+        and common.round_up(CR + 1, 8) * nslots * 4 > PV_SPLIT_BYTES
+    )
+    derive_keys = huge_out and CR >= 2
+
     def run_chunk(halos_chunk):
         CRc = halos_chunk.shape[0]
-        # Packed layout: one extra output row carries the un-permute keys.
-        nrows = CRc + 1 if layout == "packed" else CRc
+        # Packed layout: one extra output row carries the un-permute keys
+        # (unless derived outside — see above).
+        emit = layout == "packed" and not derive_keys
+        nrows = CRc + 1 if emit else CRc
         CRPc = common.round_up(nrows, 8)
-        # Huge plans ship the HBM result array UNPADDED (nrows instead of
-        # the 8-row granule): the pad is (CRPc - nrows) * nslots * 4 bytes
-        # of never-read zeros — ~3.9 GB at rho = 10 (see PV_SPLIT_BYTES).
-        out_rows = nrows if CRPc * nslots * 4 > PV_SPLIT_BYTES else CRPc
+        out_rows = nrows if huge_out else CRPc
         if plan.kernel_form == "z":
             rm = _rows_mid(pd)
             in_spec0 = pl.BlockSpec(
@@ -1809,14 +1849,14 @@ def interpolate_blocked(
             gblk_scratch = pltpu.VMEM(gblk_shape, rdt)
             kernel = functools.partial(
                 _interp_kernel_z, plan=plan, CR=CRc, DP=DP, nb=nb, pd=pd,
-                P=P, W=W, W1=W1, layout=layout, SUPER=SUPER,
+                P=P, W=W, W1=W1, layout=layout, SUPER=SUPER, EMIT=emit,
             )
         else:
             in_spec0 = pl.BlockSpec(_block_shape(CRc, nb, pd, yz), in_index)
             gblk_scratch = pltpu.VMEM((CRc * pd[0], yz), rdt)
             kernel = functools.partial(
                 _interp_kernel, plan=plan, CR=CRc, nb=nb, pd=pd, yz=yz, P=P,
-                W=W, layout=layout, SUPER=SUPER,
+                W=W, layout=layout, SUPER=SUPER, EMIT=emit,
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -1856,7 +1896,7 @@ def interpolate_blocked(
         outs = [run_chunk(halos)]
     else:
         outs = [run_chunk(halos[s : s + chunk]) for s in range(0, CR, chunk)]
-    if layout == "packed":
+    if layout == "packed" and not derive_keys:
         keys_row = outs[0][-1]  # identical across chunks
         slot_vals = jnp.concatenate([o[:-1] for o in outs], axis=0)
     else:
@@ -1864,19 +1904,22 @@ def interpolate_blocked(
 
     np_ = plan.num_points
     if layout == "packed":
-        # Un-permute with ONE masked sort over the kernel-emitted key row
-        # (original point index per lane; INT32_MAX on masked/edge lanes and,
-        # below, on never-written tail slots).  The valid lanes are a
-        # bijection onto 0..Np-1, so the first Np sorted entries are the
-        # points in original order.
-        if rdt == jnp.float64:
-            keys = keys_row.astype(jnp.int32)
+        # Un-permute with ONE masked sort over the key row (original point
+        # index per lane; INT32_MAX on masked/edge lanes and, below, on
+        # never-written tail slots).  The valid lanes are a bijection onto
+        # 0..Np-1, so the first Np sorted entries are the points in
+        # original order.
+        if derive_keys:
+            keys = _packed_slot_keys(plan, nslots, P)
         else:
-            keys = jax.lax.bitcast_convert_type(keys_row, jnp.int32)
-        written = jnp.arange(nslots, dtype=jnp.int32) < (
-            plan.block_starts[-1] * P
-        )
-        keys = jnp.where(written, keys, jnp.int32(2**31 - 1))
+            if rdt == jnp.float64:
+                keys = keys_row.astype(jnp.int32)
+            else:
+                keys = jax.lax.bitcast_convert_type(keys_row, jnp.int32)
+            written = jnp.arange(nslots, dtype=jnp.int32) < (
+                plan.block_starts[-1] * P
+            )
+            keys = jnp.where(written, keys, jnp.int32(2**31 - 1))
         sorted_ops = jax.lax.sort(
             (keys,) + tuple(slot_vals[c] for c in range(CR)), num_keys=1
         )
