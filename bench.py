@@ -209,6 +209,11 @@ def main():
         if not full_only:  # sweep rows skip the per-stage loops (compile cost)
             t_set = _stage("set", set_body, (pts_d,))
             t_1 = _stage("t1", t1_body, (p_sorted, v_d))
+            if np_pts > 100_000_000:
+                # Huge rows: the raw device inputs (3.4 GB) are dead weight
+                # for the t2 stage — drop them so the stage fits 16 GB HBM
+                # (the later error oracles re-put what they need).
+                pts_d = v_d = None
             t_2 = _stage("t2", t2_body, (p_sorted, u_in))
         if full_mode == "stage_sum":
             t_full = t_set + t_1 + t_2
