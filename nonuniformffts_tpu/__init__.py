@@ -21,6 +21,13 @@ Quick start::
 from .plan import Plan, PlanNUFFT, set_points
 from .execution import exec_type1, exec_type2
 from .callbacks import NUFFTCallbacks
+from .chunked import (
+    ChunkedPlan,
+    ChunkedPlanNUFFT,
+    exec_type1_chunked,
+    exec_type2_chunked,
+    set_points_chunked,
+)
 from .nfft_compat import NFFTPlan, nfft, nfft_adjoint, plan_nfft
 from .ops.windows import (
     BackwardsKaiserBesselKernel,
@@ -50,4 +57,9 @@ __all__ = [
     "plan_nfft",
     "nfft",
     "nfft_adjoint",
+    "ChunkedPlan",
+    "ChunkedPlanNUFFT",
+    "set_points_chunked",
+    "exec_type1_chunked",
+    "exec_type2_chunked",
 ]
