@@ -28,6 +28,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -54,6 +55,10 @@ STAGES = os.environ.get("BENCH_STAGES", "1") == "1"  # 0: full-iter A/B only
 # Kernel-contraction precision override (A/B knob; '' = plan default).
 KPREC = os.environ.get("BENCH_KPREC", "") or None
 SIGMA = float(os.environ.get("BENCH_SIGMA", 1.5))
+# Points-chunked execution (nonuniformffts_tpu.chunked): 0 = auto (single
+# plan below 100M points, 4 chunks above — the rho=10 row's sort temps
+# exceed 16 GB HBM unchunked); >=1 forces a chunk count.
+CHUNKS = int(os.environ.get("BENCH_CHUNKS", "0") or 0)
 ERR_MODES = int(os.environ.get("BENCH_ERR_MODES", 384))
 ERR_POINTS = int(os.environ.get("BENCH_ERR_POINTS", 4096))
 
@@ -108,15 +113,13 @@ def main():
         # as nonsense in the committed sweep artifact.
         return max(0.0, (min(ts) - overhead) / k)
 
-    def make_plan(np_hint):
+    def make_plan(np_hint, nchunks=1):
         kw = {}
         if BATCH is not None:
             kw["batch_size"] = BATCH
         if KPREC:
             kw["kernel_precision"] = KPREC
-        return nufft.PlanNUFFT(
-            np.float32 if REAL else np.complex64,
-            shape,
+        kw.update(
             m=M_HS,
             sigma=SIGMA,
             spread_method="blocked" if on_tpu else "reference",
@@ -125,8 +128,11 @@ def main():
             precision=PRECISION,
             np_hint=np_hint,
             block_dims=BLOCKS,
-            **kw,
         )
+        dtype = np.float32 if REAL else np.complex64
+        if nchunks > 1:
+            return nufft.ChunkedPlanNUFFT(dtype, shape, nchunks=nchunks, **kw)
+        return nufft.PlanNUFFT(dtype, shape, **kw)
 
     def eps_of(c, x):
         return x + (c * jnp.asarray(1e-30, x.dtype)).astype(x.dtype)
@@ -137,21 +143,41 @@ def main():
         # holds an extra perturbed copy of the 2 GB point set, and a
         # single iteration is seconds long (dispatch overhead is noise).
         k_iters = 2 if np_pts > 100_000_000 else K_ITERS
+        nchunks = CHUNKS or (4 if np_pts > 100_000_000 else 1)
         rng = np.random.default_rng(42)
         pts_np = rng.uniform(0, 2 * np.pi, (3, np_pts)).astype(np.float32)
         vshape = (1, np_pts) if REAL else (1, 2, np_pts)
         v_np = rng.standard_normal(vshape).astype(np.float32)
-        plan = make_plan(np_pts)
+        plan = make_plan(np_pts, nchunks)
+        if nchunks > 1:
+            # Points-chunked execution: rho=10's sort temps exceed 16 GB
+            # HBM on a single plan (PROFILE.md round-5).  Chunk counts here
+            # always divide the sweep's Np, so the pad path stays cold and
+            # the channel impls see exactly (C, [2,] Np).
+            from nonuniformffts_tpu.chunked import (
+                exec_type1_ch_chunked,
+                exec_type2_ch_chunked,
+            )
+
+            assert np_pts % nchunks == 0, "chunk count must divide Np"
+            setp = nufft.set_points_chunked
+            exec1 = partial(exec_type1_ch_chunked, callbacks=cbs)
+            exec2 = partial(exec_type2_ch_chunked, callbacks=cbs)
+        else:
+            setp = nufft.set_points
+            exec1 = partial(_exec_type1_ch_impl, callbacks=cbs)
+            exec2 = partial(_exec_type2_ch_impl, callbacks=cbs)
+        base = plan.base if nchunks > 1 else plan
         pts_d = jax.device_put(pts_np)
         v_d = jax.device_put(v_np)
-        p_sorted = nufft.set_points(plan, pts_d)
-        u_in = _exec_type1_ch_impl(p_sorted, v_d, cbs)
+        p_sorted = setp(plan, pts_d)
+        u_in = exec1(p_sorted, v_d)
         u_in.block_until_ready()
 
         def full_body(c, pts_a, v_a):
-            p = nufft.set_points(plan, eps_of(c, pts_a))
-            u = _exec_type1_ch_impl(p, eps_of(c, v_a), cbs)
-            v2 = _exec_type2_ch_impl(p, u, cbs)
+            p = setp(plan, eps_of(c, pts_a))
+            u = exec1(p, eps_of(c, v_a))
+            v2 = exec2(p, u)
             return jnp.sum(u) + jnp.sum(v2)
 
         def set_body(c, pts_a):
@@ -159,23 +185,27 @@ def main():
             # the point rows let XLA dead-code the per-batch window
             # metadata and the value-permute key prep, undercounting the
             # stage ~40% at rho=1 (PROFILE.md round-5 set_points ladder).
-            p = nufft.set_points(plan, eps_of(c, pts_a))
-            if plan.spread_method != "blocked":
-                return jnp.sum(p.points)
-            arr = p.points_packed if p.layout == "packed" else p.points_slotted
+            p = setp(plan, eps_of(c, pts_a))
+            pp = p.plans if nchunks > 1 else p
+            if base.spread_method != "blocked":
+                return jnp.sum(pp.points)
+            arr = (
+                pp.points_packed if base.layout == "packed"
+                else pp.points_slotted
+            )
             acc = jnp.sum(arr)
-            for extra in (p.batch_r0, p.batch_r1, p.sort_key, p.sort_perm,
-                          p.block_starts, p.pstarts):
+            for extra in (pp.batch_r0, pp.batch_r1, pp.sort_key,
+                          pp.sort_perm, pp.block_starts, pp.pstarts):
                 if extra is not None:
                     acc = acc + jnp.sum(extra.astype(jnp.float32))
             return acc
 
         def t1_body(c, ps, v_a):
-            u = _exec_type1_ch_impl(ps, eps_of(c, v_a), cbs)
+            u = exec1(ps, eps_of(c, v_a))
             return jnp.sum(u)
 
         def t2_body(c, ps, u_a):
-            v2 = _exec_type2_ch_impl(ps, eps_of(c, u_a), cbs)
+            v2 = exec2(ps, eps_of(c, u_a))
             return jnp.sum(v2)
 
         full_mode = "one_jit"
@@ -220,16 +250,21 @@ def main():
 
         # Geometry-model audit (round-1 weak #9): record the cost model's
         # predicted single-pass spread cost next to the measured stages so a
-        # drifting calibration is visible in the committed artifact.
+        # drifting calibration is visible in the committed artifact.  Tiny
+        # rows auto-select the direct-NUDFT path (no blocked geometry).
         from nonuniformffts_tpu.blocking import geometry_cost
 
-        model_s, model_vmem = geometry_cost(
-            plan.shape_over, plan.block_dims, plan.m,
-            (1 if REAL else 2) * plan.ntransforms, np_pts, plan.batch_size,
-            n_keep=plan.shape, form=plan.kernel_form,
-            spread_acc2=plan.spread_acc2, dma_super=plan.dma_super,
-            precision=plan.precision,
-        )
+        if base.spread_method == "direct":
+            model_s, model_vmem = float("nan"), 0
+        else:
+            model_s, model_vmem = geometry_cost(
+                base.shape_over, base.block_dims, base.m,
+                (1 if REAL else 2) * base.ntransforms,
+                np_pts // nchunks, base.batch_size,
+                n_keep=base.shape, form=base.kernel_form,
+                spread_acc2=base.spread_acc2, dma_super=base.dma_super,
+                precision=base.precision,
+            )
         # Calibration audit (round-2 judge weak #6): the auto-batch search
         # trusts this model, so a >30% model-vs-measured drift at the main
         # point must be loud in the artifact and on stderr.
@@ -254,17 +289,19 @@ def main():
             "t_type1_s": t_1,
             "t_type2_s": t_2,
             "pts_per_sec": np_pts / t_full,
-            "blocks": list(plan.block_dims),
+            "blocks": list(base.block_dims or ()),
+            **({"method": "direct"} if base.spread_method == "direct" else {}),
+            **({"chunks": nchunks} if nchunks > 1 else {}),
             "model_pass_s": model_s,
             "model_vmem_bytes": int(model_vmem),
         }
 
         if measure_error:
-            row["err_type1"] = measure_t1_error(plan, pts_np, v_np, p_sorted)
+            row["err_type1"] = measure_t1_error(pts_np, v_np, p_sorted, exec1)
             if REAL:
-                row["err_type2"] = measure_t2_error_real(plan, pts_np, p_sorted)
+                row["err_type2"] = measure_t2_error_real(pts_np, p_sorted, exec2)
             else:
-                row["err_type2"] = measure_t2_error(plan, pts_np, p_sorted)
+                row["err_type2"] = measure_t2_error(pts_np, p_sorted, exec2)
         if measure_edge:
             # Edge-case certification on the COMPILED kernels (same plan and
             # shapes, so no recompile): near-2pi coordinates, a dense
@@ -278,12 +315,12 @@ def main():
             pts_e[:, ncl : ncl + 1000] = np.nextafter(
                 np.float32(2 * np.pi), np.float32(0)
             )
-            p_edge = nufft.set_points(plan, jax.device_put(pts_e))
-            row["err_edge"] = measure_t1_error(plan, pts_e, v_np, p_edge)
+            p_edge = setp(plan, jax.device_put(pts_e))
+            row["err_edge"] = measure_t1_error(pts_e, v_np, p_edge, exec1)
         return row
 
     # ---------------- accuracy oracles ------------------------------------
-    def measure_t1_error(plan, pts_np, v_np, p_sorted):
+    def measure_t1_error(pts_np, v_np, p_sorted, ex1):
         """Device type-1 output vs exact f64 DFT sums at a mode subsample.
 
         The host oracle is O(Np x modes); at sweep densities past the main
@@ -291,7 +328,7 @@ def main():
         the subsample — 48 modes is statistically ample) so the rho=10 row
         (167.8M points) stays minutes-cheap."""
         n_modes = int(np.clip(ERR_MODES * 1e6 / pts_np.shape[1], 48, ERR_MODES))
-        u_dev = np.asarray(_exec_type1_ch_impl(p_sorted, jnp.asarray(v_np), cbs))
+        u_dev = np.asarray(ex1(p_sorted, jnp.asarray(v_np)))
         u_dev = u_dev[0, 0] + 1j * u_dev[0, 1]  # channel form, FFTW order
         rng = np.random.default_rng(7)
         N = N_GRID
@@ -325,7 +362,7 @@ def main():
         got = u_dev[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
         return float(np.linalg.norm(got - exact) / np.linalg.norm(exact))
 
-    def measure_t2_error(plan, pts_np, p_sorted):
+    def measure_t2_error(pts_np, p_sorted, ex2):
         """Rank-1 spectrum: v_j = prod_d (sum_k a_d[k] e^{i k x_dj}) exactly."""
         rng = np.random.default_rng(8)
         N = N_GRID
@@ -335,9 +372,7 @@ def main():
         ]
         u = np.einsum("a,b,c->abc", *a).astype(np.complex64)
         u_ch = np.stack([u.real, u.imag])[None]  # (1, 2, N, N, N)
-        v_dev = np.asarray(
-            _exec_type2_ch_impl(p_sorted, jnp.asarray(u_ch), cbs)
-        )
+        v_dev = np.asarray(ex2(p_sorted, jnp.asarray(u_ch)))
         v_dev = v_dev[0, 0] + 1j * v_dev[0, 1]
         sel = np.random.default_rng(9).integers(0, pts_np.shape[1], ERR_POINTS)
         x = pts_np[:, sel].astype(np.float64)
@@ -348,7 +383,7 @@ def main():
         got = v_dev[sel]
         return float(np.linalg.norm(got - exact) / np.linalg.norm(exact))
 
-    def measure_t2_error_real(plan, pts_np, p_sorted):
+    def measure_t2_error_real(pts_np, p_sorted, ex2):
         """c2r type-2 oracle: Hermitian rank-1 spectrum, exact real factors.
 
         Convention (measured mode-by-mode on the reference path and pinned
@@ -376,9 +411,7 @@ def main():
         a2h[0] = a2h[0].real
         u = np.einsum("a,b,c->abc", a0, a1, a2h).astype(np.complex64)
         u_ch = np.stack([u.real, u.imag])[None]  # (1, 2, N, N, H)
-        v_dev = np.asarray(
-            _exec_type2_ch_impl(p_sorted, jnp.asarray(u_ch), cbs)
-        )[0]
+        v_dev = np.asarray(ex2(p_sorted, jnp.asarray(u_ch)))[0]
         sel = np.random.default_rng(9).integers(0, pts_np.shape[1], ERR_POINTS)
         x = pts_np[:, sel].astype(np.float64)
         kfull = np.fft.fftfreq(N, 1.0 / N).astype(np.float64)

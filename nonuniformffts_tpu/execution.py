@@ -428,6 +428,13 @@ def _exec_type1_ch_impl(plan: Plan, vp_ch: jnp.ndarray, callbacks: NUFFTCallback
     """vp_ch: (C, Np) real plans | (C, 2, Np) complex plans.
     Returns the channel-form spectrum (C, 2) + spectral_shape."""
     vp_ch = _apply_nonuniform_ch(plan, vp_ch, callbacks.nonuniform)
+    if plan.spread_method == "direct":
+        from .ops.direct import exec_type1_direct_ch
+
+        # Exact dense sums — no grid/FFT stages; _t1_deconv_stage is a
+        # structural no-op on the matmul engine and only applies the
+        # uniform callback.
+        return _t1_deconv_stage(plan, exec_type1_direct_ch(plan, vp_ch), callbacks)
     g = _t1_spread_stage(plan, vp_ch)
     spec = _t1_fft_stage(plan, g)
     return _t1_deconv_stage(plan, spec, callbacks)
@@ -437,6 +444,17 @@ def _exec_type1_ch_impl(plan: Plan, vp_ch: jnp.ndarray, callbacks: NUFFTCallback
 def _exec_type2_ch_impl(plan: Plan, uhat_ch: jnp.ndarray, callbacks: NUFFTCallbacks):
     """uhat_ch: channel-form spectrum (C, 2) + spectral_shape.
     Returns (C, Np) real plans | (C, 2, Np) complex plans."""
+    if plan.spread_method == "direct":
+        from .ops.direct import exec_type2_direct_ch
+
+        if callbacks.uniform is not None:
+            # No deconvolution scaling exists on the direct path; the
+            # callback applies to the user spectrum as-is.
+            u = _from_channels(uhat_ch).astype(plan.complex_dtype)
+            u = _apply_uniform_callback(u, callbacks.uniform)
+            uhat_ch = _to_channels(u)
+        vp_ch = exec_type2_direct_ch(plan, uhat_ch)
+        return _apply_nonuniform_ch(plan, vp_ch, callbacks.nonuniform)
     spec_ch = _t2_pad_stage(plan, uhat_ch, callbacks)
     grid = _t2_fft_stage(plan, spec_ch)
     vp_ch = _t2_interp_stage(plan, grid)
@@ -470,6 +488,12 @@ def _run_staged(timer, name, fn, *args, **kw):
 
 def _exec_type1_ch_staged(plan: Plan, vp_ch, callbacks: NUFFTCallbacks):
     t = plan.timer
+    if plan.spread_method == "direct":
+        with t.section("exec_type1"):
+            return _run_staged(
+                t, "(1) direct NUDFT", _exec_type1_ch_impl, plan, vp_ch,
+                callbacks=callbacks,
+            )
     with t.section("exec_type1"):
         if callbacks.nonuniform is not None:
             vp_ch = _run_staged(
@@ -487,6 +511,12 @@ def _exec_type1_ch_staged(plan: Plan, vp_ch, callbacks: NUFFTCallbacks):
 
 def _exec_type2_ch_staged(plan: Plan, uhat_ch, callbacks: NUFFTCallbacks):
     t = plan.timer
+    if plan.spread_method == "direct":
+        with t.section("exec_type2"):
+            return _run_staged(
+                t, "(1) direct NUDFT", _exec_type2_ch_impl, plan, uhat_ch,
+                callbacks=callbacks,
+            )
     with t.section("exec_type2"):
         spec = _run_staged(
             t, "(1) deconvolve + pad", _j_t2_pad, plan, uhat_ch,

@@ -500,6 +500,26 @@ def PlanNUFFT(
         # shifts the geometry (choose_geometry picks coarse blocks at low
         # np_hint).  The reference path remains the default off-TPU.
         spread_method = "blocked" if on_tpu else "reference"
+        # Tiny point sets: below the MAC crossover the dense direct NUDFT
+        # (ops/direct.py) beats the blocked pipeline's grid-sized DFT floor
+        # (~40 ms at N=256^3 regardless of Np, PROFILE.md round-5
+        # low-density analysis).  32-bit dtypes only: the direct path's
+        # exact phase reduction targets the f32 budget.
+        if (
+            on_tpu
+            and np_hint is not None
+            and not ds_requested
+            and np.dtype(dtype).itemsize <= 8
+        ):
+            from .ops.direct import blocked_dft_macs, direct_macs
+
+            spec_shape = (
+                shape[:-1] + (shape[-1] // 2 + 1,) if is_real else shape
+            )
+            if 2 * direct_macs(np_hint, spec_shape) < 2 * blocked_dft_macs(
+                shape_over
+            ):
+                spread_method = "direct"
 
     # FFT engine decision first — it determines the kernel buffer form.
     # XLA's native FFT where available; MXU matmul-DFT on TPU backends that
@@ -526,6 +546,17 @@ def PlanNUFFT(
         dma_super = 1
     elif fft_method is None:
         fft_method = "matmul" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if spread_method not in ("reference", "blocked", "direct"):
+        raise ValueError(f"unknown spread_method {spread_method!r}")
+    if spread_method == "direct":
+        # The direct NUDFT evaluates the transform sums exactly — no grid,
+        # no FFT, no deconvolution.  Forcing the matmul engine makes the
+        # (unused) deconvolve stage a structural no-op in execution.py, and
+        # sort_points is meaningless (there is no locality to exploit; the
+        # value order must match the stored point order).
+        if sort_points:
+            raise ValueError("sort_points is not supported with spread_method='direct'")
+        fft_method = "matmul"
     if fft_method == "matmul":
         if fft_variant == "auto":
             fft_variant = "pruned" if max(shape_over) <= 1024 else "split"
