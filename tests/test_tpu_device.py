@@ -375,3 +375,81 @@ def test_compiled_ds_extended_precision():
     gotr = ur[kidxr[:, 0], kidxr[:, 1], kidxr[:, 2]]
     err_r = np.linalg.norm(gotr - exact_r) / np.linalg.norm(exact_r)
     assert err_r < 5e-10, err_r
+
+
+@requires_tpu
+def test_compiled_direct_nudft():
+    """The direct-NUDFT path on device: exact dense sums must sit at the
+    contraction floor (~2e-7), below the windowed pipeline's 1e-6, with
+    the split-product phase reduction surviving compilation."""
+    import jax
+    import nonuniformffts_tpu as nufft
+
+    rng = np.random.default_rng(5)
+    N, Np = 128, 1500
+    pts = rng.uniform(0, 2 * np.pi, (3, Np)).astype(np.float32)
+    vc = (rng.standard_normal(Np) + 1j * rng.standard_normal(Np)).astype(
+        np.complex64
+    )
+    p = nufft.set_points(
+        nufft.PlanNUFFT(
+            np.complex64, (N,) * 3, spread_method="direct", np_hint=Np
+        ),
+        jax.device_put(pts),
+    )
+    u = np.asarray(nufft.exec_type1(p, vc))
+    kidx = rng.integers(0, N, (128, 3))
+    exact = _exact_t1_oracle(pts, vc.astype(np.complex128), kidx, N)
+    got = u[kidx[:, 0], kidx[:, 1], kidx[:, 2]]
+    err = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert err < 1e-6, err
+
+
+@requires_tpu
+def test_compiled_chunked_matches_single_plan():
+    """Points-chunked execution on the compiled kernels: a 3-chunk plan
+    must reproduce the single-plan output (f32 summation-order noise
+    only)."""
+    import jax
+    import nonuniformffts_tpu as nufft
+    from nonuniformffts_tpu.chunked import (
+        exec_type1_ch_chunked,
+        exec_type2_ch_chunked,
+    )
+    from nonuniformffts_tpu.execution import (
+        _exec_type1_ch_impl,
+        _exec_type2_ch_impl,
+    )
+    from nonuniformffts_tpu.callbacks import NUFFTCallbacks
+
+    cbs = NUFFTCallbacks()
+    rng = np.random.default_rng(6)
+    shape = (64, 64, 64)
+    Np = 60_000
+    pts = rng.uniform(0, 2 * np.pi, (3, Np)).astype(np.float32)
+    v = rng.standard_normal((1, 2, Np)).astype(np.float32)
+
+    p1 = nufft.set_points(
+        nufft.PlanNUFFT(
+            np.complex64, shape, m=4, sigma=1.5,
+            spread_method="blocked", np_hint=Np,
+        ),
+        jax.device_put(pts),
+    )
+    u1 = np.asarray(_exec_type1_ch_impl(p1, jax.device_put(v), cbs))
+
+    cp = nufft.set_points_chunked(
+        nufft.ChunkedPlanNUFFT(
+            np.complex64, shape, nchunks=3, m=4, sigma=1.5,
+            spread_method="blocked", np_hint=Np,
+        ),
+        jax.device_put(pts),
+    )
+    uc = np.asarray(exec_type1_ch_chunked(cp, jax.device_put(v), cbs))
+    atol = 2e-4 * float(np.max(np.abs(u1)))
+    np.testing.assert_allclose(uc, u1, rtol=2e-4, atol=atol)
+
+    v1 = np.asarray(_exec_type2_ch_impl(p1, jax.device_put(u1), cbs))
+    vc = np.asarray(exec_type2_ch_chunked(cp, jax.device_put(u1), cbs))
+    atol = 2e-4 * float(np.max(np.abs(v1)))
+    np.testing.assert_allclose(vc, v1, rtol=2e-4, atol=atol)
